@@ -1,0 +1,41 @@
+"""Determinism helpers for hash-checked numeric aggregates (SURVEY §5.4.2).
+
+The driver's value-hash is order-insensitive but *exact* — IEEE double
+summation order differs between Spark and DuckDB (and between Spark runs),
+and decimal rounding of a binary double is tie-sensitive when the true
+value has more decimals than the rounding keeps.
+
+Policy, mirrored in every oracle:
+
+- Fixture money/quantity columns are exact 2-decimal values stored as
+  doubles (verified: ``x == round(x, 2)`` for all rows). Casting to
+  DECIMAL recovers the exact value, so products and sums computed in
+  DECIMAL are *bit-identical* across engines; the final cast back to
+  double is a unique nearest-double conversion.
+- Quantities whose true value is NOT exact decimal (avg, stddev, corr…)
+  are rounded to a precision several orders above both engines' numeric
+  noise (≤1e-9 observed): round(4) for magnitudes ≥1, round(6) for small
+  ratios.
+
+``dec2`` uses DECIMAL(12,2): enough for every fixture magnitude
+(≤ 5e5 per value) while keeping triple products within DECIMAL(38,_) so
+neither engine hits precision-overflow rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC2 = "decimal(12,2)"
+
+
+def dec2(col: Column | str) -> Column:
+    """Exact 2-decimal view of a money/quantity column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC2)
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact decimal sum, returned as double (deterministic bits)."""
+    return F.sum(dec2(col)).cast("double")

@@ -1,0 +1,397 @@
+"""Join operators (SURVEY.md §2-D) + the flagship Q3-shape query.
+
+Strategy notes for 100 TB (the point of building on Catalyst):
+
+- Dimension tables (region 5, nation 25, supplier ~1k, customer ~15k rows
+  at sf0.1; all ≪ broadcast threshold even at sf100) are *broadcast* —
+  explicitly where the op demands it, otherwise by
+  ``autoBroadcastJoinThreshold``/AQE. The fact side never shuffles for a
+  broadcast join.
+- Fact–fact joins (orders⋈lineitem) shuffle on the join key; AQE handles
+  skew splitting and post-shuffle coalescing. No hand scheduling.
+- Semi/anti joins are expressed as such (not DISTINCT-after-join), so the
+  build side deduplicates during the join and no fact row is duplicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymapreduce_spark.functions.checked import dec2
+from pymapreduce_spark.io import load_table
+from pymapreduce_spark.registry import query
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           (sum(l_extendedprice::DECIMAL(12,2)
+                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q3 adapted to the fixture subset, SURVEY §5.3).
+
+    Exercises the whole kernel: parquet scan with pushed filters →
+    broadcast join (filtered customer is small) → shuffle join on
+    orderkey → partial/final aggregation → top-k
+    (TakeOrderedAndProject). This is ``entry()``'s query.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cust = customer.where(F.col("c_mktsegment") == "BUILDING")
+    ords = orders.where(F.col("o_orderdate") < cutoff)
+    items = lineitem.where(F.col("l_shipdate") > cutoff)
+    return (
+        items.join(ords, items.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join; Catalyst picks broadcast or sort-merge from stats."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, count(*) AS n_suppliers, round(avg(s_acctbal), 4) AS avg_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join: both dims replicated via ``F.broadcast`` — zero
+    shuffle of the supplier side. Plan test asserts BroadcastHashJoin."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           big.n_big AS n_big_orders
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 450000
+        GROUP BY o_custkey
+    ) big ON c_custkey = big.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; unmatched customers keep NULL counts (the
+    aggregate-then-join shape keeps the outer side un-duplicated)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        orders.where(F.col("o_totalprice") > 450000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big_orders"))
+    )
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left"
+    ).select("c_custkey", "c_mktsegment", "n_big_orders")
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           big.n_big AS n_big_orders
+    FROM (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 450000
+        GROUP BY o_custkey
+    ) big RIGHT JOIN customer ON big.o_custkey = c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of join_left, preserving the right side)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        orders.where(F.col("o_totalprice") > 450000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big_orders"))
+    )
+    return big.join(
+        customer, big.o_custkey == customer.c_custkey, "right"
+    ).select("c_custkey", "c_mktsegment", "n_big_orders")
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+               count(*) AS n_views
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           coalesce(v.day, p.day) AS day,
+           v.n_views, p.n_purchases
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.day = p.day
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over sparse (user, day) cells — both sides produce
+    unmatched rows, exercising NULL fill on each side."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", day)
+        .agg(F.count("*").alias("n_views"))
+        .alias("v")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(F.count("*").alias("n_purchases"))
+        .alias("p")
+    )
+    cond = (F.col("v.user_id") == F.col("p.user_id")) & (
+        F.col("v.day") == F.col("p.day")
+    )
+    return views.join(purch, cond, "full").select(
+        F.coalesce(F.col("v.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.coalesce(F.col("v.day"), F.col("p.day")).alias("day"),
+        "n_views",
+        "n_purchases",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity >= 49.5
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter as a true semi-join: the probe row is emitted at
+    most once regardless of match multiplicity."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    heavy = lineitem.where(F.col("l_quantity") >= 49.5)
+    return orders.join(
+        heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence filter as an anti-join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, c_mktsegment
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (5 regions × 5 segments).
+
+    At scale: cross joins are only ever sane when one side is broadcast-
+    small; this one is 5×5."""
+    region = load_table(spark, sf_dir, "region")
+    segs = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(segs).select("r_name", "c_mktsegment")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('negative', -10000.0, 0.0),
+        ('low',      0.0,      2500.0),
+        ('mid',      2500.0,   5000.0),
+        ('high',     5000.0,   7500.0),
+        ('top',      7500.0,   10000.0))
+    SELECT s_suppkey, band
+    FROM supplier JOIN bands ON s_acctbal >= lo AND s_acctbal < hi
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (interval) join: classic banding. Physical plan is a
+    broadcast nested-loop join — fine because the band table is tiny;
+    at 100 TB the band side stays broadcast so cost is one fact scan."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    bands = spark.createDataFrame(
+        [
+            ("negative", -10000.0, 0.0),
+            ("low", 0.0, 2500.0),
+            ("mid", 2500.0, 5000.0),
+            ("high", 5000.0, 7500.0),
+            ("top", 7500.0, 10000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    cond = (supplier.s_acctbal >= bands.lo) & (supplier.s_acctbal < bands.hi)
+    return supplier.join(F.broadcast(bands), cond).select("s_suppkey", "band")
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT o1.o_custkey AS c_custkey, count(*) AS n_pairs
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate < o2.o_orderdate
+    GROUP BY o1.o_custkey
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with aliases: ordered order-pairs per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    o1 = orders.alias("o1")
+    o2 = orders.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o1.o_orderdate") < F.col("o2.o_orderdate")),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name,
+           (sum(l_extendedprice::DECIMAL(12,2)
+                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a region filter. All
+    dimension sides broadcast; the only shuffle is orders⋈lineitem and
+    the final tiny aggregation. AQE may reorder — that's the point."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia = region.where(F.col("r_name") == "ASIA")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .join(
+            F.broadcast(customer),
+            (ords.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(asia), nation.n_regionkey == asia.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )

@@ -1,0 +1,164 @@
+"""Sources and sinks (SURVEY.md §2-B).
+
+CSV/JSONL/text scans have no fixture files, so each query derives its
+input deterministically from a parquet fixture (write → read back), which
+makes the oracle simply the originating table. Scratch files live under
+``<repo>/.artifacts/`` (gitignored) — never outside the repo.
+
+Scale notes: all reads go through the DataSource V2 file readers —
+splittable, schema-explicit (no inference job on 100 TB of JSON), and
+partition-discovering for the partitioned parquet sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pymapreduce_spark.io import load_table
+from pymapreduce_spark.registry import query
+
+_ARTIFACTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_ARTIFACTS, sf_tag, name)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan; aggregate fingerprint proves full-table visibility."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with header + explicit schema (never inferSchema — that's a
+    second full scan at 100 TB). Input derived from the nation fixture."""
+    path = _scratch(sf_dir, "nation_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.csv(path, header=True, schema=schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_jsonl",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with explicit schema (schema-on-read, no
+    inference pass). Input derived from the documents fixture."""
+    path = _scratch(sf_dir, "documents_jsonl")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.json(path, schema=schema).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "scan_text",
+    oracle="SELECT text FROM documents",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line input — MapReduce's native format; one line per document
+    text (fixture texts contain no newlines)."""
+    path = _scratch(sf_dir, "documents_text")
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(path)
+    return spark.read.text(path).select(F.col("value").alias("text"))
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar write + read-back. partitionBy(l_returnflag)
+    lays out one directory per flag → downstream reads of a single flag
+    prune to one partition (static partition pruning at scale)."""
+    path = _scratch(sf_dir, "lineitem_by_flag")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "source_inline",
+    oracle="""
+    WITH w(o_orderpriority, weight) AS (VALUES
+        ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+        ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+    SELECT w.o_orderpriority, weight, count(*) AS n_orders
+    FROM orders JOIN w ON orders.o_orderpriority = w.o_orderpriority
+    GROUP BY w.o_orderpriority, weight
+    """,
+)
+def source_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory rows → DataFrame (createDataFrame with explicit schema),
+    joined (broadcast — it's driver-side data) against a fixture table."""
+    orders = load_table(spark, sf_dir, "orders")
+    weights = spark.createDataFrame(
+        [
+            ("1-URGENT", 5),
+            ("2-HIGH", 4),
+            ("3-MEDIUM", 3),
+            ("4-NOT SPECIFIED", 2),
+            ("5-LOW", 1),
+        ],
+        "o_orderpriority string, weight int",
+    )
+    return (
+        orders.join(
+            F.broadcast(weights),
+            orders.o_orderpriority == weights.o_orderpriority,
+        )
+        .groupBy(weights.o_orderpriority, "weight")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -1,0 +1,113 @@
+"""Differential-check helpers mirroring the driver's correctness gate.
+
+The driver compares each Spark query against its DuckDB oracle with
+row-count + schema + order-insensitive value-hash over columns sorted by
+name (SURVEY §5.2). This module reproduces that check locally so every
+operator is validated before the driver ever sees it.
+
+Canonicalization notes: both result sets are fetched as Python objects
+(``collect()`` / ``fetchall()`` — never pandas, which coerces nullable
+ints to floats), cells are rendered to stable strings, rows sorted.
+Queries are responsible for rounding doubles (SURVEY §5.4.2) — the
+canonical form does NOT hide precision drift beyond float repr.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from typing import Any
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+
+def make_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with fixture views registered the way the driver does."""
+    from pymapreduce_spark.io import TABLES, table_path
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def canon_cell(v: Any) -> str:
+    """Render one cell to a canonical, engine-independent string."""
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return f"f:{float(v)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    if isinstance(v, datetime.datetime):
+        return "t:" + v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return "t:" + datetime.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
+    if isinstance(v, datetime.timedelta):
+        return f"dt:{v.total_seconds()!r}"
+    if isinstance(v, dict):
+        items = sorted((str(k), canon_cell(x)) for k, x in v.items())
+        return "m:{" + ",".join(f"{k}={x}" for k, x in items) + "}"
+    if isinstance(v, (list, tuple)):
+        return "a:[" + ",".join(canon_cell(x) for x in v) + "]"
+    if hasattr(v, "asDict"):  # pyspark Row (struct)
+        return canon_cell(v.asDict())
+    if hasattr(v, "tolist"):  # numpy scalar/array
+        return canon_cell(v.tolist())
+    return f"?:{v!r}"
+
+
+def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(canon_cell(row[i]) for i in order) for row in rows)
+
+
+def compare_frames(
+    name: str,
+    spark_df: DataFrame,
+    duck_rel: duckdb.DuckDBPyConnection,
+    oracle_sql: str,
+    max_diff_report: int = 5,
+) -> None:
+    """Assert Spark result == DuckDB oracle result (driver-equivalent)."""
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    cur = duck_rel.execute(oracle_sql)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"[{name}] column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"[{name}] row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    sc = _canon_rows(s_cols, s_rows)
+    dc = _canon_rows(d_cols, d_rows)
+    if sc != dc:
+        diffs = []
+        for i, (a, b) in enumerate(zip(sc, dc)):
+            if a != b:
+                diffs.append(f"  row {i}:\n    spark={a}\n    duck ={b}")
+            if len(diffs) >= max_diff_report:
+                break
+        raise AssertionError(
+            f"[{name}] value mismatch ({len(sc)} rows, cols(sorted)="
+            f"{sorted(s_cols)}):\n" + "\n".join(diffs)
+        )

@@ -1,0 +1,33 @@
+"""Differential correctness: every registered oracle-backed query vs
+DuckDB — the same check the driver runs at sf0.01 (SURVEY §5.2/5.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pymapreduce_spark  # noqa: F401  (registers operators)
+from pymapreduce_spark.registry import ORACLES, QUERIES
+from pymapreduce_spark.testing import compare_frames
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle(name: str, spark, duck, sf_dir: str) -> None:
+    sdf = QUERIES[name](spark, sf_dir)
+    compare_frames(name, sdf, duck, ORACLES[name])
+
+
+def test_all_queries_run(spark, sf_dir: str) -> None:
+    """Rows-only ops (no oracle) must still execute and return a schema."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark) -> None:
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"l_orderkey", "revenue", "o_orderdate"}
