@@ -29,8 +29,10 @@ from pymapreduce_spark.operators import (  # noqa: F401
     windows,
     sortlimit,
     setops,
+    events,
 )
 from pymapreduce_spark.sources import scans  # noqa: F401
+from pymapreduce_spark.functions import scalar  # noqa: F401
 
 __all__ = [
     "registry",

@@ -1,0 +1,337 @@
+"""Scalar function families (SURVEY.md §2-I) — one query per family.
+
+Everything here is a built-in Catalyst expression (JVM-side, inside
+whole-stage codegen) — no Python crosses the row path. Each query touches
+every function in its family at least once so the oracle check covers the
+family's cross-engine semantics (the subtle ones are documented inline:
+dayofweek origin, regexp 'g' flag, division-by-zero → NULL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymapreduce_spark.io import load_table
+from pymapreduce_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           length(p_name) AS name_len,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substring(p_name, 1, 8) AS name_prefix,
+           trim(concat('  ', p_name, ' ')) AS name_trimmed,
+           lpad(p_brand, 12, '0') AS brand_padded,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           str_split(p_name, ' ')[1] AS first_word,
+           levenshtein(p_brand, 'Brand#1') AS brand_dist
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/substr/case/trim/pad/split/length/levenshtein family."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.lpad("p_brand", 12, "0").alias("brand_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).alias("brand_dist"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           regexp_matches(p_type, '^[A-Z]+ ') AS type_has_word_prefix
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract / replace / match. Spark's regexp_replace is
+    global by default — the oracle needs DuckDB's explicit 'g' flag."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.col("p_type").rlike("^[A-Z]+ ").alias("type_has_word_prefix"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           dayofweek(o_orderdate) + 1 AS order_dow,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS order_month_start,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch0,
+           (o_orderdate + INTERVAL 30 DAY) AS due_date,
+           strftime(o_orderdate, '%Y-%m') AS order_ym,
+           epoch(o_orderdate)::BIGINT AS order_epoch
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trunc/extract/diff/add/format/unix family. Cross-engine traps
+    handled: DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday (+1 in the
+    oracle); interval add instead of date_add (which returns DATE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(ts).alias("order_year"),
+        F.month(ts).alias("order_month"),
+        F.dayofweek(ts).alias("order_dow"),
+        F.date_trunc("month", ts).alias("order_month_start"),
+        F.datediff(ts, F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch0"
+        ),
+        (ts + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_format(ts, "yyyy-MM").alias("order_ym"),
+        ts.cast("timestamp").cast("long").alias("order_epoch"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT s_suppkey,
+           round(s_acctbal::DECIMAL(12,2), 1)::DOUBLE AS bal_round1,
+           abs(s_acctbal) AS bal_abs,
+           ceil(s_acctbal)::DOUBLE AS bal_ceil,
+           floor(s_acctbal)::DOUBLE AS bal_floor,
+           round(ln(abs(s_acctbal) + 1), 6) AS bal_ln,
+           round(pow(s_nationkey, 2), 1) AS nation_sq,
+           round(sqrt(abs(s_acctbal)), 6) AS bal_sqrt,
+           s_acctbal / nullif(s_nationkey, 0) AS bal_per_nation,
+           mod(s_suppkey, 7) AS key_mod7
+    FROM supplier
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/pow/sqrt/safe-divide/mod family.
+    try_divide(x, 0) → NULL matches DuckDB's x / nullif(y, 0).
+    acctbal has 2 decimals → round(…,1) can tie-break differently, so
+    round1 goes through exact DECIMAL."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return supplier.select(
+        "s_suppkey",
+        bal.cast("decimal(12,2)")
+        .cast("decimal(12,1)")
+        .cast("double")
+        .alias("bal_round1"),
+        F.abs(bal).alias("bal_abs"),
+        F.ceil(bal).cast("double").alias("bal_ceil"),
+        F.floor(bal).cast("double").alias("bal_floor"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow("s_nationkey", F.lit(2)), 1).alias("nation_sq"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.try_divide(bal, F.col("s_nationkey")).alias("bal_per_nation"),
+        (F.col("s_suppkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_words,
+           list_contains(str_split(text, ' '), 'data') AS has_data,
+           len(list_distinct(str_split(text, ' '))) AS n_distinct_words,
+           list_sort(list_distinct(str_split(text, ' ')))[1] AS first_word_alpha,
+           str_split(text, ' ')[1:3] AS first3,
+           list_transform(str_split(text, ' ')[1:3], x -> upper(x)) AS first3_upper,
+           len(list_filter(str_split(text, ' '), x -> length(x) > 5)) AS n_long_words,
+           list_sum(list_transform(str_split(text, ' '), x -> length(x)))
+               AS total_chars_in_words
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions (transform/filter/
+    aggregate) — all JVM lambda expressions, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.array_sort(F.array_distinct(words)).getItem(0).alias(
+            "first_word_alpha"
+        ),
+        F.slice(words, 1, 3).alias("first3"),
+        F.transform(F.slice(words, 1, 3), lambda x: F.upper(x)).alias(
+            "first3_upper"
+        ),
+        F.size(F.filter(words, lambda x: F.length(x) > 5)).alias(
+            "n_long_words"
+        ),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars_in_words"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS price_val,
+           (o_totalprice::DECIMAL(12,2) * 0.1::DECIMAL(2,1))::DOUBLE AS tax_val,
+           ['price', 'tax'] AS metric_keys
+    FROM orders
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build a map column, access by key, enumerate sorted
+    keys. The oracle checks the *values* — DuckDB's map type round-trips
+    differently, so the map is consumed Spark-side and only scalars and
+    the key list cross the comparison."""
+    from pymapreduce_spark.functions.checked import dec2
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("price"),
+        F.col("o_totalprice"),
+        F.lit("tax"),
+        (dec2("o_totalprice") * F.lit(0.1).cast("decimal(2,1)")).cast(
+            "double"
+        ),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "price").alias("price_val"),
+        F.element_at(m, "tax").alias("tax_val"),
+        F.array_sort(F.map_keys(m)).alias("metric_keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract(props, '$.k')::INT AS k_int,
+           json_extract(props, '$.k')::INT * 2 AS k_doubled
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (string + typed parse) on events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+    )
+
+
+@query(
+    "fn_json_agg",
+    oracle="""
+    SELECT json_extract(props, '$.k')::INT AS k,
+           count(*) AS n_events,
+           (sum(value::DECIMAL(12,2)))::DOUBLE AS total_value
+    FROM events
+    GROUP BY k
+    """,
+)
+def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON-extracted key (BASELINE.md row 'JSON
+    extract + group')."""
+    from pymapreduce_spark.functions.checked import dec2
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hashes (cross-engine stable). Spark-only hashes
+    (xxhash64/crc32/hash — used for dedup keys and salting at scale)
+    are exercised in fn_hash_spark (rows-only)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+    )
+
+
+@query("fn_hash_spark")  # rows-only: xxhash64/crc32 not in DuckDB
+def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native stable hashes: xxhash64 (the workhorse for dedup
+    bucketing and salting at 100 TB), crc32, and Murmur3 `hash`.
+    Determinism is seed-fixed; the test asserts distinctness + stability
+    across runs rather than an oracle value."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xxh64"),
+        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+        F.hash("c_name").alias("name_murmur3"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 1000.0) AS bal_cap1000,
+           CASE WHEN c_acctbal IS NULL THEN -1.0 ELSE c_acctbal END AS bal_nvl
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/nvl/greatest/least family."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
+        F.nvl(bal, F.lit(-1.0)).alias("bal_nvl"),
+    )
