@@ -30,6 +30,9 @@ from pymapreduce_spark.operators import (  # noqa: F401
     sortlimit,
     setops,
     events,
+    udfs,
+    llm_text,
+    llm_vector,
 )
 from pymapreduce_spark.sources import scans  # noqa: F401
 from pymapreduce_spark.functions import scalar  # noqa: F401

@@ -1,0 +1,359 @@
+"""LLM-data-pipeline text operators (SURVEY.md §2-L): dedup families,
+text statistics, quality/language gates, wordcount/TF-IDF, fingerprints.
+
+100 TB doctrine per operator:
+
+- exact dedup groups on the text itself here (oracle parity at test
+  scale); the scale path is hash-first — ``xxhash64(text)`` as the
+  shuffle key so the exchange carries 8-byte keys, not documents.
+- fuzzy dedup is MinHash-LSH: shingle → hash → band; candidate
+  generation is a bucket equi-join (shuffle on band hash), never an
+  O(N²) cross join. Connected components via bounded min-label
+  propagation — each iteration is one join+groupBy, fully distributed.
+- fingerprints (MinHash signatures, SimHash) are pure Catalyst
+  higher-order expressions over xxhash64 — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymapreduce_spark.io import load_table
+from pymapreduce_spark.registry import query
+
+# Pseudo-stopwords: the corpus' most frequent tokens (measured on the
+# fixture vocabulary — systems words, not natural language).
+_STOPWORDS = ["join", "hash", "row", "batch", "scan"]
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           min(n_chars) AS text_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup with a deterministic survivor rule (min doc_id).
+    sf0.1 has exactly 8 groups with n_copies > 1 (FIXTURES.md).
+
+    At 100 TB: group on ``xxhash64(text)`` (8-byte shuffle key), keep
+    (hash → min doc_id, count), and re-verify the rare hash bucket with
+    a second pass — the text itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("text_chars"),
+    ).select("keep_doc_id", "n_copies", "text_chars")
+
+
+def cluster_near_duplicates(
+    docs: DataFrame, max_jaccard_dist: float = 0.5
+) -> DataFrame:
+    """Core fuzzy-dedup pipeline over a (doc_id, text) DataFrame:
+    MinHash-LSH candidate pairs → min-label-propagation components →
+    (doc_id, cluster_id, is_survivor). Seeded, deterministic."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
+    words = docs.withColumn("words", F.split("text", " "))
+    shingled = NGram(n=3, inputCol="words", outputCol="shingles").transform(
+        words
+    )
+    featurized = HashingTF(
+        inputCol="shingles",
+        outputCol="features",
+        numFeatures=1 << 18,
+        binary=True,
+    ).transform(shingled)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(featurized)
+    pairs = (
+        model.approxSimilarityJoin(
+            featurized, featurized, max_jaccard_dist, distCol="jaccard_dist"
+        )
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("src"),
+            F.col("datasetB.doc_id").alias("dst"),
+        )
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Min-label propagation; component diameter in the fixture (prefix
+    # chains) is tiny — 8 rounds is a safe bound, each one shuffle pair.
+    for _ in range(8):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_cluster"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_cluster"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+@query("llm_dedup_fuzzy")  # rows-only: LSH candidate set is not SQL
+def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: MinHash-LSH over 3-word shingles →
+    candidate pairs (Jaccard distance ≤ 0.5) → connected components via
+    min-label propagation → per-doc cluster assignment.
+
+    One row per document: (doc_id, cluster_id, is_survivor) —
+    deterministic (LSH seed=42, survivor = min doc_id in component).
+    Recall vs known near-dups is asserted in tests/test_llm.py on a
+    synthetic corpus.
+
+    Scale: candidates come from equi-joins on band buckets (shuffle on
+    hash), components from ≤8 join+groupBy rounds — no cross join, no
+    driver-side data except the loop counter.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cluster_near_duplicates(docs)
+
+
+@query("llm_minhash_sig")  # rows-only: xxhash64 is Spark-native
+def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signature per document as an array<bigint>
+    column — a compact, mergeable fingerprint (the building block LSH
+    banding uses). Pure Catalyst higher-order expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = F.expr(
+        """
+        transform(sequence(0, 15), i ->
+            array_min(transform(array_distinct(split(text, ' ')),
+                                w -> xxhash64(concat(w, cast(i AS string))))))
+        """
+    )
+    return docs.select("doc_id", sig.alias("minhash_sig"))
+
+
+@query("llm_simhash")  # rows-only: xxhash64 is Spark-native
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint: per bit, sign of the sum of ±1 votes
+    from each distinct word's xxhash64 bit. Near-dup docs differ in few
+    bits (checkable by hamming distance on the bigint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = F.expr(
+        """
+        aggregate(
+            zip_with(
+                transform(sequence(0, 63), j ->
+                    CASE WHEN aggregate(array_distinct(split(text, ' ')), 0L,
+                                (acc, w) -> acc +
+                                    CASE WHEN ((xxhash64(w) >> j) & 1) = 1
+                                         THEN 1 ELSE -1 END) > 0
+                         THEN 1L ELSE 0L END),
+                sequence(0, 63),
+                (b, j) -> shiftleft(b, j)),
+            0L, (acc, x) -> acc + x)
+        """
+    )
+    return docs.select("doc_id", sim.alias("simhash64"))
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           len(str_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '([a-z]+)', 1)) AS n_tokens,
+           round(list_sum(list_transform(str_split(text, ' '),
+                                         w -> length(w)))::DOUBLE
+                 / len(str_split(text, ' ')), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: chars, whitespace words, regex
+    tokens (BPE-ish [a-z]+ word pieces), average word length."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("([a-z]+)"), 1)).alias(
+            "n_tokens"
+        ),
+        F.round(
+            total_chars.cast("double") / F.size(words), 6
+        ).alias("avg_word_len"),
+    )
+
+
+@query(
+    "llm_corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(str_split(text, ' '))), 4) AS avg_words
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level statistics by (lang, source) — the partition-level
+    view a curation pipeline reports on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split(F.col("text"), " "))), 4).alias(
+            "avg_words"
+        ),
+    )
+
+
+@query(
+    "llm_lang_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'es', 'de') AND n_chars BETWEEN 100 AND 400
+    """,
+)
+def llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language + length gate. The fixture ``lang`` column stands in for
+    a language-ID model's output (SURVEY §2-L); a model-backed variant
+    would be a pandas UDF producing the same column, with this exact
+    filter on top. Predicate pushes to the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("lang").isin("en", "es", "de")
+        & F.col("n_chars").between(100, 400)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "llm_quality_filter",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           round(len(list_distinct(words))::DOUBLE / len(words), 6)
+               AS distinct_ratio,
+           round(len(list_filter(words,
+                     x -> list_contains({_STOPWORDS!r}, x)))::DOUBLE
+                 / len(words), 6) AS stopword_ratio,
+           (len(list_distinct(words))::DOUBLE / len(words) >= 0.5
+            AND len(words) >= 10) AS passes_quality
+    FROM w
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gates: duplicate-word ratio, stopword ratio,
+    min length — the standard cheap filters before expensive dedup.
+    All array higher-order functions; no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stopword_ratio = (
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n_words
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        ((distinct_ratio >= 0.5) & (n_words >= 10)).alias("passes_quality"),
+    )
+
+
+@query(
+    "llm_tokenize_wordcount",
+    oracle="""
+    SELECT lang, word, count(*) AS cnt
+    FROM (SELECT lang, unnest(str_split(text, ' ')) AS word FROM documents)
+    GROUP BY lang, word
+    HAVING count(*) >= 5
+    """,
+)
+def llm_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + per-language term frequencies (full distribution,
+    thresholded) — mr_wordcount generalized to a keyed corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.word, tf.tf,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.doc_freq + 1.0)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf = ln((N+1)/(df+1)) + 1) as pure SQL-shaped
+    dataflow: wordcount → doc-frequency join → weight. The doc-frequency
+    side is words-cardinality (small) → broadcast; N is a scalar
+    broadcast. One shuffle for tf, one for df."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )

@@ -1,0 +1,320 @@
+"""LLM-data-pipeline vector & multimodal operators (SURVEY.md §2-L):
+similarity search (exact + ANN), kNN labeling, embedding near-dup,
+multimodal column handling with a stubbed binary decoder.
+
+Fixture embeddings are L2-normalized (‖v‖₂ = 1 ± 5e-8, FIXTURES.md), so
+cosine ≡ dot product throughout.
+
+100 TB doctrine:
+
+- Exact search broadcasts the (small) query set and scans candidates
+  once — never a candidate-side shuffle. The oracle-checked query is the
+  correctness baseline; its cost is O(|queries|·N).
+- The scale path is LSH (BucketedRandomProjectionLSH): candidates come
+  from hash-bucket equi-joins; recall@k ≥ 0.9 vs exact is asserted in
+  tests/test_llm.py. An IVF variant would follow the same shape
+  (centroid assignment → partition pruning).
+- Dot products are computed in double (`zip_with` → `aggregate`, same
+  left-to-right fold as DuckDB's list_dot_product) so both engines see
+  bit-identical cosines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pymapreduce_spark.io import load_table
+from pymapreduce_spark.registry import query
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Sequential-fold dot product in double — matches DuckDB's
+    list_dot_product evaluation order bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "llm_sim_search",
+    oracle="""
+    WITH d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) AS cos
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, nn_rank, round(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+          ) AS nn_rank FROM d)
+    WHERE nn_rank <= 5
+    """,
+)
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast the
+    queries, one scan over candidates, per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    joined = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    return (
+        joined.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "nn_rank", F.round("cos", 6).alias("cosine")
+        )
+    )
+
+
+@query("llm_sim_search_ann")  # rows-only: ANN candidate set is not SQL
+def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via BucketedRandomProjectionLSH
+    (seed=42). For normalized vectors L2 distance is monotone in cosine
+    (d² = 2 − 2cos), so LSH on L2 ranks identically. Candidates from
+    approxSimilarityJoin (bucket equi-join), exact re-rank of survivors,
+    top-5 window. recall@5 ≥ 0.9 vs llm_sim_search asserted in tests."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.7,
+        numHashTables=12,
+        seed=42,
+    ).fit(emb)
+    q = emb.where(F.col("vec_id") < 10)
+    # distance 1.35 ⇔ cosine ≥ 0.089 — wide enough to hold every true
+    # top-5 neighbor (observed max pairwise cosine ≈ 0.51 ⇒ d ≈ 0.99).
+    cands = model.approxSimilarityJoin(q, emb, 1.35, distCol="l2")
+    pairs = cands.where(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        _dot(F.col("datasetA.e"), F.col("datasetB.e")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "nn_rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "llm_knn_label",
+    oracle="""
+    WITH d AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.label AS nbr_label,
+               list_dot_product(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) AS cos,
+               c.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 50 AND c.vec_id != q.vec_id
+    ), top5 AS (
+        SELECT query_id, true_label, nbr_label
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS rn FROM d)
+        WHERE rn <= 5
+    ), votes AS (
+        SELECT query_id, true_label, nbr_label, count(*) AS n_votes
+        FROM top5 GROUP BY query_id, true_label, nbr_label
+    )
+    SELECT query_id, true_label, nbr_label AS predicted_label
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY n_votes DESC, nbr_label
+          ) AS vr FROM votes)
+    WHERE vr = 1
+    """,
+)
+def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN (k=5) majority-vote label prediction for 50 queries, with a
+    deterministic tie rule (most votes, then smallest label)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("nbr_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    top5 = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "nbr_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nbr_label").alias("predicted_label"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold
+    (canonicalized a < b). Threshold 0.45 exercises the operator on the
+    fixture's cosine distribution (max ≈ 0.51); production near-dup
+    would use ≥ 0.95 and the LSH candidate path of llm_sim_search_ann
+    instead of this exact O(N²) form."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", _dot(F.col("ea"), F.col("eb")))
+        .where(F.col("cos") >= 0.45)
+        .select(
+            "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
+        )
+    )
+
+
+@query(
+    "llm_multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS emb_dim,
+           round(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[])), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One table carrying text + vector + typed metadata: documents ⋈
+    embeddings on doc_id = vec_id (1:1 at sf0.001/0.01). Verifies the
+    vector column survives the join intact (dim + L2 norm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _as_double(F.col("embedding"))
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.size("embedding").alias("emb_dim"),
+            F.round(F.sqrt(_dot(e, e)), 6).alias("emb_norm"),
+        )
+    )
+
+
+@query(
+    "llm_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           n_chars AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           n_chars % 640 AS fake_width,
+           n_chars % 480 AS fake_height
+    FROM documents
+    """,
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: payloads as opaque ``binary``
+    + a batch decoder over mapInPandas.
+
+    The real decode step (image/audio libs) is STUBBED with a
+    deterministic fake (byte length → fake dimensions) because decoders
+    aren't in this container — but the Spark-side shape is real: binary
+    column in Arrow batches, iterator-of-batches UDF, typed output
+    schema, constant memory per task. Swapping the fake for PIL/ffmpeg
+    changes only the function body."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else None
+                    ),
+                    # STUB: deterministic fake "decoded" dimensions.
+                    "fake_width": n_bytes % 640,
+                    "fake_height": n_bytes % 480,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    schema = (
+        "doc_id bigint, n_bytes bigint, first_byte int, "
+        "fake_width bigint, fake_height bigint"
+    )
+    return docs.mapInPandas(decode, schema)

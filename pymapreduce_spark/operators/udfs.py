@@ -1,0 +1,213 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2-K).
+
+The MapReduce reference's mapper and reducer are literally
+``mapInPandas`` (iterator of batches → batches) and ``applyInPandas``
+(key group → DataFrame): these are the two ops a user of the reference
+would reach for first, so they get the most direct treatment.
+
+Performance doctrine (SURVEY §4): Python UDFs are the slow path. Every op
+here is Arrow-batched (``spark.sql.execution.arrow.pyspark.enabled`` is
+pinned in session.py) — the row-at-a-time ``udf_python`` exists only to
+cover the API surface and its docstring says so. At 100 TB you use the
+built-in expression whenever one exists; these queries deliberately pick
+logic that IS expressible in SQL so the oracle can check them — real
+deployments would use the SQL form (each docstring shows it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pymapreduce_spark.io import load_table
+from pymapreduce_spark.registry import query
+
+
+@query(
+    "udf_python",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n_chars < 100 THEN 'short'
+                WHEN n_chars < 300 THEN 'medium'
+                ELSE 'long' END AS length_class
+    FROM documents
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time scalar UDF — correctness baseline ONLY (each row
+    crosses JVM→Python individually; ~10-100× slower than the CASE
+    expression in the oracle, which is what production code should use)."""
+
+    @F.udf(returnType=T.StringType())
+    def length_class(n_chars: int) -> str:
+        if n_chars < 100:
+            return "short"
+        if n_chars < 300:
+            return "medium"
+        return "long"
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", length_class("n_chars").alias("length_class"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id,
+           round((value - 50.0) / 25.0, 6) AS value_z
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Series→Series pandas UDF (Arrow batches; the fast
+    Python path). Identical float ops in identical order → bit-equal
+    results across engines; rounded anyway per §5.4."""
+
+    @F.pandas_udf("double")
+    def zscore(v: pd.Series) -> pd.Series:
+        return (v - 50.0) / 25.0
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(zscore("value"), 6).alias("value_z")
+    )
+
+
+@query(
+    "udaf_pandas_agg",
+    oracle="""
+    SELECT user_id,
+           round(avg(value), 4) AS mean_value,
+           round(quantile_cont(value, 0.5), 4) AS median_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (Series→scalar) used inside groupBy().agg.
+    pandas ``median`` == DuckDB ``quantile_cont(0.5)`` (both interpolate
+    the middle pair)."""
+
+    @F.pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    @F.pandas_udf("double")
+    def pmedian(v: pd.Series) -> float:
+        return float(v.median())
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(pmean("value"), 4).alias("mean_value"),
+        F.round(pmedian("value"), 4).alias("median_value"),
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(max(value) - min(value), 4) AS value_range
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas``: the MapReduce *reducer* made literal — the
+    whole key group arrives as one pandas DataFrame. At scale the group
+    (one user's events) must fit in a worker's memory; that bound is the
+    operator's contract, same as an MR reducer's values iterator."""
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_value": [round(float(v.median()), 4)],
+                "value_range": [round(float(v.max() - v.min()), 4)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = (
+        "user_id bigint, n_events bigint, median_value double, "
+        "value_range double"
+    )
+    return ev.groupBy("user_id").applyInPandas(per_user, schema)
+
+
+@query(
+    "udf_map_partitions",
+    oracle="""
+    SELECT event_id, user_id,
+           (value::DECIMAL(12,2) * 100)::BIGINT AS value_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas``: the MapReduce *mapper* made literal — an
+    iterator of Arrow batches in, batches out, with per-partition
+    filtering + transformation. Batch-wise, so a 100 TB scan streams
+    through constant memory per task."""
+
+    def to_cents(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            purchases = pdf[pdf["event_type"] == "purchase"]
+            if len(purchases):
+                yield pd.DataFrame(
+                    {
+                        "event_id": purchases["event_id"],
+                        "user_id": purchases["user_id"],
+                        # value is exact 2-decimal; rint recovers the int
+                        "value_cents": (purchases["value"] * 100)
+                        .round()
+                        .astype("int64"),
+                    }
+                )
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = "event_id bigint, user_id bigint, value_cents bigint"
+    return ev.mapInPandas(to_cents, schema)
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(1, len(str_split(text, ' ')) + 1)) AS pos,
+           unnest(str_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+): one input row → N typed output rows
+    (word + 1-based position). Registered and applied via SQL LATERAL —
+    the declarative form Catalyst can plan around."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class WordPos:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" "), start=1):
+                yield i, w
+
+    spark.udtf.register("word_pos", WordPos)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, wp.pos, wp.word
+        FROM documents_udtf d, LATERAL word_pos(d.text) wp
+        WHERE d.doc_id < 100
+        """
+    )

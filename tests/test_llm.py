@@ -1,0 +1,108 @@
+"""Self-checks for approximate / non-SQL LLM operators (SURVEY §5.3):
+ANN recall vs exact, fuzzy-dedup recall on a synthetic corpus,
+approx-aggregate tolerances, fingerprint stability & locality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import pymapreduce_spark  # noqa: F401
+from pymapreduce_spark.registry import QUERIES
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    """recall@5 of the LSH path vs brute force must be ≥ 0.9."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["llm_sim_search"](spark, sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["llm_sim_search_ann"](spark, sf_dir).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.9, f"ANN recall@5 = {recall:.3f}"
+
+
+def test_fuzzy_dedup_synthetic(spark):
+    """Known near-dup families must cluster together; unrelated docs
+    must stay apart."""
+    from pymapreduce_spark.operators.llm_text import cluster_near_duplicates
+
+    base_a = "the quick brown fox jumps over the lazy dog near the old river bank today".split()
+    base_b = "distributed query engines shuffle partition data across many worker nodes for aggregation".split()
+    # family A: ids 0-2 (1-word edits of base_a); family B: ids 10-11;
+    # singletons: ids 20, 21 (unrelated word sets).
+    rows = [
+        (0, " ".join(base_a)),
+        (1, " ".join(base_a[:-1] + ["tonight"])),
+        (2, " ".join(["a"] + base_a[1:])),
+        (10, " ".join(base_b)),
+        (11, " ".join(base_b[:-1] + ["joins"])),
+        (20, "completely different text about cooking pasta with tomato sauce and fresh basil leaves"),
+        (21, "astronomy telescopes observe distant galaxies through clear mountain air every winter night"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in cluster_near_duplicates(docs, 0.5).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == 10
+    assert got[20] == 20 and got[21] == 21
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r.approx_customers - r.exact_customers) / r.exact_customers
+        assert rel_err <= 0.06, f"{r.o_orderstatus}: rel_err={rel_err:.3f}"
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    rows = QUERIES["agg_percentile_approx"](spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r.approx_median - r.exact_median) / r.exact_median
+        assert rel_err <= 0.02
+
+
+def test_fingerprints_stable_across_runs(spark, sf_dir):
+    for op in ["llm_minhash_sig", "llm_simhash", "fn_hash_spark"]:
+        a = sorted(map(tuple, QUERIES[op](spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES[op](spark, sf_dir).collect()))
+        assert a == b, f"{op} not stable across runs"
+
+
+def test_simhash_locality(spark):
+    """SimHash hamming distance: small for near-dup texts, large for
+    unrelated ones."""
+    from pymapreduce_spark.io import load_table  # noqa: F401
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today and tomorrow morning".split()
+    rows = [
+        (0, " ".join(base)),
+        (1, " ".join(base[:-1] + ["evening"])),  # near-dup of 0
+        (2, "astronomy telescopes observe distant galaxies through clear mountain air every winter night in chile"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.createOrReplaceTempView("simhash_probe_docs")
+    bits = F.expr(
+        """
+        transform(sequence(0, 63), j ->
+            CASE WHEN aggregate(array_distinct(split(text, ' ')), 0L,
+                        (acc, w) -> acc + CASE WHEN ((xxhash64(w) >> j) & 1) = 1
+                                        THEN 1 ELSE -1 END) > 0
+                 THEN 1L ELSE 0L END)
+        """
+    )
+    sigs = {r.doc_id: r.bits for r in docs.select("doc_id", bits.alias("bits")).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+    assert ham(sigs[0], sigs[1]) <= 16
+
+
+def test_dedup_exact_groups_at_sf01(spark):
+    """FIXTURES.md golden: sf0.1 has exactly 8 duplicate-text groups."""
+    df = QUERIES["llm_dedup_exact"](spark, "/root/testdata/sf0.1")
+    assert df.where(F.col("n_copies") > 1).count() == 8
