@@ -36,6 +36,7 @@ from pymapreduce_spark.operators import (  # noqa: F401
 )
 from pymapreduce_spark.sources import scans  # noqa: F401
 from pymapreduce_spark.functions import scalar  # noqa: F401
+from pymapreduce_spark.streaming import core as streaming_core  # noqa: F401
 
 __all__ = [
     "registry",

@@ -29,6 +29,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Right-sized for local test scale; AQE coalesces below it anyway.
+    # (Streaming state ops can't use AQE, so the static value matters
+    # there most — 200 default partitions on 100 k rows is pure overhead.)
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 #: Configs that must be set before the JVM session exists.

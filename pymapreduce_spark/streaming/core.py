@@ -1,0 +1,451 @@
+"""Structured Streaming operators (SURVEY.md §2-J) + the replay harness.
+
+Harness design: ``events.parquet`` is re-laid-out once per sf as a
+*replay directory* — one file per calendar day (30 files, day-ordered
+modification times) with the ns→µs fix already applied. Streaming queries
+read it with ``readStream`` and drain it with ``trigger(availableNow=
+True)`` into a memory sink; the final table is returned as a plain
+DataFrame. That makes every windowed streaming op **SQL-oracle-checkable**
+(the driver sees an ordinary DataFrame whose contents must equal the
+batch-computed equivalent) — the strongest correctness statement a
+finite-replay stream can make.
+
+Scale posture: the same code runs unbounded — file source → watermarked
+state → sink is exactly the production topology; availableNow is just the
+finite trigger. State per key is bounded by the watermark horizon, not by
+stream length.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymapreduce_spark.io import load_table
+from pymapreduce_spark.registry import query
+
+_ARTIFACTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts"
+)
+_counter = itertools.count()
+
+
+def replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) the events replay directory: one parquet
+    file per day under day=YYYY-MM-DD/, timestamps already normalized."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_ARTIFACTS, sf_tag, "events_replay")
+    marker = os.path.join(path, "_REPLAY_READY")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        # repartition(1): a single task writes every day dir → exactly one
+        # file per day, deterministic layout. 100 k rows — trivially fine.
+        ev.repartition(1).write.mode("overwrite").partitionBy("day").parquet(
+            path
+        )
+        # Day-ordered modification times: the file stream source lists by
+        # mod time, so batches replay in event-time order.
+        day_dirs = sorted(
+            d for d in os.listdir(path) if d.startswith("day=")
+        )
+        base = 1_700_000_000
+        for i, d in enumerate(day_dirs):
+            full = os.path.join(path, d)
+            for f in os.listdir(full):
+                os.utime(os.path.join(full, f), (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def read_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
+    """events as a stream (schema-explicit; no inference on a stream)."""
+    path = replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path).drop("day")
+
+
+def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a finite stream to completion into a memory sink and return
+    the resulting table as a batch DataFrame."""
+    name = f"stream_result_{next(_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "stream_source",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(event_id) AS id_sum,
+           min(ts::TIMESTAMP) AS min_ts,
+           max(ts::TIMESTAMP) AS max_ts
+    FROM events
+    """,
+)
+def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a file stream and prove lossless
+    delivery: global fingerprint (count + exact id-sum + ts range)
+    equals the batch table's. (COUNT DISTINCT is unsupported on
+    streams, so the fingerprint uses an integer id-sum instead.)"""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    agg = s.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    return drain(agg, "complete")
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS window_start,
+           (date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR)::TIMESTAMP
+               AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour windows by event type (epoch-aligned tumbling ≡
+    date_trunc). Complete-mode drain == the batch windowed aggregate."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+    return drain(out, "complete")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH hits AS (
+        SELECT make_timestamp(
+                   (epoch_us(ts::TIMESTAMP) // 900000000) * 900000000
+                   - j * 900000000) AS window_start,
+               event_type
+        FROM events, (SELECT unnest(range(0, 4)) AS j)
+    )
+    SELECT window_start,
+           (window_start + INTERVAL 1 HOUR) AS window_end,
+           event_type, count(*) AS n_events
+    FROM hits
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes — each event lands in 4
+    overlapping windows (oracle materializes them via a 0..3 offset
+    cross join)."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    agg = s.groupBy(
+        F.window("ts", "1 hour", "15 minutes"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+    return drain(out, "complete")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
+               epoch_us(ts::TIMESTAMP) AS mu
+        FROM events
+    ), flagged AS (
+        SELECT user_id, tsu, mu,
+               CASE WHEN mu - lag(mu) OVER w > 1800000000
+                         OR lag(mu) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), s AS (
+        SELECT user_id, tsu, mu,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY tsu, mu
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(tsu) AS session_start,
+           (max(tsu) + INTERVAL 30 MINUTE) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min). Spark's session_window end =
+    last event + gap; the oracle is the batch sessionization
+    (llm_sessionize's twin) with the same end-extension."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+    return drain(out, "complete")
+
+
+@query("stream_watermark")  # rows-only: emission set depends on watermark
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate in APPEND mode: only windows
+    finalized w.r.t. the 2-hour watermark are emitted; the tail of the
+    stream stays in state. Late-data dropping is exercised with a
+    crafted two-file scenario in tests/test_streaming.py (a file-source
+    replay can't make the fixture itself late)."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+    )
+    return drain(out, "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within the watermark: each event is injected
+    twice (explode of a 2-element array), dropDuplicatesWithinWatermark
+    on event_id must restore exactly the original per-type counts."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    doubled = s.withColumn("copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop(
+        "copy"
+    )
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    collected = drain(deduped.select("event_id", "event_type"), "append")
+    return collected.groupBy("event_type").agg(
+        F.count("*").alias("n_unique")
+    )
+
+
+@query(
+    "stream_join_static",
+    oracle="""
+    WITH cohorts(cohort_id, cohort_name) AS (VALUES
+        (0, 'control'), (1, 'variant_a'), (2, 'variant_b'))
+    SELECT cohort_name, event_type, count(*) AS n_events
+    FROM events JOIN cohorts ON (user_id % 3) = cohort_id
+    GROUP BY cohort_name, event_type
+    """,
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the static side is broadcast to
+    every micro-batch (the streaming form of the MR distributed cache)."""
+    cohorts = spark.createDataFrame(
+        [(0, "control"), (1, "variant_a"), (2, "variant_b")],
+        "cohort_id int, cohort_name string",
+    )
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    enriched = s.withColumn(
+        "cohort_id", (F.col("user_id") % 3).cast("int")
+    ).join(F.broadcast(cohorts), "cohort_id")
+    agg = enriched.groupBy("cohort_name", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    return drain(agg, "complete")
+
+
+@query(
+    "stream_join_stream",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, ts::TIMESTAMP AS vts
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, ts::TIMESTAMP AS pts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, count(*) AS n_pairs
+    FROM v JOIN p ON v.user_id = p.user_id
+       AND p.pts >= v.vts AND p.pts < v.vts + INTERVAL 10 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and a
+    time-bounded condition (purchase within 10 min after a view) —
+    state on each side is bounded by watermark + interval. availableNow
+    drain of an interval-bounded inner join is lossless, so the batch
+    join is an exact oracle."""
+    views = (
+        read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+        )
+        .withWatermark("vts", "2 hours")
+    )
+    purchases = (
+        read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.user_id)
+        & (purchases.pts >= views.vts)
+        & (purchases.pts < views.vts + F.expr("INTERVAL 10 MINUTES")),
+    ).select(views.user_id, "view_id", "purchase_id")
+    pairs = drain(joined, "append")
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "stream_sink_foreachbatch",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 200
+    """,
+)
+def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary sink via foreachBatch: each micro-batch of filtered
+    events is appended to a parquet sink (idempotent by batch id — the
+    exactly-once pattern); the sink's final contents are the result."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    sink_path = os.path.join(
+        _ARTIFACTS, sf_tag, f"stream_sink_{next(_counter)}"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_path)
+
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    filtered = s.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select("event_id", "user_id", "value")
+    q = (
+        filtered.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", sink_path + "_chk"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_path)
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS mu FROM events
+    ), g AS (
+        SELECT user_id,
+               mu - lag(mu) OVER (
+                   PARTITION BY user_id ORDER BY mu, event_id) AS gap
+        FROM e
+    )
+    SELECT user_id, count(*) AS n_events,
+           coalesce(max(gap), 0) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state machine via ``applyInPandasWithState``: for
+    every user, carry (last event time, max inter-event gap, count)
+    across micro-batches; emit the running totals each batch and keep
+    the final row per user. The batch twin (lag + max per user) is an
+    exact SQL oracle because the replay is day-ordered.
+
+    State is O(1) per user — the canonical pattern for 100 TB streams
+    (no event retention, just a scalar accumulator per key)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def track(key, pdfs, state):
+        (user_id,) = key
+        last_ts, max_gap, n = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                mu = t.value // 1000  # pandas ns → µs
+                if last_ts is not None and mu - last_ts > max_gap:
+                    max_gap = mu - last_ts
+                last_ts = mu
+                n += 1
+        state.update((int(last_ts), int(max_gap), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "max_gap_us": [max_gap],
+            }
+        )
+
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    tracked = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id bigint, n_events bigint, max_gap_us bigint",
+            stateStructType="last_ts bigint, max_gap bigint, n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    per_batch = drain(tracked, "update")
+    # update-mode memory sink appends one row per (user, batch); the
+    # final state per user is the row with the highest count (monotone).
+    return per_batch.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_gap_us").alias("max_gap_us"),
+    )

@@ -1,0 +1,118 @@
+"""Streaming scenario tests that the replay-based oracles can't cover:
+late-data dropping under a watermark with a controlled two-file replay,
+and batch-equivalence spot checks (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import pymapreduce_spark  # noqa: F401
+from pymapreduce_spark.registry import QUERIES
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Three files replayed in order. Spark's watermark advances at
+    batch boundaries and takes effect one batch later, so the late event
+    arrives in batch 3 — well after the watermark passed its window —
+    and must NOT be counted (its hour stays at 1)."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    rows1 = [(i, f"2024-01-01 {h:02d}:00:01", "x") for i, h in enumerate(range(12))]
+    # benign file: lets the already-computed watermark take effect
+    rows2 = [(50, "2024-01-01 11:30:00", "x")]
+    # late event: hour 01 again, delivered two batches after hour 11
+    rows3 = [(100, "2024-01-01 01:00:02", "late"), (101, "2024-01-01 12:00:01", "x")]
+
+    def write_file(rows, name, mtime):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string, tag string")
+        df = df.select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "tag")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = str(tmp_path / name)
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, name + ".parquet")
+                os.rename(os.path.join(part, f), dst)
+                os.utime(dst, (mtime, mtime))
+
+    write_file(rows1, "f1", 1_700_000_000)
+    write_file(rows2, "f2", 1_700_000_100)
+    write_file(rows3, "f3", 1_700_000_200)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = f"late_test_{int(time.time()*1000)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.ws.isoformat(): r.n for r in spark.table(name).collect()}
+    # hour 01 was finalized with exactly 1 event; the late duplicate of
+    # hour 01 must not have been added.
+    assert got.get("2024-01-01T01:00:00") == 1, got
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    """Drained stream result == the batch windowed aggregate, computed
+    independently Spark-side (not just the DuckDB oracle)."""
+    from pymapreduce_spark.io import load_table
+
+    streamed = QUERIES["stream_tumbling"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_watermark_emits_finalized_prefix(spark, sf_dir):
+    """Append-mode watermarked windows: emitted set must be a prefix of
+    the batch windows (nothing fabricated), and re-running must be
+    deterministic."""
+    from pymapreduce_spark.io import load_table
+
+    a = {
+        (r.window_start, r.n_events)
+        for r in QUERIES["stream_watermark"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.ws, r.n)
+        for r in ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), F.col("n"))
+        .collect()
+    }
+    assert a <= batch
+    assert len(a) > 0
+    b = {
+        (r.window_start, r.n_events)
+        for r in QUERIES["stream_watermark"](spark, sf_dir).collect()
+    }
+    assert a == b
