@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Protocol (BASELINE.md): per query, one warm-up run (codegen/JIT), then
+median of 3 timed runs with a forced collect(); session startup excluded.
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name → registry op. Keys mirror BASELINE.md's measured rows.
+HEADLINE = {
+    "q1": "q1_pricing_summary",
+    "q3": "q3_shipping_priority",
+    "q5": "join_multiway",
+    "window_rank": "win_ranking",
+    "window_running": "win_running",
+    "distinct": "agg_distinct",
+    "rollup": "agg_rollup",
+    "tumbling_1h": "agg_time_window",
+    "sessionize": "llm_sessionize",
+    "wordcount": "mr_wordcount",
+    "json_extract": "fn_json_agg",
+    "knn_self_join": "llm_knn_self_join",
+    "dedup_exact": "llm_dedup_exact",
+    "asof_join": "join_asof",
+    "tfidf": "llm_tfidf",
+}
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pymapreduce_spark import registry
+    from pymapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="pymapreduce-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for key, op in HEADLINE.items():
+        fn = registry.QUERIES[op]
+        fn(spark, SF_DIR).collect()  # warm-up: codegen + file listing
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(runs), 4)
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    result = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

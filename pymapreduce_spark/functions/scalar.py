@@ -252,7 +252,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT json_extract(props, '$.k')::INT AS k,
            count(*) AS n_events,
-           (sum(value::DECIMAL(12,2)))::DOUBLE AS total_value
+           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
     FROM events
     GROUP BY k
     """,
@@ -260,7 +260,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over a JSON-extracted key (BASELINE.md row 'JSON
     extract + group')."""
-    from pymapreduce_spark.functions.checked import dec2
+    from pymapreduce_spark.functions.checked import cents
 
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -270,7 +270,7 @@ def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(dec2("value")).cast("double").alias("total_value"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
         )
     )
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.functions.checked import dec2
+from pymapreduce_spark.functions.checked import cents, dec2  # noqa: F401
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -27,8 +27,9 @@ from pymapreduce_spark.registry import query
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           (sum(l_extendedprice::DECIMAL(12,2)
-                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue,
+           sum(round(l_extendedprice * 100)::BIGINT
+               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+               AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -61,9 +62,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            (
+                F.sum(
+                    cents("l_extendedprice")
+                    * (100 - cents("l_discount"))
+                )
+                / 10000.0
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -344,8 +349,9 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle="""
     SELECT n_name,
-           (sum(l_extendedprice::DECIMAL(12,2)
-                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+           sum(round(l_extendedprice * 100)::BIGINT
+               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+               AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -389,9 +395,13 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia), nation.n_regionkey == asia.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            (
+                F.sum(
+                    cents("l_extendedprice")
+                    * (100 - cents("l_discount"))
+                )
+                / 10000.0
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"))
     )

@@ -1,0 +1,86 @@
+"""Plan-shape assertions (SURVEY §5.3): the physical plan, not just the
+result, must be the one a 100 TB deployment needs — broadcasts where
+intended, partial aggregation before shuffles, predicate/projection
+pushdown into the parquet scan, and top-k without a global sort."""
+
+from __future__ import annotations
+
+import pytest
+
+import pymapreduce_spark  # noqa: F401
+from pymapreduce_spark.registry import QUERIES
+
+
+def plan_of(name: str, spark, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan_of(name: str, spark, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of("join_broadcast", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_flagship_uses_broadcast_for_customer(spark, sf_dir):
+    plan = plan_of("q3_shipping_priority", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_combiner_partial_aggregation(spark, sf_dir):
+    """The MR combiner: map-side partial aggregate before the exchange."""
+    plan = formatted_plan_of("mr_combine", spark, sf_dir)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = formatted_plan_of("mr_filter", spark, sf_dir)
+    assert "PushedFilters:" in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan, plan
+
+
+def test_projection_pruned_at_scan(spark, sf_dir):
+    """proj_select reads 3 of orders' 6 columns — ReadSchema must show
+    only those."""
+    plan = formatted_plan_of("proj_select", spark, sf_dir)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema_line = read[0]
+    assert "o_orderkey" in schema_line
+    assert "o_orderdate" not in schema_line
+    assert "o_custkey" not in schema_line
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of("topk_global", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_whole_stage_codegen_on_q1(spark, sf_dir):
+    """AQE finalizes the plan only on execution — run, then inspect."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the "*(n)" stage marker in this format
+    assert "*(1)" in plan or "*(2)" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_semi_join_planned_as_semi(spark, sf_dir):
+    plan = plan_of("join_semi", spark, sf_dir)
+    assert "LeftSemi" in plan, plan
+
+
+def test_anti_join_planned_as_anti(spark, sf_dir):
+    plan = plan_of("join_anti", spark, sf_dir)
+    assert "LeftAnti" in plan, plan
+
+
+def test_theta_band_join_broadcasts_band_table(spark, sf_dir):
+    plan = plan_of("join_theta_range", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, plan
