@@ -157,8 +157,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_contains(str_split(text, ' '), 'data') AS has_data,
            len(list_distinct(str_split(text, ' '))) AS n_distinct_words,
            list_sort(list_distinct(str_split(text, ' ')))[1] AS first_word_alpha,
-           str_split(text, ' ')[1:3] AS first3,
-           list_transform(str_split(text, ' ')[1:3], x -> upper(x)) AS first3_upper,
+           array_to_string(str_split(text, ' ')[1:3], '|') AS first3,
+           array_to_string(list_transform(str_split(text, ' ')[1:3],
+                                          x -> upper(x)), '|') AS first3_upper,
            len(list_filter(str_split(text, ' '), x -> length(x) > 5)) AS n_long_words,
            list_sum(list_transform(str_split(text, ' '), x -> length(x)))
                AS total_chars_in_words
@@ -178,10 +179,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(words)).getItem(0).alias(
             "first_word_alpha"
         ),
-        F.slice(words, 1, 3).alias("first3"),
-        F.transform(F.slice(words, 1, 3), lambda x: F.upper(x)).alias(
-            "first3_upper"
-        ),
+        F.array_join(F.slice(words, 1, 3), "|").alias("first3"),
+        F.array_join(
+            F.transform(F.slice(words, 1, 3), lambda x: F.upper(x)), "|"
+        ).alias("first3_upper"),
         F.size(F.filter(words, lambda x: F.length(x) > 5)).alias(
             "n_long_words"
         ),
@@ -197,7 +198,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_totalprice AS price_val,
            (o_totalprice::DECIMAL(12,2) * 0.1::DECIMAL(2,1))::DOUBLE AS tax_val,
-           ['price', 'tax'] AS metric_keys
+           'price|tax' AS metric_keys
     FROM orders
     """,
 )
@@ -221,7 +222,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.element_at(m, "price").alias("price_val"),
         F.element_at(m, "tax").alias("tax_val"),
-        F.array_sort(F.map_keys(m)).alias("metric_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("metric_keys"),
     )
 
 

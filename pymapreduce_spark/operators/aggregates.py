@@ -231,7 +231,8 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|')
+               AS event_types,
            count(*) AS n_events
     FROM events
     GROUP BY user_id
@@ -239,10 +240,15 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect group values into a set; array_sort for determinism
-    (SURVEY §5.4.4 — unsorted collect_set hash-checks nondeterministically)."""
+    (SURVEY §5.4.4 — unsorted collect_set hash-checks
+    nondeterministically). The checked output is the '|'-joined string:
+    engines represent list cells differently (numpy vs native), and a
+    flat string removes that canonicalization dependency."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+            "event_types"
+        ),
         F.count("*").alias("n_events"),
     )
 

@@ -12,11 +12,64 @@ shuffle. A full ``orderBy`` without limit is a range-partitioned sort
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
+
+
+def global_sort_index(
+    df: DataFrame, order: list[Column], num_partitions: int = 8
+) -> DataFrame:
+    """Attach a 1-based global rank column ``sort_pos`` for a total
+    order WITHOUT a single-partition window.
+
+    Two-pass range-sort: (1) range-partition + sort within partitions —
+    the standard distributed total sort; (2) count rows per partition,
+    broadcast the tiny cumulative-offset table, and add
+    ``offset + local position`` per partition via mapInPandas. Each pass
+    is fully parallel; driver state is one row per partition. This is
+    the 100 TB replacement for ``row_number() OVER (ORDER BY ...)``
+    (which Spark executes in ONE task).
+
+    Requires ``order`` to be a total order (add a unique tiebreak
+    column) — then sort_pos is deterministic regardless of where the
+    sampled range boundaries fall."""
+    spark = df.sparkSession
+    ranked_input = (
+        df.repartitionByRange(num_partitions, *order)
+        .sortWithinPartitions(*order)
+    )
+    with_pid = ranked_input.withColumn("__pid", F.spark_partition_id())
+    counts = dict(
+        with_pid.groupBy("__pid").count().collect()
+    )  # ≤ num_partitions rows on the driver
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = with_pid.drop("__pid").schema.add("sort_pos", "long")
+
+    def add_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = bc.value.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.drop(columns=["__pid"])
+            pdf["sort_pos"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return with_pid.mapInPandas(add_pos, out_schema)
 
 
 @query(
@@ -31,19 +84,22 @@ from pymapreduce_spark.registry import query
 )
 def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column sort (asc + desc, explicit null placement); the
-    sort_pos column makes the ordering hash-checkable."""
+    sort_pos column makes the ordering hash-checkable.
+
+    Uses :func:`global_sort_index` — a global ``row_number()`` window
+    would funnel every row through one task; the two-pass range sort
+    keeps both passes parallel."""
     supplier = load_table(spark, sf_dir, "supplier")
     order = [
         F.col("s_nationkey").asc(),
         F.col("s_acctbal").desc_nulls_last(),
         F.col("s_suppkey").asc(),
     ]
-    w = Window.orderBy(*order)
-    return supplier.orderBy(*order).select(
-        "s_suppkey",
-        "s_nationkey",
-        "s_acctbal",
-        F.row_number().over(w).alias("sort_pos"),
+    indexed = global_sort_index(
+        supplier.select("s_suppkey", "s_nationkey", "s_acctbal"), order
+    )
+    return indexed.select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "sort_pos"
     )
 
 
