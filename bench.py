@@ -50,6 +50,10 @@ def main() -> None:
     for key, op in HEADLINE.items():
         fn = registry.QUERIES[op]
         fn(spark, SF_DIR).collect()  # warm-up: codegen + file listing
+        # Each timed run builds a FRESH plan: re-collecting a prebuilt
+        # DataFrame lets the DAGScheduler skip map stages whose shuffle
+        # outputs still exist, which under-reports by up to 10×. Fresh
+        # plans force full scan→shuffle→result execution every run.
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -33,7 +33,9 @@ from pymapreduce_spark.operators import (  # noqa: F401
     udfs,
     llm_text,
     llm_vector,
+    jobapi,
 )
+from pymapreduce_spark.api import MapReduceJob  # noqa: F401
 from pymapreduce_spark.sources import scans  # noqa: F401
 from pymapreduce_spark.functions import scalar  # noqa: F401
 from pymapreduce_spark.streaming import core as streaming_core  # noqa: F401
