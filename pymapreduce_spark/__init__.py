@@ -34,6 +34,7 @@ from pymapreduce_spark.operators import (  # noqa: F401
     llm_text,
     llm_vector,
     jobapi,
+    scale,
 )
 from pymapreduce_spark.api import MapReduceJob  # noqa: F401
 from pymapreduce_spark.sources import scans  # noqa: F401

@@ -212,3 +212,73 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.where(F.col("side") == 1).select(
         "event_id", "user_id", "ts", "matched_view_id", "matched_view_ts"
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts::TIMESTAMP AS tsu
+        FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, ts::TIMESTAMP AS tsu, max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts::TIMESTAMP
+    )
+    SELECT p.event_id, p.user_id, p.tsu AS ts,
+           v.view_event_id AS next_view_id,
+           v.tsu AS next_view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.tsu <= v.tsu
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's EARLIEST
+    view at or after it. Same union+window formulation as join_asof but
+    traversed in descending time order (so "last seen view" = nearest
+    future view); ties at equal timestamps match, mirroring DuckDB's
+    `<=` ASOF semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "view_event_id",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("view_event_id"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("view_event_id", ignorenulls=True).over(w).alias(
+            "next_view_id"
+        ),
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("next_view_ts"),
+    )
+    return carried.where(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "next_view_id", "next_view_ts"
+    )

@@ -16,6 +16,8 @@ text statistics, quality/language gates, wordcount/TF-IDF, fingerprints.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -356,4 +358,45 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             F.round(F.col("tf") * idf, 6).alias("tfidf"),
         )
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS lang_given,
+           (['de','en','es','fr','zh'])[
+               (ascii(substring(md5(text), 1, 1)) % 5) + 1
+           ] AS lang_pred
+    FROM documents
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID plumbing: a vectorized pandas-UDF classifier over the
+    text column, next to the fixture's given label.
+
+    The fixture's five languages share an identical vocabulary
+    (measured: the same 31 words in every lang), so no real LID model
+    can learn anything here — the "model" is a deterministic md5-bucket
+    STUB, chosen so the oracle can reproduce it in SQL. Swapping in a
+    real classifier (fasttext/langdetect) changes only the function
+    body: the Arrow batching, schema, and downstream filter contract
+    (llm_lang_filter) stay identical."""
+    import hashlib
+
+    langs = ["de", "en", "es", "fr", "zh"]
+
+    @F.pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: langs[
+                ord(hashlib.md5(t.encode("utf-8")).hexdigest()[0]) % 5
+            ]
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_given"),
+        lang_id("text").alias("lang_pred"),
     )

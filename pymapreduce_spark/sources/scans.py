@@ -162,3 +162,86 @@ def source_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(weights.o_orderpriority, "weight")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "sink_csv",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           sum(round(s_acctbal * 100)::BIGINT) / 100.0 AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + read-back: write supplier partitioned by nation, read
+    with explicit schema, aggregate — the round trip must be lossless
+    (doubles survive via Spark's shortest-roundtrip CSV formatting)."""
+    path = _scratch(sf_dir, "supplier_csv")
+    supplier = load_table(spark, sf_dir, "supplier")
+    (
+        supplier.write.mode("overwrite")
+        .option("header", True)
+        .partitionBy("s_nationkey")
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.csv(path, header=True, schema=schema)
+    # the partition column comes back from the directory layout
+    from pymapreduce_spark.functions.checked import cents
+
+    return back.withColumn(
+        "s_nationkey", F.input_file_name()
+    ).select(
+        F.regexp_extract("s_nationkey", r"s_nationkey=(\d+)", 1)
+        .cast("int")
+        .alias("s_nationkey"),
+        "s_suppkey",
+        "s_acctbal",
+    ).groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        (F.sum(cents("s_acctbal")) / 100.0).alias("total_bal"),
+    )
+
+
+@query(
+    "sink_jsonl",
+    oracle="""
+    SELECT user_id, count(*) AS n_purchases,
+           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-explicit read-back of a filtered
+    projection, then aggregate — the lossless JSON round trip."""
+    from pymapreduce_spark.functions.checked import cents
+
+    path = _scratch(sf_dir, "purchases_jsonl")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.json(path, schema=schema)
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        (F.sum(cents("value")) / 100.0).alias("total_value"),
+    )

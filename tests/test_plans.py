@@ -84,3 +84,21 @@ def test_anti_join_planned_as_anti(spark, sf_dir):
 def test_theta_band_join_broadcasts_band_table(spark, sf_dir):
     plan = plan_of("join_theta_range", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bucketed_join_has_no_join_side_shuffle(spark, sf_dir):
+    """Both sides bucketed+sorted on the join key: the sort-merge join
+    must read buckets directly — the only exchange in the plan is the
+    final small aggregation, never on o_orderkey/l_orderkey."""
+    df = QUERIES["join_bucketed"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    join_key_exchanges = re.findall(
+        r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)", final
+    )
+    assert not join_key_exchanges, final
+    assert "SelectedBucketsCount" in final or "Bucketed: true" in final, final
