@@ -400,3 +400,78 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_given"),
         lang_id("text").alias("lang_pred"),
     )
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, substring(text, 1, 30) AS block,
+               str_split(text, ' ') AS words
+        FROM documents
+    ), s AS (
+        SELECT doc_id, block,
+               list_distinct(list_transform(range(1, len(words) - 1),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
+                   AS sh
+        FROM w
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, c.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, c.sh))), 6) AS jaccard
+    FROM s a JOIN s c ON a.block = c.block AND a.doc_id < c.doc_id
+    WHERE len(list_intersect(a.sh, c.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, c.sh))) >= 0.8
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs with prefix
+    blocking: candidates come from an equi-join on the 30-char prefix
+    block — never a cross join — then exact Jaccard on distinct shingle
+    sets filters at 0.8. Fully SQL-expressible (unlike the MinHash-LSH
+    path), so this is the oracle-checked member of the fuzzy-dedup
+    family; at sf0.1 it recovers the fixture's engineered 256
+    shared-prefix near-dup pairs (golden test).
+
+    At 100 TB the block key generalizes (URL/domain/simhash-band); the
+    per-block pair count is the thing to bound — pair with
+    llm_dedup_fuzzy's LSH when no natural blocking key exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            """
+            transform(sequence(1, size(split(text, ' ')) - 2), i ->
+                concat_ws(' ', element_at(split(text, ' '), i),
+                               element_at(split(text, ' '), i + 1),
+                               element_at(split(text, ' '), i + 2)))
+            """
+        )
+    )
+    s = docs.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("block"),
+        shingles.alias("sh"),
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("block").alias("block_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    c = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("block").alias("block_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(
+            c,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -106,3 +106,13 @@ def test_dedup_exact_groups_at_sf01(spark):
     """FIXTURES.md golden: sf0.1 has exactly 8 duplicate-text groups."""
     df = QUERIES["llm_dedup_exact"](spark, "/root/testdata/sf0.1")
     assert df.where(F.col("n_copies") > 1).count() == 8
+
+
+def test_ngram_dedup_recovers_engineered_pairs_at_sf01(spark):
+    """FIXTURES.md golden: sf0.1 embeds ~256 shared-prefix near-dup
+    pairs; blocked n-gram Jaccard at 0.8 must recover the bulk of them,
+    and every pair must actually share the 30-char prefix."""
+    df = QUERIES["llm_dedup_ngram"](spark, "/root/testdata/sf0.1")
+    rows = df.collect()
+    assert len(rows) >= 240, len(rows)
+    assert all(r.jaccard >= 0.8 for r in rows)
