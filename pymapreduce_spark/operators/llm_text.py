@@ -475,3 +475,35 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@query("llm_tfidf_ml")  # rows-only: ml.feature pipeline, not SQL
+def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via the pyspark.ml pipeline (Tokenizer → CountVectorizer →
+    IDF), emitting each document's top-weighted term. The ml variant of
+    llm_tfidf (which is the pure-SQL dataflow form); ml's idf =
+    ln((N+1)/(df+1)) without the +1 shift, so weights differ by design —
+    tests assert stability and majority agreement of per-doc top terms
+    with the SQL form rather than equality."""
+    from pyspark.ml.feature import CountVectorizer, IDF, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    cv_model = CountVectorizer(
+        inputCol="words", outputCol="tf", minDF=1.0
+    ).fit(toks)
+    tf = cv_model.transform(toks)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    weighted = idf_model.transform(tf)
+    from pyspark.ml.functions import vector_to_array
+
+    vocab_arr = F.array(*[F.lit(w) for w in cv_model.vocabulary])
+    dense = weighted.withColumn("arr", vector_to_array(F.col("tfidf")))
+    # argmax as a pure expression: 1-based position of the max weight
+    # (first occurrence — deterministic given the fitted vocab order).
+    idx = F.expr("array_position(arr, array_max(arr))").cast("int")
+    return dense.select(
+        "doc_id",
+        F.element_at(vocab_arr, idx).alias("top_term"),
+        F.round(F.array_max(F.col("arr")), 6).alias("top_weight"),
+    )

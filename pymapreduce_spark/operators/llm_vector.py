@@ -390,3 +390,75 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id bigint, neighbor_id bigint, nn_rank int, cosine double"
     )
     return emb.mapInPandas(topk, schema)
+
+
+@query("llm_sim_search_ivf")  # rows-only: ANN candidate set is not SQL
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: k-means coarse quantizer (k=16,
+    seed=42) partitions the corpus into cells; each query probes its
+    nprobe=12 nearest cells and exact-reranks only those candidates.
+    The fixture's vectors are RANDOM (structureless) — IVF's worst case
+    — so nprobe is high here; on real clustered embeddings the same
+    code prunes far harder. This is the knob that turns a 100 TB scan into
+    a per-cell partition-pruned read (cells map to partition directories
+    at scale; probing is partition pruning). recall@5 vs exact is
+    asserted in tests/test_llm.py.
+
+    Same shape as production IVF indexes: centroid table broadcast,
+    assignment persisted with the data, candidate generation is an
+    equi-join on cell id."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _as_double("embedding").alias("e"),
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+    km = KMeans(
+        k=16, seed=42, featuresCol="features", predictionCol="cell"
+    ).fit(emb)
+    assigned = km.transform(emb).select("vec_id", "e", "cell")
+    centers = np.array(km.clusterCenters(), dtype=np.float64)
+    bc = spark.sparkContext.broadcast(centers)
+
+    @F.pandas_udf("array<int>")
+    def top_cells(embs: pd.Series) -> pd.Series:
+        cmat = bc.value
+        return embs.map(
+            lambda v: np.argsort(-(np.asarray(v, dtype=np.float64) @ cmat.T))[
+                :12
+            ]
+            .astype("int32")
+            .tolist()
+        )
+
+    queries = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(top_cells(F.col("embedding"))).alias("cell"),
+        )
+    )
+    cands = queries.join(assigned, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    pairs = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _dot(F.col("qe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "nn_rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

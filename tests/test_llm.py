@@ -116,3 +116,37 @@ def test_ngram_dedup_recovers_engineered_pairs_at_sf01(spark):
     rows = df.collect()
     assert len(rows) >= 240, len(rows)
     assert all(r.jaccard >= 0.8 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF (nprobe=8/16) recall@5 vs brute force must be ≥ 0.9."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["llm_sim_search"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["llm_sim_search_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
+
+
+def test_tfidf_ml_agrees_with_sql_form(spark, sf_dir):
+    """The ml-pipeline TF-IDF and the SQL TF-IDF use different idf
+    smoothing, but per-doc top terms should mostly coincide; the ml
+    output must also be deterministic across runs."""
+    ml_a = {r.doc_id: r.top_term for r in QUERIES["llm_tfidf_ml"](spark, sf_dir).collect()}
+    ml_b = {r.doc_id: r.top_term for r in QUERIES["llm_tfidf_ml"](spark, sf_dir).collect()}
+    assert ml_a == ml_b
+    sql = QUERIES["llm_tfidf"](spark, sf_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    sql_top = {
+        r.doc_id: r.word
+        for r in sql.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    agree = sum(1 for d, t in sql_top.items() if ml_a.get(d) == t)
+    assert agree / len(sql_top) >= 0.6, agree / len(sql_top)
