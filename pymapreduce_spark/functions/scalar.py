@@ -336,3 +336,30 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
         F.nvl(bal, F.lit(-1.0)).alias("bal_nvl"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT e_id,
+           e_id & 255 AS low_byte,
+           e_id | 15 AS with_low_bits,
+           xor(e_id, 21845) AS xored,
+           e_id << 2 AS shifted_left,
+           e_id >> 3 AS shifted_right
+    FROM (SELECT event_id AS e_id FROM events)
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR and shifts on integer ids (the
+    primitives hash-bucketing and bloom-style filters are built from)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        e.alias("e_id"),
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(15)).alias("with_low_bits"),
+        e.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(e, 2).alias("shifted_left"),
+        F.shiftright(e, 3).alias("shifted_right"),
+    )
