@@ -1,0 +1,70 @@
+"""MapReduceJob facade coverage beyond the two oracle-checked registry
+ops: declarative fast paths, layout controls, broadcast cache join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pymapreduce_spark  # noqa: F401
+from pymapreduce_spark.api import MapReduceJob
+from pymapreduce_spark.io import load_table
+
+
+def test_declarative_fast_paths(spark, sf_dir):
+    got = (
+        MapReduceJob.from_table(spark, sf_dir, "orders")
+        .where_expr("o_totalprice > 400000")
+        .select_expr("o_orderkey", "o_orderstatus")
+        .reduce_agg(["o_orderstatus"], F.count("*").alias("n"))
+        .to_df()
+    )
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .where("o_totalprice > 400000")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_partitioner_and_secondary_sort(spark, sf_dir):
+    job = (
+        MapReduceJob.from_table(spark, sf_dir, "events")
+        .partition_by(8, "user_id")
+        .sort_within_partitions("user_id", "ts")
+    )
+    df = job.to_df().withColumn("pid", F.spark_partition_id())
+    per_key = df.groupBy("user_id").agg(
+        F.count_distinct("pid").alias("np")
+    )
+    assert per_key.where("np > 1").count() == 0
+
+
+def test_join_cached_broadcasts(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    job = MapReduceJob.from_table(spark, sf_dir, "customer").join_cached(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    plan = job.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_flat_map_empty_emission(spark):
+    """A mapper that emits nothing for some rows must not break batch
+    assembly."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "c")], "doc_id long, text string"
+    )
+    out = (
+        MapReduceJob.from_df(docs)
+        .flat_map(
+            lambda r: (
+                {"w": w} for w in r["text"].split(" ") if w
+            ),
+            schema="w string",
+        )
+        .collect()
+    )
+    assert sorted(r.w for r in out) == ["a", "b", "c"]

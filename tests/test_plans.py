@@ -102,3 +102,19 @@ def test_bucketed_join_has_no_join_side_shuffle(spark, sf_dir):
     )
     assert not join_key_exchanges, final
     assert "SelectedBucketsCount" in final or "Bucketed: true" in final, final
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, sf_dir):
+    """Reading one l_returnflag from the partitionBy'd sink must prune
+    to that partition directory (PartitionFilters, not a data filter)."""
+    QUERIES["sink_parquet"](spark, sf_dir).collect()  # materialize sink
+    from pymapreduce_spark.sources.scans import _scratch
+
+    path = _scratch(sf_dir, "lineitem_by_flag")
+    df = spark.read.parquet(path).where("l_returnflag = 'A'")
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan, plan
+    line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "l_returnflag" in line, plan
