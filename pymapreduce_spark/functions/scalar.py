@@ -363,3 +363,36 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(e, 2).alias("shifted_left"),
         F.shiftright(e, 3).alias("shifted_right"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT p_partkey,
+           try_cast(p_type AS INT) AS type_as_int,
+           try_cast(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT)
+               AS brand_num,
+           try_cast(p_name AS TIMESTAMP) AS name_as_ts,
+           p_retailprice / nullif(p_size - p_size, 0) AS div_by_zero
+    FROM part
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant casts: try_cast yields NULL instead of failing the
+    job on malformed values — with ANSI off Spark's plain cast also
+    NULLs, but try_* keeps that behavior under ANSI mode, which is what
+    a production 100 TB pipeline should run with."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.try_to_number(F.col("p_type"), F.lit("999999")).cast("int").alias(
+            "type_as_int"
+        ),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1)
+        .try_cast("int")
+        .alias("brand_num"),
+        F.col("p_name").try_cast("timestamp").alias("name_as_ts"),
+        F.try_divide(
+            F.col("p_retailprice"), F.col("p_size") - F.col("p_size")
+        ).alias("div_by_zero"),
+    )

@@ -245,3 +245,124 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         (F.sum(cents("value")) / 100.0).alias("total_value"),
     )
+
+
+@query(
+    "sink_upsert",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+    upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               (round(o_totalprice * 100)::BIGINT * 2) / 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 150 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey + mx.m AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+               (round(o_totalprice * 100)::BIGINT) / 100.0 AS o_totalprice
+        FROM orders, mx WHERE o_orderkey % 300 = 0
+    ),
+    kept AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               (round(o_totalprice * 100)::BIGINT) / 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 150 != 0
+    ),
+    merged AS (
+        SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge/upsert pipeline (the CDC-apply pattern without a lakehouse
+    format): an updates batch (doubled prices for keys % 150 == 0) and
+    an inserts batch (new keys) are merged into the base via
+    anti-join + union, written to a parquet sink, and read back for a
+    fingerprint. At scale this is partition-overwrite: the anti-join
+    touches only partitions containing updated keys; Delta/Iceberg
+    MERGE INTO is the same dataflow with a transaction log on top."""
+    from pymapreduce_spark.functions.checked import cents
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (cents("o_totalprice") / 100.0).alias("o_totalprice"),
+    )
+    mx = base.agg(F.max("o_orderkey").alias("m"))
+    updates = base.where(F.col("o_orderkey") % 150 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        ((cents("o_totalprice") * 2) / 100.0).alias("o_totalprice"),
+    )
+    inserts = (
+        base.where(F.col("o_orderkey") % 300 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("m")).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    changed = updates.unionByName(inserts)
+    kept = base.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    merged = kept.unionByName(changed)
+    path = _scratch(sf_dir, "orders_upserted")
+    merged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        (F.sum(cents("o_totalprice")) / 100.0).alias("total_price"),
+    )
+
+
+@query("scan_jsonl_permissive")  # rows-only: corrupt-record handling
+def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance: a JSONL file with deliberately corrupt
+    lines read in PERMISSIVE mode — bad lines land in _corrupt_record
+    instead of failing the job (the only sane posture for 100 TB of
+    scraped JSON). Returns good/corrupt counts; asserted in tests."""
+    import os as _os
+
+    path = _scratch(sf_dir, "permissive_jsonl")
+    _os.makedirs(path, exist_ok=True)
+    fpath = _os.path.join(path, "data.jsonl")
+    if not _os.path.exists(fpath):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        ).limit(20).collect()
+        with open(fpath, "w") as fh:
+            for r in docs:
+                fh.write(f'{{"doc_id": {r.doc_id}, "lang": "{r.lang}"}}\n')
+            fh.write("{broken json\n")
+            fh.write('{"doc_id": "not_a_number", "lang": 7}\n')
+            fh.write("[1,2,3\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(fpath, schema=schema)
+        # Spark disallows referencing ONLY _corrupt_record straight off
+        # the raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize.
+        .cache()
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias(
+            "n_good"
+        ),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )

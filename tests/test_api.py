@@ -68,3 +68,29 @@ def test_flat_map_empty_emission(spark):
         .collect()
     )
     assert sorted(r.w for r in out) == ["a", "b", "c"]
+
+
+def test_observation_counters(spark, sf_dir):
+    """The MR counters pattern via Spark's Observation API: metrics
+    accumulate during a single pass, no second job."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("counters")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert 0 < got["n_errors"] < n
+
+
+def test_permissive_json_counts(spark, sf_dir):
+    from pymapreduce_spark.registry import QUERIES
+
+    row = QUERIES["scan_jsonl_permissive"](spark, sf_dir).collect()[0]
+    assert row.n_good == 20
+    assert row.n_corrupt == 3
