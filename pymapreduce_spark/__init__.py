@@ -35,6 +35,7 @@ from pymapreduce_spark.operators import (  # noqa: F401
     llm_vector,
     jobapi,
     scale,
+    tpch,
 )
 from pymapreduce_spark.api import MapReduceJob  # noqa: F401
 from pymapreduce_spark.sources import scans  # noqa: F401

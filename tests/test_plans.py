@@ -118,3 +118,50 @@ def test_partitioned_sink_enables_partition_pruning(spark, sf_dir):
     assert "PartitionFilters" in plan, plan
     line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "l_returnflag" in line, plan
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """Skew posture: with a heavily skewed join key, AQE's skew-join
+    optimization must split the oversized partition (plan shows the
+    skew marker). Thresholds are lowered to make test-scale data
+    register as skewed; production uses the defaults."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in lowered.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        from pymapreduce_spark.io import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_dir, "events")
+        # ~99% of rows share key 0 → one oversized shuffle partition.
+        # (A literal key won't do: Catalyst constant-folds it into a
+        # cartesian product and no shuffle exists to split. And the
+        # input must span multiple map tasks — skew splitting works at
+        # per-mapper-block granularity, so a single-mapper shuffle can
+        # never be split.)
+        skewed_key = F.when(F.col("event_id") % 100 < 99, 0).otherwise(
+            (F.col("event_id") % 4 + 1).cast("int")
+        )
+        left = ev.repartition(16).select(
+            skewed_key.alias("k"), "event_id", "value", "props"
+        )
+        right = spark.range(0, 5).select(
+            F.col("id").cast("int").alias("k"), F.col("id").alias("payload")
+        )
+        joined = left.hint("merge").join(right, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
