@@ -33,8 +33,15 @@ HEADLINE = {
     "json_extract": "fn_json_agg",
     "knn_self_join": "llm_knn_self_join",
     "dedup_exact": "llm_dedup_exact",
+    "dedup_ngram": "llm_dedup_ngram",
     "asof_join": "join_asof",
     "tfidf": "llm_tfidf",
+    "q6": "q6_forecast_revenue",
+    "q10": "q10_returned_items",
+    "q14": "q14_promo_revenue",
+    "q18": "q18_large_volume",
+    "salted_agg": "agg_salted_twophase",
+    "bucketed_join": "join_bucketed",
 }
 
 

@@ -94,3 +94,17 @@ def test_permissive_json_counts(spark, sf_dir):
     row = QUERIES["scan_jsonl_permissive"](spark, sf_dir).collect()[0]
     assert row.n_good == 20
     assert row.n_corrupt == 3
+
+
+def test_global_sort_index_more_partitions_than_rows(spark):
+    """Edge: num_partitions > row count — offsets must still be dense
+    and 1-based."""
+    from pymapreduce_spark.operators.sortlimit import global_sort_index
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    out = global_sort_index(df, [F.col("k").asc()], num_partitions=8)
+    rows = sorted((r.k, r.sort_pos) for r in out.collect())
+    assert rows == [(1, 1), (2, 2), (3, 3)], rows

@@ -165,3 +165,24 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cache_reuse_across_actions(spark, sf_dir):
+    """Caching a shared intermediate: the second consumer must read
+    InMemoryTableScan, not re-scan parquet."""
+    from pymapreduce_spark.io import load_table
+
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .where("l_quantity > 25")
+        .select("l_orderkey", "l_extendedprice")
+        .cache()
+    )
+    try:
+        base.count()  # materialize
+        agg = base.groupBy().sum("l_extendedprice")
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        base.unpersist()
