@@ -396,3 +396,44 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice"), F.col("p_size") - F.col("p_size")
         ).alias("div_by_zero"),
     )
+
+
+@query(
+    "fn_stat_crosstab",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS status_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab contingency table (flag × status), normalized
+    to stable column names."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        F.col("l_returnflag_l_linestatus").alias("l_returnflag"),
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+    )
+
+
+@query(
+    "fn_ids",
+    oracle="""
+    SELECT count(*) AS n_rows, count(*) AS n_distinct_ids FROM events
+    """,
+)
+def fn_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-id semantics: monotonically_increasing_id must be
+    unique across the whole DataFrame (the invariant IS the contract —
+    the concrete values are partition-layout-dependent by design, which
+    is also why generated ids never appear in other checked outputs)."""
+    ev = load_table(spark, sf_dir, "events")
+    with_ids = ev.withColumn("gen_id", F.monotonically_increasing_id())
+    return with_ids.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("gen_id").alias("n_distinct_ids"),
+    )

@@ -449,3 +449,33 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("max_gap_us").alias("max_gap_us"),
     )
+
+
+@query(
+    "stream_join",
+    oracle="""
+    WITH cohorts(cohort_id, cohort_name) AS (VALUES
+        (0, 'control'), (1, 'variant_a'), (2, 'variant_b'))
+    SELECT cohort_name, event_type, count(*) AS n_events
+    FROM events JOIN cohorts ON (user_id % 3) = cohort_id
+    GROUP BY cohort_name, event_type
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2-J `stream_join` contract key: stream-static enrichment
+    (the stream-stream variant is stream_join_stream)."""
+    return stream_join_static(spark, sf_dir)
+
+
+@query(
+    "stream_sink",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 200
+    """,
+)
+def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2-J `stream_sink` contract key: arbitrary sink via
+    foreachBatch (see stream_sink_foreachbatch)."""
+    return stream_sink_foreachbatch(spark, sf_dir)
