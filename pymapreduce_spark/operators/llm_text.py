@@ -150,6 +150,57 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", sig.alias("minhash_sig"))
 
 
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, t.i AS i,
+             substr(md5(substr(text, t.i::INT, 8)), 1, 8) AS hk
+      FROM documents CROSS JOIN LATERAL (
+         SELECT unnest(range(1, (n_chars - 6)::BIGINT)) AS i) AS t
+      WHERE n_chars >= 11
+    ), w AS (
+      SELECT doc_id, i,
+             min(hk) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM w WHERE i >= 4
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, as in MOSS:
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every k=8-char gram,
+    keep the minimum hash of each w=4 sliding window, emit the distinct
+    selected fingerprints per doc. Shared passages between documents
+    surface as shared fingerprints regardless of position.
+
+    Scale shape: the entire per-document pipeline (k-gram → md5 →
+    windowed min → distinct) is ONE Catalyst higher-order expression —
+    no explode, no window shuffle, no Python; state per task is one
+    document's hash array. The only exchange is whatever the consumer
+    does with the (doc_id, fp) pairs (e.g. a groupBy(fp) to find shared
+    passages). md5 (not xxhash64) keeps it oracle-checkable; swap for
+    xxhash64 when cross-engine parity isn't needed."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") >= 11)
+    # Hoist the k-gram hash array (same reason as llm_dedup_ngram's
+    # words hoist): inlining md5 into the window lambda would re-hash
+    # each gram w=4 times per document.
+    grams = F.expr(
+        "transform(sequence(1, n_chars - 7),"
+        " i -> substr(md5(substr(text, i, 8)), 1, 8))"
+    )
+    fps = F.expr(
+        """
+        array_distinct(transform(sequence(1, size(hs) - 3),
+            j -> array_min(slice(hs, j, 4))))
+        """
+    )
+    return docs.withColumn("hs", grams).select(
+        "doc_id", F.explode(fps).alias("fp")
+    )
+
+
 @query("llm_simhash")  # rows-only: xxhash64 is Spark-native
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint: per bit, sign of the sum of ±1 votes
