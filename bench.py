@@ -37,9 +37,16 @@ HEADLINE = {
     "asof_join": "join_asof",
     "tfidf": "llm_tfidf",
     "q6": "q6_forecast_revenue",
+    "q7": "q7_volume_shipping",
+    "q8": "q8_market_share",
     "q10": "q10_returned_items",
+    "q13": "q13_customer_distribution",
     "q14": "q14_promo_revenue",
+    "q15": "q15_top_supplier",
+    "q17": "q17_small_quantity",
     "q18": "q18_large_volume",
+    "q19": "q19_discounted_revenue",
+    "q22": "q22_sales_opportunity",
     "salted_agg": "agg_salted_twophase",
     "bucketed_join": "join_bucketed",
 }
