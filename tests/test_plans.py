@@ -186,3 +186,40 @@ def test_cache_reuse_across_actions(spark, sf_dir):
         assert "InMemoryTableScan" in plan, plan
     finally:
         base.unpersist()
+
+
+def test_q8_market_share_broadcasts_all_dims(spark, sf_dir):
+    """The 8-table star join must broadcast every dimension (part,
+    customer, supplier, nation×2, region) — only the lineitem–orders
+    fact–fact join may shuffle."""
+    plan = plan_of("q8_market_share", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q22_plans_anti_join(spark, sf_dir):
+    """NOT EXISTS must stay an anti join (never a count-based rewrite)."""
+    plan = plan_of("q22_sales_opportunity", spark, sf_dir)
+    assert "LeftAnti" in plan, plan
+
+
+def test_q13_plans_outer_join_with_on_clause_filter(spark, sf_dir):
+    """The priority exclusion lives in the join ON clause, so it must
+    NOT be pushed as a filter on the customer (preserved) side."""
+    plan = plan_of("q13_customer_distribution", spark, sf_dir)
+    assert "LeftOuter" in plan, plan
+
+
+def test_q17_decorrelated_avg_is_single_pass_agg(spark, sf_dir):
+    """The qty < 0.2·avg subquery is decorrelated into one per-part
+    aggregate joined back — partial aggregation must appear (map-side
+    combine before the shuffle on l_partkey)."""
+    plan = formatted_plan_of("q17_small_quantity", spark, sf_dir)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the filtered part dim
+
+
+def test_q15_max_revenue_is_broadcast_not_collect(spark, sf_dir):
+    """The scalar max joins back via broadcast — the whole query is one
+    DAG, no driver-side materialization of the aggregate."""
+    plan = plan_of("q15_top_supplier", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
