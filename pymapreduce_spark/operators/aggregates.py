@@ -404,3 +404,28 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("value")) / 100.0).alias("total_value"),
         )
     )
+
+
+@query("agg_hll_mergeable")  # rows-only: Datasketches binary, not SQL
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    F.hll_sketch_agg) — THE 100 TB distinct-count pattern: build one
+    small sketch per (event_type, day) partition, then answer
+    "distinct users per type over any date range" by unioning sketches
+    (hll_union_agg) instead of re-scanning raw events. The daily
+    pre-aggregate is what you'd persist; the union is bytes-sized work
+    no matter how large the raw table was. Accuracy self-check (±5% vs
+    exact) lives in tests/test_llm.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct_users"
+            ),
+            F.count("*").alias("n_daily_sketches"),
+        )
+    )

@@ -150,3 +150,27 @@ def test_tfidf_ml_agrees_with_sql_form(spark, sf_dir):
     }
     agree = sum(1 for d, t in sql_top.items() if ml_a.get(d) == t)
     assert agree / len(sql_top) >= 0.6, agree / len(sql_top)
+
+
+def test_hll_mergeable_within_tolerance(spark, sf_dir):
+    """Daily-sketch union must estimate distinct users within 5% of the
+    exact per-type count (the driver only checks rows for this op)."""
+    import pymapreduce_spark  # noqa: F401
+    from pymapreduce_spark.io import load_table
+    from pymapreduce_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)
