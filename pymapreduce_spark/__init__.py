@@ -33,6 +33,7 @@ from pymapreduce_spark.operators import (  # noqa: F401
     udfs,
     llm_text,
     llm_vector,
+    multimodal,
     jobapi,
     scale,
     tpch,

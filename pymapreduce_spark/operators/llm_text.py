@@ -603,3 +603,55 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, (n_chars + 3) // 4 AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_before // 2048 AS pack_id
+    FROM cum
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a ~2048-token
+    training pack by running cumulative sum within its source shard.
+
+    The streaming-pack approximation (pack = floor(tokens-before/budget))
+    is one window scan — deterministic, SQL-oracle-able, and each pack's
+    total stays < budget + max_doc_tokens. Packing WITHIN `source` (not
+    globally) is the 100 TB posture: a global orderBy would serialize the
+    corpus through one ordering; per-shard windows partition-parallelize
+    and match how curation pipelines shard anyway. Token counts use the
+    ~4-chars/token heuristic; a real tokenizer drops into `n_tokens`."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.floor((F.col("n_chars") + 3) / 4).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / 2048).cast("bigint").alias("pack_id"),
+        )
+    )

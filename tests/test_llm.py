@@ -174,3 +174,50 @@ def test_hll_mergeable_within_tolerance(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)
+
+
+def test_frame_sample_plumbing(spark, sf_dir):
+    """Frame sampling invariants: every doc appears, ≤4 frames each,
+    offsets stride-aligned, frame lengths positive and ≤ frame size."""
+    frames = QUERIES["llm_frame_sample"](spark, sf_dir).collect()
+    docs = QUERIES["llm_text_stats"](spark, sf_dir).select("doc_id").count()
+    per_doc: dict[int, int] = {}
+    for r in frames:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+        assert r.byte_offset == r.frame_idx * 64
+        assert 1 <= r.frame_len <= 64
+        assert (r.out_w, r.out_h) == (224, 224)
+    assert len(per_doc) == docs
+    assert max(per_doc.values()) <= 4
+
+
+def test_audio_features_match_numpy(spark, sf_dir):
+    """Spot-check the vectorized feature math against a local reference."""
+    import numpy as np
+
+    rows = QUERIES["llm_audio_features"](spark, sf_dir).limit(50).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        a = np.frombuffer(texts[r.doc_id].encode(), dtype=np.uint8).astype(
+            np.int64
+        )
+        assert r.n_samples == len(a)
+        assert r.peak_amp == int(a.max())
+        assert abs(r.mean_amp - a.mean()) < 1e-6
+
+
+def test_pack_sequences_capacity_bound(spark, sf_dir):
+    """Each pack's token total stays under budget + max single doc."""
+    rows = QUERIES["llm_pack_sequences"](spark, sf_dir).collect()
+    packs: dict[tuple, int] = {}
+    max_doc = 0
+    for r in rows:
+        packs[(r.source, r.pack_id)] = packs.get((r.source, r.pack_id), 0) + r.n_tokens
+        max_doc = max(max_doc, r.n_tokens)
+    assert all(v < 2048 + max_doc for v in packs.values())
+    assert len(packs) > 1
