@@ -655,3 +655,36 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cum_before") / 2048).cast("bigint").alias("pack_id"),
         )
     )
+
+
+@query(
+    "llm_pii_mask",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_replace(text, '[0-9]+', '#', 'g')) AS masked_chars,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_spans,
+           length(text) - length(regexp_replace(text, '[0-9]+', '', 'g'))
+               AS masked_digits
+    FROM documents
+    """,
+)
+def llm_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass: mask sensitive spans (digit runs stand in for
+    emails/phones/SSNs — the fixture corpus has no real PII) and report
+    per-doc mask statistics.
+
+    Pure Catalyst regex — JVM-side, codegen'd, no Python in the row
+    path; the pattern is the pluggable part. At 100 TB this is a
+    map-only pass: no shuffle, pushdown-friendly, output written back
+    partition-for-partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(F.col("text"), "[0-9]+", "#")
+    stripped = F.regexp_replace(F.col("text"), "[0-9]+", "")
+    return docs.select(
+        "doc_id",
+        F.length(masked).alias("masked_chars"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("([0-9]+)"), 1)
+        ).alias("n_spans"),
+        (F.length("text") - F.length(stripped)).alias("masked_digits"),
+    )

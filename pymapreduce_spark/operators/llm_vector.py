@@ -462,3 +462,47 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               embedding::DOUBLE[] AS e,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * 127)::BIGINT) AS qv
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           len(qv) AS n_dims,
+           list_aggregate(qv, 'sum') AS q_sum,
+           list_aggregate(qv, 'min') AS q_min,
+           list_aggregate(qv, 'max') AS q_max
+    FROM q
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style embedding quantization: floor(x·127) per dimension —
+    the storage-compression step a 100 TB vector corpus needs (4 bytes →
+    1 byte per dim before ANN indexing).
+
+    floor (not round) is deliberate: round-half ties on binary doubles
+    differ between engines (SURVEY §5.4), floor doesn't. All checked
+    outputs are exact int64 folds over the quantized vector; the
+    quantized array itself is the payload a real pipeline would write."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: F.floor(x * 127).cast("bigint"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )
