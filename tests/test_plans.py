@@ -223,3 +223,19 @@ def test_q15_max_revenue_is_broadcast_not_collect(spark, sf_dir):
     DAG, no driver-side materialization of the aggregate."""
     plan = plan_of("q15_top_supplier", spark, sf_dir)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_multimodal_ops_prune_payload_scan(spark, sf_dir):
+    """The payload pipeline reads only (doc_id, text) — at 100 TB the
+    scan is the dominant cost and must not drag lang/source/n_chars."""
+    for op in ("llm_frame_sample", "llm_pii_mask"):
+        plan = plan_of(op, spark, sf_dir)
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, op
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Sequence packing is one per-shard window: exactly one exchange,
+    partitioned by source — no global sort."""
+    plan = plan_of("llm_pack_sequences", spark, sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
