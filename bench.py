@@ -47,6 +47,14 @@ HEADLINE = {
     "q18": "q18_large_volume",
     "q19": "q19_discounted_revenue",
     "q22": "q22_sales_opportunity",
+    "q2": "q2_min_cost_supplier",
+    "q4": "q4_order_priority",
+    "q9": "q9_product_profit",
+    "q11": "q11_important_stock",
+    "q12": "q12_shipping_priority_class",
+    "q16": "q16_supplier_part_count",
+    "q20": "q20_dominant_supplier",
+    "q21": "q21_suppliers_kept_waiting",
     "salted_agg": "agg_salted_twophase",
     "bucketed_join": "join_bucketed",
 }

@@ -37,6 +37,7 @@ from pymapreduce_spark.operators import (  # noqa: F401
     jobapi,
     scale,
     tpch,
+    tpch2,
 )
 from pymapreduce_spark.api import MapReduceJob  # noqa: F401
 from pymapreduce_spark.sources import scans  # noqa: F401

@@ -239,3 +239,25 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir):
     plan = plan_of("llm_pack_sequences", spark, sf_dir)
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    """The EXISTS subquery shape must plan as a semi join, not a
+    distinct-then-inner-join (which would add a shuffle)."""
+    plan = plan_of("q4_order_priority", spark, sf_dir)
+    assert "LeftSemi" in plan, plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    """The NOT IN exclusion is a tiny supplier subset — it must ship as
+    a broadcast anti join, never a shuffle."""
+    plan = plan_of("q16_supplier_part_count", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q21_decorrelation_scans_lineitem_twice(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair is decorrelated into ONE per-order
+    aggregate: lineitem appears exactly twice in the plan (failed rows +
+    order stats), not three times as the literal self-join form would."""
+    plan = plan_of("q21_suppliers_kept_waiting", spark, sf_dir)
+    assert plan.count("lineitem.parquet") == 2, plan
