@@ -57,6 +57,7 @@ HEADLINE = {
     "q21": "q21_suppliers_kept_waiting",
     "salted_agg": "agg_salted_twophase",
     "bucketed_join": "join_bucketed",
+    "range_pairs": "join_range_binned",
 }
 
 

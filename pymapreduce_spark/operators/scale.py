@@ -121,3 +121,97 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT count(*) AS n_pairs
+    FROM events a, events b
+    WHERE a.event_id < b.event_id
+      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < 60000000
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join without a cross join: count event pairs that
+    occur within 60 s of each other, across ALL users (no equi key).
+
+    Technique: bin both sides to 60 s buckets, explode the probe side to
+    its bucket ±1, equi-join on bucket, then apply the exact residual
+    predicate. A qualifying pair's bins differ by at most 1, so exactly
+    one probe copy matches — no dedup pass needed. The shuffle is an
+    ordinary hash exchange on the bin; at 100 TB cost is 3× the probe
+    rows instead of the O(N²) nested loop Catalyst would otherwise plan
+    for a keyless range predicate, and per-bucket skew is bounded by the
+    event rate per minute. µs values are exact on both engines (io.py's
+    integer ``div 1000``), so the threshold cannot tie-break differently.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    width = 60_000_000  # 60 s in µs
+    binned = ev.withColumn("bin", F.floor(F.col("us") / width))
+    probe = binned.select(
+        F.col("event_id").alias("a_id"),
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("probe_bin"),
+    )
+    build = binned.select(
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        F.col("bin").alias("b_bin"),
+    )
+    return (
+        probe.join(
+            build,
+            (probe.probe_bin == build.b_bin)
+            & (probe.a_id < build.b_id)
+            & (F.abs(probe.a_us - build.b_us) < width),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH sampled AS (
+        SELECT lang, n_chars,
+               ascii(substring(md5(doc_id::VARCHAR), 1, 1)) % 10 AS bucket
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM sampled
+    WHERE (lang = 'en' AND bucket < 5) OR (lang <> 'en' AND bucket < 2)
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: ~50% of English docs, ~20% of
+    every other language — per-stratum rates off one md5 hash bucket.
+    Unlike ``df.sampleBy`` (rand()-seeded, partition-order sensitive,
+    banned by SURVEY §5.4.5) the hash sample is reproducible across
+    reruns, engines, and repartitioning — at 100 TB that makes the
+    sample join-stable: sampling the SAME ids from two tables yields
+    aligned subsets."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.ascii(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        )
+        % 10
+    )
+    keep = ((F.col("lang") == "en") & (bucket < 5)) | (
+        (F.col("lang") != "en") & (bucket < 2)
+    )
+    return (
+        docs.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

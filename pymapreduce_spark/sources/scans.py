@@ -366,3 +366,29 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("_corrupt_record").alias("n_corrupt"),
     )
+
+
+@query(
+    "sink_orc",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + read-back: the second columnar format the engine
+    writes. ORC self-describes (types survive the round trip exactly —
+    no schema redeclaration like CSV) and its stripe statistics give the
+    same predicate-pushdown behavior as parquet row groups at scale."""
+    path = _scratch(sf_dir, "orders_orc")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(path)
+    back = spark.read.orc(path)
+    from pymapreduce_spark.functions.checked import cents
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(cents("o_totalprice")) / 100.0).alias("total_price"),
+    )

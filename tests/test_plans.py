@@ -261,3 +261,14 @@ def test_q21_decorrelation_scans_lineitem_twice(spark, sf_dir):
     order stats), not three times as the literal self-join form would."""
     plan = plan_of("q21_suppliers_kept_waiting", spark, sf_dir)
     assert plan.count("lineitem.parquet") == 2, plan
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The keyless 60s-proximity pair count must run as a hash join on
+    the time bin — never the O(N^2) nested-loop Catalyst plans for a
+    bare range predicate."""
+    plan = plan_of("join_range_binned", spark, sf_dir)
+    keyed = ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    assert any(j in plan for j in keyed), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
