@@ -57,11 +57,14 @@ from pymapreduce_spark.registry import query
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest European supplier per qualifying part —
-    the correlated MIN subquery, decorrelated into aggregate-then-join
+    the correlated MIN subquery, decorrelated into a per-part window min
     (per-(part,supplier) offer prices from lineitem stand in for
-    partsupp). The min-price side is derived from the SAME offers
-    aggregate, so the shuffle output is reused; the tie comparison runs
-    on exact integer cents."""
+    partsupp). Both selective dims broadcast-filter lineitem before the
+    aggregation, and the min rides a window over the aggregate's own
+    partkey partitioning — one fact scan, one shuffle, no join-back.
+    The tie comparison runs on exact integer cents."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -77,17 +80,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(cents("l_extendedprice")).alias("price_c")
-    )
-    eu_offers = offers.join(F.broadcast(eu_supp), offers.l_suppkey == F.col("s_suppkey"))
-    best = eu_offers.groupBy(F.col("l_partkey").alias("best_part")).agg(
-        F.min("price_c").alias("min_c")
-    )
+    # Qualifying parts and EU suppliers filter lineitem BEFORE the
+    # aggregation — at 100 TB the offers shuffle shrinks ~300× vs
+    # aggregating every part and filtering at the end.
     qualifying = part.where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    eu_offers = (
+        li.join(F.broadcast(qualifying), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents("l_extendedprice")).alias("price_c"))
+    )
+    # hash(l_partkey) satisfies both the (partkey, suppkey) clustering of
+    # the aggregate AND the window's partitioning — one exchange feeds
+    # both, no join-back.
+    min_c = F.min("price_c").over(Window.partitionBy("l_partkey"))
     return (
-        eu_offers.join(best, (F.col("l_partkey") == F.col("best_part"))
-                       & (F.col("price_c") == F.col("min_c")))
+        eu_offers.withColumn("min_c", min_c)
+        .where(F.col("price_c") == F.col("min_c"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(qualifying), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             (cents("s_acctbal") / 100.0).alias("s_acctbal"),
@@ -392,32 +403,46 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     nsupp = countDistinct(supplier), nfail = countDistinct(supplier
     with a failed line). For an l1 row that is itself failed:
     'another supplier exists' ⟺ nsupp > 1, and 'no OTHER supplier
-    failed' ⟺ nfail = 1. One extra shuffle replaces two self-joins —
-    at 100 TB that's one pass over lineitem instead of three. Adapted:
-    returnflag='R' stands in for receipt-after-commit."""
+    failed' ⟺ nfail = 1. The same aggregate also carries
+    (fail_supp, n_fail_rows), so the l1 rows themselves never need to
+    be re-joined: lineitem is scanned ONCE, vs three times in the
+    literal self-join form. Adapted: returnflag='R' stands in for
+    receipt-after-commit."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    ord_stats = li.groupBy(F.col("l_orderkey").alias("stat_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("nsupp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("nfail"),
+    is_fail = F.col("l_returnflag") == "R"
+    # One pass over lineitem, two-level aggregate: the per-(order,
+    # supplier) rollup makes both COUNT(DISTINCT supplier) counts plain
+    # COUNTs — no Expand (which would triple the shuffle rows) — and
+    # hash(l_orderkey) pre-partitioning lets both levels share one
+    # exchange. When nfail == 1 every failed row in the order belongs
+    # to ONE supplier, so (fail_supp, n_fail_rows) fully replaces the
+    # join back to the failed l1 rows.
+    per_supp = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(is_fail, 1).otherwise(0)).alias("supp_fail_rows"))
+    )
+    supp_failed = F.col("supp_fail_rows") > 0
+    ord_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("nsupp"),
+        F.count(F.when(supp_failed, 1)).alias("nfail"),
+        F.sum("supp_fail_rows").alias("n_fail_rows"),
+        F.max(F.when(supp_failed, F.col("l_suppkey"))).alias("fail_supp"),
     )
     nation1 = nation.where(F.col("n_name") == "NATION_1")
-    failed = li.where(F.col("l_returnflag") == "R")
     return (
-        failed.join(ord_stats, failed.l_orderkey == F.col("stat_orderkey"))
-        .where((F.col("nsupp") > 1) & (F.col("nfail") == 1))
+        ord_stats.where((F.col("nsupp") > 1) & (F.col("nfail") == 1))
         .join(
             orders.where(F.col("o_orderstatus") == "F"),
-            failed.l_orderkey == orders.o_orderkey,
+            ord_stats.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(supplier), failed.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supplier), F.col("fail_supp") == supplier.s_suppkey)
         .join(F.broadcast(nation1), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_fail_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

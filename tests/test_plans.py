@@ -255,12 +255,13 @@ def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
-def test_q21_decorrelation_scans_lineitem_twice(spark, sf_dir):
+def test_q21_decorrelation_scans_lineitem_once(spark, sf_dir):
     """The EXISTS/NOT-EXISTS pair is decorrelated into ONE per-order
-    aggregate: lineitem appears exactly twice in the plan (failed rows +
-    order stats), not three times as the literal self-join form would."""
+    aggregate that also carries (fail_supp, n_fail_rows): lineitem
+    appears exactly once in the plan, not three times as the literal
+    self-join form would."""
     plan = plan_of("q21_suppliers_kept_waiting", spark, sf_dir)
-    assert plan.count("lineitem.parquet") == 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_range_binned_join_is_hash_not_nested_loop(spark, sf_dir):
