@@ -38,6 +38,7 @@ from pymapreduce_spark.operators import (  # noqa: F401
     scale,
     tpch,
     tpch2,
+    graph,
 )
 from pymapreduce_spark.api import MapReduceJob  # noqa: F401
 from pymapreduce_spark.sources import scans  # noqa: F401
