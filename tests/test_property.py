@@ -142,3 +142,167 @@ def test_random_filter_agg_matches_duckdb(p, group, spark, duck, events_df):
         ).fetchall()
     }
     assert got == want, f"pred={p.sql()} group={group}"
+
+
+# --- random join shapes over orders × customer ------------------------
+
+order_pred = st.builds(
+    NumCmp,
+    col=st.sampled_from(["o_totalprice", "o_custkey"]),
+    op=st.sampled_from(NUM_OPS),
+    const=st.integers(min_value=0, max_value=5000),
+)
+cust_pred = st.builds(
+    NumCmp,
+    col=st.sampled_from(["c_acctbal", "c_nationkey"]),
+    op=st.sampled_from(NUM_OPS),
+    const=st.integers(min_value=-5000, max_value=10000),
+)
+
+
+@pytest.fixture(scope="module")
+def orders_df(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def customer_df(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer").persist()
+    df.count()
+    return df
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(po=order_pred, pc=cust_pred, how=st.sampled_from(["inner", "left"]))
+def test_random_join_matches_duckdb(
+    po, pc, how, spark, duck, orders_df, customer_df
+):
+    o = orders_df.where(po.spark())
+    c = customer_df.where(pc.spark())
+    got = {
+        tuple(r)
+        for r in o.join(c, o.o_custkey == c.c_custkey, how)
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("st"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("sb"),
+        )
+        .collect()
+    }
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT count(*) AS n,
+                   sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS st,
+                   sum(round(c_acctbal * 100)::BIGINT) / 100.0 AS sb
+            FROM (SELECT * FROM orders WHERE {po.sql()}) o
+            {jt} (SELECT * FROM customer WHERE {pc.sql()}) c
+              ON o.o_custkey = c.c_custkey
+            """
+        ).fetchall()
+    }
+    assert got == want, f"po={po.sql()} pc={pc.sql()} how={how}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(po=order_pred, pc=cust_pred, anti=st.booleans())
+def test_random_semi_anti_join_matches_duckdb(
+    po, pc, anti, spark, duck, orders_df, customer_df
+):
+    o = orders_df.where(po.spark())
+    c = customer_df.where(pc.spark())
+    how = "left_anti" if anti else "left_semi"
+    got = {
+        tuple(r)
+        for r in o.join(c, o.o_custkey == c.c_custkey, how)
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("st"),
+        )
+        .collect()
+    }
+    ex = "NOT EXISTS" if anti else "EXISTS"
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT count(*) AS n,
+                   sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS st
+            FROM orders WHERE {po.sql()}
+              AND {ex} (SELECT 1 FROM customer
+                        WHERE {pc.sql()} AND c_custkey = o_custkey)
+            """
+        ).fetchall()
+    }
+    assert got == want, f"po={po.sql()} pc={pc.sql()} anti={anti}"
+
+
+# --- random window shapes over orders ---------------------------------
+
+WINDOW_FNS = ["row_number", "lag1", "lead2", "runsum_all", "runsum_3"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fn=st.sampled_from(WINDOW_FNS), po=order_pred)
+def test_random_window_matches_duckdb(fn, po, spark, duck, orders_df):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tp = cents("o_totalprice")
+    spark_col = {
+        "row_number": F.row_number().over(w).cast("long"),
+        "lag1": F.lag(tp, 1).over(w) / 100.0,
+        "lead2": F.lead(tp, 2).over(w) / 100.0,
+        "runsum_all": F.sum(tp).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        / 100.0,
+        "runsum_3": F.sum(tp).over(w.rowsBetween(-3, 0)) / 100.0,
+    }[fn]
+    got = {
+        tuple(r)
+        for r in orders_df.where(po.spark())
+        .select("o_orderkey", spark_col.alias("w"))
+        .collect()
+    }
+    over = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    tp_sql = "round(o_totalprice * 100)::BIGINT"
+    sql_col = {
+        "row_number": f"row_number() {over})",
+        "lag1": f"lag({tp_sql}, 1) {over}) / 100.0",
+        "lead2": f"lead({tp_sql}, 2) {over}) / 100.0",
+        "runsum_all": (
+            f"sum({tp_sql}) {over} ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) / 100.0"
+        ),
+        "runsum_3": (
+            f"sum({tp_sql}) {over} ROWS BETWEEN 3 PRECEDING"
+            " AND CURRENT ROW) / 100.0"
+        ),
+    }[fn]
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT o_orderkey, {sql_col} AS w FROM orders WHERE {po.sql()}"
+        ).fetchall()
+    }
+    assert got == want, f"fn={fn} po={po.sql()}"
