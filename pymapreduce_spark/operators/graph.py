@@ -125,3 +125,89 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(nn1)
     return comp.groupBy("component").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH d AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    nn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM d) WHERE rn = 1
+    ),
+    s0 AS (SELECT src AS node, 1::BIGINT AS s FROM nn),
+    s1 AS (SELECT s0.node, 3 + 17 * coalesce(inc.m, 0) AS s
+           FROM s0 LEFT JOIN (SELECT e.dst AS node, sum(s0.s) AS m
+                              FROM nn e JOIN s0 ON s0.node = e.src
+                              GROUP BY e.dst) inc USING (node)),
+    s2 AS (SELECT s1.node, 60 + 17 * coalesce(inc.m, 0) AS s
+           FROM s1 LEFT JOIN (SELECT e.dst AS node, sum(s1.s) AS m
+                              FROM nn e JOIN s1 ON s1.node = e.src
+                              GROUP BY e.dst) inc USING (node)),
+    s3 AS (SELECT s2.node, 1200 + 17 * coalesce(inc.m, 0) AS s
+           FROM s2 LEFT JOIN (SELECT e.dst AS node, sum(s2.s) AS m
+                              FROM nn e JOIN s2 ON s2.node = e.src
+                              GROUP BY e.dst) inc USING (node)),
+    s4 AS (SELECT s3.node, 24000 + 17 * coalesce(inc.m, 0) AS s
+           FROM s3 LEFT JOIN (SELECT e.dst AS node, sum(s3.s) AS m
+                              FROM nn e JOIN s3 ON s3.node = e.src
+                              GROUP BY e.dst) inc USING (node)),
+    s5 AS (SELECT s4.node, 480000 + 17 * coalesce(inc.m, 0) AS s
+           FROM s4 LEFT JOIN (SELECT e.dst AS node, sum(s4.s) AS m
+                              FROM nn e JOIN s4 ON s4.node = e.src
+                              GROUP BY e.dst) inc USING (node))
+    SELECT node, s AS pr_scaled FROM s5
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, damping 0.85) over the 1-NN similarity
+    graph — the second iterative-algorithm class, and it still carries
+    an EXACT oracle: because every node has out-degree exactly 1, the
+    per-step update r' = 0.15 + 0.85·Σ r_in stays rational with
+    denominator 20^t, so ranks are carried as scaled BIGINTs
+    (S_{t+1} = 3·20^t + 17·Σ S_in) and the final S_5 = r_5·20^5 is
+    integer-exact in both engines — no FP summation-order hazard at
+    all. The oracle unrolls the same five steps as chained CTEs.
+
+    Scale: each step is one join + one aggregate on (edges ⋈ ranks) —
+    the standard iterative-DataFrame shape; lineage is cut per step.
+    True degree-weighted PageRank swaps the constant 17 for
+    17·S/outdeg with a precomputed out-degree table."""
+    from pymapreduce_spark.operators.llm_vector import llm_knn_self_join
+
+    nn1 = (
+        llm_knn_self_join(spark, sf_dir)
+        .where(F.col("nn_rank") == 1)
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nn1.select(F.col("src").alias("node")).withColumn(
+        "s", F.lit(1).cast("long")
+    )
+    for t in range(5):
+        inc = (
+            nn1.join(ranks, nn1.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("m"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(inc, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(3 * 20**t) + 17 * F.coalesce("m", F.lit(0))
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("s").alias("pr_scaled"))
