@@ -688,3 +688,67 @@ def llm_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_spans"),
         (F.length("text") - F.length(stripped)).alias("masked_digits"),
     )
+
+
+@query(
+    "llm_decontaminate",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(words) - 3),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2],
+                                  words[i+3], words[i+4]))) AS shingles
+        FROM (SELECT doc_id, source, str_split(text, ' ') AS words
+              FROM documents)
+    ),
+    ev AS (SELECT doc_id, unnest(shingles) AS g FROM sh
+           WHERE source = 'src0'),
+    tr AS (SELECT doc_id, unnest(shingles) AS g FROM sh
+           WHERE source <> 'src0')
+    SELECT tr.doc_id, count(DISTINCT ev.doc_id) AS n_eval_docs,
+           count(DISTINCT tr.g) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs (source ≠
+    'src0') that share any 5-word shingle with the eval set (source =
+    'src0'), with how many eval docs and how many distinct shingles
+    they collide on — the decontamination pass every LLM training
+    pipeline runs before training.
+
+    Shape: explode distinct shingles on both sides, equi-join on the
+    shingle, aggregate per training doc. The eval side is the SMALL
+    side (one source of 20) — at 100 TB it broadcasts and the training
+    corpus streams through in one pass, no shuffle of the big side.
+    Catalyst sees an ordinary broadcast join; the 10⁶×-hot shingle
+    hazard (boilerplate phrases) is bounded here because shingles are
+    per-doc distinct; in production add a doc-frequency cap on the eval
+    shingle table before broadcasting (it only shrinks the small side).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        """
+        CASE WHEN size(words) >= 5 THEN
+            array_distinct(transform(sequence(0, size(words) - 5),
+                i -> concat_ws(' ', words[i], words[i+1], words[i+2],
+                               words[i+3], words[i+4])))
+        ELSE array() END
+        """
+    )
+    sh = docs.withColumn("words", F.split("text", " ")).select(
+        "doc_id", "source", F.explode(shingles).alias("g")
+    )
+    ev = sh.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    tr = sh.where(F.col("source") != "src0").select("doc_id", "g")
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+            F.count_distinct("g").alias("n_shared_shingles"),
+        )
+    )
