@@ -58,6 +58,9 @@ HEADLINE = {
     "salted_agg": "agg_salted_twophase",
     "bucketed_join": "join_bucketed",
     "range_pairs": "join_range_binned",
+    "decontaminate": "llm_decontaminate",
+    "pagerank": "graph_pagerank",
+    "connected_components": "graph_components",
 }
 
 

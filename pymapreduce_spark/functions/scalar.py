@@ -437,3 +437,28 @@ def fn_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count_distinct("gen_id").alias("n_distinct_ids"),
     )
+
+
+@query(
+    "fn_binary",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(p_name::BLOB) AS name_b64,
+           hex(p_name) AS name_hex,
+           bit_length(p_name) AS name_bits,
+           octet_length(p_name::BLOB) AS name_bytes
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding family: base64, hex, bit/octet length — the
+    string↔bytes bridge (UTF-8 via encode; both engines emit uppercase
+    hex and padded standard base64, verified)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") <= 100).select(
+        "p_partkey",
+        F.base64(F.encode("p_name", "UTF-8")).alias("name_b64"),
+        F.hex(F.col("p_name")).alias("name_hex"),
+        F.bit_length("p_name").alias("name_bits"),
+        F.octet_length("p_name").alias("name_bytes"),
+    )

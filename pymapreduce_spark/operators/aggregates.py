@@ -429,3 +429,37 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_daily_sketches"),
         )
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT user_id % 100 AS bucket, event_type, count(*) AS n
+        FROM events GROUP BY bucket, event_type
+    )
+    SELECT bucket, event_type AS mode_type, n
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY bucket ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent event_type per user bucket,
+    ties broken by value order. Spark's F.mode (and DuckDB's mode())
+    pick an ARBITRARY survivor on ties — SURVEY §5.4.4 bans that in
+    checked output, so mode is rebuilt as count + rank with a total
+    tie-break: two shuffles, both partial-aggregated map-side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.col("user_id") % 100).alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("bucket", F.col("event_type").alias("mode_type"), "n")
+    )
