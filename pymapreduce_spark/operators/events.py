@@ -282,3 +282,65 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.where(F.col("side") == 1).select(
         "event_id", "user_id", "ts", "next_view_id", "next_view_ts"
     )
+
+
+@query(
+    "ts_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS lo,
+               date_trunc('hour', max(ts::TIMESTAMP)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM b
+    ),
+    types AS (SELECT DISTINCT event_type AS et FROM events),
+    counts AS (
+        SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type AS et,
+               count(*) AS n
+        FROM events GROUP BY h, et
+    )
+    SELECT grid.h::TIMESTAMP AS hour, types.et AS event_type,
+           coalesce(counts.n, 0) AS n_events
+    FROM grid CROSS JOIN types
+    LEFT JOIN counts ON counts.h = grid.h AND counts.et = types.et
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid per event type with
+    empty buckets zero-filled — the resample step before any
+    rate/anomaly computation (a plain GROUP BY silently drops empty
+    hours). Grid bounds come from the data via aggregate-then-broadcast
+    (one row), the grid itself from `sequence(lo, hi, 1 hour)` exploded
+    — generated distributed, never a driver-side loop; the counts join
+    is a broadcast of the small aggregated side onto the grid."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.col("event_type").alias("et"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(
+            F.broadcast(counts),
+            (F.col("h") == F.col("hour")) & (counts.et == types.et),
+            "left",
+        )
+        .select(
+            "hour",
+            types.et.alias("event_type"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )

@@ -752,3 +752,44 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("g").alias("n_shared_shingles"),
         )
     )
+
+
+@query(
+    "llm_topk_ngrams",
+    oracle="""
+    WITH w AS (SELECT str_split(text, ' ') AS words FROM documents),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(words)),
+                   i -> concat_ws(' ', words[i], words[i+1]))) AS bigram
+        FROM w
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 100
+    """,
+)
+def llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-100 bigrams — the vocabulary/merge-table builder (BPE
+    seeding, phrase mining). explode → count → TakeOrderedAndProject:
+    the top-k never materializes a global sort, and the count is
+    partial-aggregated map-side so the shuffle carries one row per
+    distinct bigram per task, not one per occurrence. Tie-break on the
+    bigram itself keeps the cut deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        """
+        CASE WHEN size(words) >= 2 THEN
+            transform(sequence(0, size(words) - 2),
+                i -> concat_ws(' ', words[i], words[i+1]))
+        ELSE array() END
+        """
+    )
+    return (
+        docs.withColumn("words", F.split("text", " "))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(100)
+    )
