@@ -73,19 +73,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key, op in HEADLINE.items():
-        fn = registry.QUERIES[op]
-        fn(spark, SF_DIR).collect()  # warm-up: codegen + file listing
-        # Each timed run builds a FRESH plan: re-collecting a prebuilt
-        # DataFrame lets the DAGScheduler skip map stages whose shuffle
-        # outputs still exist, which under-reports by up to 10×. Fresh
-        # plans force full scan→shuffle→result execution every run.
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            runs.append(time.perf_counter() - t0)
-        timings[key] = round(statistics.median(runs), 4)
+        # One failing query must not take down the whole benchmark —
+        # the driver needs the JSON line either way.
+        try:
+            fn = registry.QUERIES[op]
+            fn(spark, SF_DIR).collect()  # warm-up: codegen + file listing
+            # Each timed run builds a FRESH plan: re-collecting a prebuilt
+            # DataFrame lets the DAGScheduler skip map stages whose shuffle
+            # outputs still exist, which under-reports by up to 10×. Fresh
+            # plans force full scan→shuffle→result execution every run.
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+                runs.append(time.perf_counter() - t0)
+            timings[key] = round(statistics.median(runs), 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
@@ -99,6 +105,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 
