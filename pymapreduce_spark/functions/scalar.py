@@ -462,3 +462,42 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_length("p_name").alias("name_bits"),
         F.octet_length("p_name").alias("name_bytes"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT s_nationkey, rn AS rank_pos,
+           round(s_acctbal * 100)::BIGINT / 100.0 AS bal, s_name
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY s_nationkey
+              ORDER BY round(s_acctbal * 100)::BIGINT DESC, s_name DESC
+          ) AS rn FROM supplier)
+    WHERE rn <= 3
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: named_struct build → collect → array_sort on
+    structs (lexicographic over fields — the sort key IS the field
+    order) → reverse+slice top-3 → posexplode → field access. The
+    oracle states the same semantics as a window top-k; comparing the
+    two proves the struct pipeline preserves (order, fields) exactly.
+    Final output is flattened to scalars — struct columns never cross
+    the engine-comparison boundary."""
+    from pymapreduce_spark.functions.checked import cents
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    st = F.struct(
+        cents("s_acctbal").alias("bal"), F.col("s_name").alias("name")
+    )
+    agg = supplier.groupBy("s_nationkey").agg(
+        F.slice(F.reverse(F.array_sort(F.collect_list(st))), 1, 3).alias("arr")
+    )
+    return agg.select(
+        "s_nationkey", F.posexplode("arr").alias("pos", "st")
+    ).select(
+        "s_nationkey",
+        (F.col("pos") + 1).alias("rank_pos"),
+        (F.col("st.bal") / 100.0).alias("bal"),
+        F.col("st.name").alias("s_name"),
+    )

@@ -344,3 +344,43 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "ts_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase'
+                      THEN round(value * 100)::BIGINT END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts::TIMESTAMP, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 100.0 AS last_purchase_value
+    FROM events
+    """,
+)
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every event
+    carries the value of the user's most recent *purchase* — the
+    as-of-enrichment most feature pipelines need, done as one window
+    (`last(..., ignorenulls=True)` over an unbounded-preceding frame)
+    instead of a self as-of join: one shuffle on user_id, no join at
+    all. Tie-break on event_id makes the fill order total; the filled
+    value rides integer cents so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.last(purchase_cents, ignorenulls=True).over(w) / 100.0).alias(
+            "last_purchase_value"
+        ),
+    )
