@@ -273,3 +273,25 @@ def test_range_binned_join_is_hash_not_nested_loop(spark, sf_dir):
     assert any(j in plan for j in keyed), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_forward_fill_is_single_exchange_no_join(spark, sf_dir):
+    """LOCF must be one window over user_id — one exchange, zero joins
+    (the naive formulation is a self as-of join)."""
+    plan = plan_of("ts_forward_fill", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle table is the small side and must broadcast —
+    the training corpus streams through without shuffling."""
+    plan = plan_of("llm_decontaminate", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_ngrams_uses_take_ordered(spark, sf_dir):
+    """Top-100 bigrams must plan TakeOrderedAndProject — never a global
+    sort of the full bigram distribution."""
+    plan = plan_of("llm_topk_ngrams", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
