@@ -463,3 +463,34 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("bucket", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT floor(value / 50.0)::BIGINT AS bucket,
+           count(*) AS n,
+           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = ⌊value/50⌋) over purchase
+    events — the distribution profile that feeds skew detection and
+    bucket-boundary planning. One partial-aggregated shuffle keyed by
+    bucket; bucket ids are exact integer floors so both engines bin
+    identically (fixture values are 2-decimal, never AT a boundary
+    within double error)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.floor(F.col("value") / 50.0).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+    )

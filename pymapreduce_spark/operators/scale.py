@@ -215,3 +215,28 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "sample_fixed_k",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY md5(doc_id::VARCHAR), doc_id
+    LIMIT 50
+    """,
+)
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample, reproducibly: order by a hash of the
+    id and take the first k — the deterministic distributed stand-in
+    for reservoir sampling (rand() reservoirs are partition-order
+    dependent, banned by SURVEY §5.4.5). Plans as
+    TakeOrderedAndProject: each partition keeps its local top-k by
+    hash, the driver merges k·partitions candidates — no global sort,
+    no second pass, and the same 50 docs come back at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+        .limit(50)
+    )

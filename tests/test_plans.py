@@ -295,3 +295,10 @@ def test_topk_ngrams_uses_take_ordered(spark, sf_dir):
     sort of the full bigram distribution."""
     plan = plan_of("llm_topk_ngrams", spark, sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fixed_k_sample_is_take_ordered(spark, sf_dir):
+    """Hash-ordered exactly-k sampling must plan TakeOrderedAndProject
+    (per-partition local top-k), never a global sort."""
+    plan = plan_of("sample_fixed_k", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
