@@ -199,3 +199,39 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 5)
     )
+
+
+@query(
+    "win_distinct_running",
+    oracle="""
+    SELECT event_id, user_id,
+           len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts::TIMESTAMP, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+               AS n_types_seen
+    FROM events
+    WHERE user_id < 200
+    """,
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — how many distinct event types
+    each user has produced so far. Neither engine allows DISTINCT
+    aggregates in a window frame, so both sides use the same identity:
+    size(array_distinct(collect_list(x) over frame)). State per row is
+    bounded by the type-domain cardinality (5 here), so the frame array
+    never grows past it after dedup — at scale, cap the frame or switch
+    to a transformWithState stream for unbounded domains."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.where(F.col("user_id") < 200).select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "n_types_seen"
+        ),
+    )
