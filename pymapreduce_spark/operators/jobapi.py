@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymapreduce_spark.api import MapReduceJob
+from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
 
@@ -80,3 +81,103 @@ def api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return job.to_df()
+
+
+@query(
+    "api_reduce_side_join",
+    oracle="""
+    SELECT n_name, count(s_suppkey) AS n_suppliers,
+           coalesce(sum(round(s_acctbal * 100)::BIGINT), 0) / 100.0
+               AS total_bal
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def api_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classical MapReduce reduce-side join, written AS a MapReduce
+    program on the facade: both inputs map to a common (key, tag,
+    payload) shape, union into one stream, and the reducer sees each
+    key's full tagged group — exactly the textbook repartition-join.
+    The declarative twin is join_inner_equi/join_left; this exists to
+    prove the facade expresses the reference's join idiom verbatim.
+    (Spark executes it as one shuffle on the key — same exchange count
+    as the declarative join, minus broadcast opportunities: on 100 TB
+    prefer the DataFrame join and let AQE pick the strategy.)"""
+    sup = MapReduceJob.from_table(spark, sf_dir, "supplier").map(
+        lambda r: {
+            "key": int(r["s_nationkey"]),
+            "tag": "s",
+            "name": "",
+            "bal_cents": int(round(r["s_acctbal"] * 100)),
+        },
+        schema="key long, tag string, name string, bal_cents long",
+    )
+    nat = MapReduceJob.from_table(spark, sf_dir, "nation").map(
+        lambda r: {
+            "key": int(r["n_nationkey"]),
+            "tag": "n",
+            "name": r["n_name"],
+            "bal_cents": 0,
+        },
+        schema="key long, tag string, name string, bal_cents long",
+    )
+    tagged = MapReduceJob.from_df(sup.to_df().unionByName(nat.to_df()))
+
+    def join_reducer(key, rows):
+        names = rows.loc[rows["tag"] == "n", "name"]
+        sups = rows[rows["tag"] == "s"]
+        return {
+            "n_name": names.iloc[0],
+            "n_suppliers": int(len(sups)),
+            "total_bal": int(sups["bal_cents"].sum()) / 100.0,
+        }
+
+    return tagged.reduce_by_key(
+        ["key"],
+        join_reducer,
+        schema="n_name string, n_suppliers long, total_bal double",
+    ).to_df()
+
+
+@query(
+    "api_map_side_join",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers,
+           sum(round(s_acctbal * 100)::BIGINT) / 100.0 AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def api_map_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classical MapReduce map-side join: the small table ships to
+    every mapper as a broadcast dict (the distributed cache) and the
+    join is a lookup inside the map function — no shuffle for the join
+    at all; the only exchange is the final aggregation. This is the
+    Python-closure variant of the facade's declarative `join_cached`
+    (which Catalyst would plan as a BroadcastHashJoin); the dict lookup
+    here crosses the Arrow boundary, so on 100 TB prefer join_cached —
+    the pattern parity, not the lookup, is the point."""
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()  # 25-row dim: aggregate-then-broadcast side data
+    )
+    bc = spark.sparkContext.broadcast(
+        {int(r.n_nationkey): r.n_name for r in nation}
+    )
+    return (
+        MapReduceJob.from_table(spark, sf_dir, "supplier")
+        .map(
+            lambda r: {
+                "n_name": bc.value[int(r["s_nationkey"])],
+                "bal_cents": int(round(r["s_acctbal"] * 100)),
+            },
+            schema="n_name string, bal_cents long",
+        )
+        .reduce_agg(
+            ["n_name"],
+            F.count("*").alias("n_suppliers"),
+            (F.sum("bal_cents") / 100.0).alias("total_bal"),
+        )
+        .to_df()
+    )
