@@ -804,3 +804,41 @@ def llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(100)
     )
+
+
+@query(
+    "llm_inverted_index",
+    oracle="""
+    WITH postings AS (
+        SELECT word, list_sort(list(DISTINCT doc_id)) AS docs
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word
+    )
+    SELECT word, len(docs) AS n_docs,
+           docs[1] AS first_doc, docs[len(docs)] AS last_doc,
+           docs[1:5] AS head_docs
+    FROM postings
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: word → sorted posting list of doc ids (the
+    retrieval-side structure a search/RAG pipeline builds from the
+    corpus). collect_set dedups within the aggregate, array_sort makes
+    the posting order deterministic (SURVEY §5.4.4). Output carries the
+    list head plus summary fields — at 100 TB postings are written
+    per-word-bucket to parquet, not returned; one shuffle keyed by
+    word, partial-aggregated map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+    )
+    return postings.select(
+        "word",
+        F.size("docs").alias("n_docs"),
+        F.element_at("docs", 1).alias("first_doc"),
+        F.element_at("docs", F.size("docs")).alias("last_doc"),
+        F.slice("docs", 1, 5).alias("head_docs"),
+    )
