@@ -494,3 +494,31 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(round(l_extendedprice * 100)::BIGINT
+                     * round(l_quantity * 100)::BIGINT)::DOUBLE
+                 / sum(round(l_quantity * 100)::BIGINT)::DOUBLE / 100.0,
+                 6) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the ratio-of-
+    sums aggregate (Σwx/Σw). Both sums stay exact integers (cents ×
+    centi-units) so the ONLY float operation is the final division,
+    rounded once; a naive avg(w*x) weights by row count and is simply
+    wrong, which is why this gets its own checked query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(cents("l_extendedprice") * cents("l_quantity"))
+    den = F.sum(cents("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            num.cast("double") / den.cast("double") / 100.0, 6
+        ).alias("wavg_price")
+    )
