@@ -61,6 +61,12 @@ HEADLINE = {
     "decontaminate": "llm_decontaminate",
     "pagerank": "graph_pagerank",
     "connected_components": "graph_components",
+    "token_count": "llm_token_count",
+    "unigram_logprob": "llm_unigram_logprob",
+    "ohlc_15m": "ts_resample_ohlc",
+    "scd2": "etl_scd2",
+    "heavy_hitters": "agg_heavy_hitters",
+    "kmeans_step": "llm_embed_centroid",
 }
 
 

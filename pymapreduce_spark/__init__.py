@@ -39,6 +39,7 @@ from pymapreduce_spark.operators import (  # noqa: F401
     tpch,
     tpch2,
     graph,
+    etl,
 )
 from pymapreduce_spark.api import MapReduceJob  # noqa: F401
 from pymapreduce_spark.sources import scans  # noqa: F401

@@ -522,3 +522,47 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double") / 100.0, 6
         ).alias("wavg_price")
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH f AS (
+        SELECT unnest(str_split(text, ' ')) AS word FROM documents
+    ), c AS (
+        SELECT word, count(*) AS cnt FROM f GROUP BY word
+    ), t AS (
+        SELECT sum(cnt)::DOUBLE AS total FROM c
+    )
+    SELECT word, cnt, round(cnt / total, 6) AS support
+    FROM c, t
+    WHERE cnt / total >= 0.005
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items / heavy-hitters with RELATIVE support: corpus
+    tokens carrying ≥ 0.5% of all token mass. Differs from top-k in that
+    the output size is data-dependent and the threshold needs the global
+    total — computed by a second tiny aggregate and broadcast back
+    (aggregate-then-broadcast, never a driver-side collect loop).
+
+    100 TB: the word counts partial-aggregate map-side; the global total
+    is one scalar crossJoin broadcast. For a one-pass approximate
+    variant under memory bounds, see `agg_hll_mergeable` (sketch
+    doctrine) — here exact counts are the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") / F.col("total") >= 0.005)
+        .select(
+            "word",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("support"),
+        )
+    )

@@ -384,3 +384,65 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_value"
         ),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, ts::TIMESTAMP AS tsu, event_id, value
+        FROM events
+    ), b AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '15 minutes', tsu) AS bucket,
+               tsu, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL '15 minutes', tsu)
+                   ORDER BY tsu, event_id
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL '15 minutes', tsu)
+                   ORDER BY tsu DESC, event_id DESC
+               ) AS rn_d
+        FROM e
+    )
+    SELECT event_type, bucket,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM b
+    GROUP BY event_type, bucket
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to 15-minute OHLC bars per event type —
+    the resample/rollup a metrics or market-data pipeline runs first.
+
+    Open/close are picked deterministically by (ts, event_id) struct
+    ordering inside a SINGLE groupBy — `min(struct(ts, event_id, value))`
+    is one partial-aggregable expression, so the whole bar build is one
+    map-side-combined shuffle on (event_type, bucket); no window, no
+    second scan. (The oracle spells the same pick with row_number
+    windows, which DuckDB evaluates identically.) Bucket keys are
+    epoch-aligned, so bars partition cleanly by time range at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "15 minutes").getField("start")
+    ordered = F.struct("ts", "event_id", "value")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), ordered.alias("o"),
+                  "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.min("o").getField("value"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max("o").getField("value"), 4).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -842,3 +842,92 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("docs", F.size("docs")).alias("last_doc"),
         F.slice("docs", 1, 5).alias("head_docs"),
     )
+
+
+# BPE-ish token pattern, GPT-2 style simplified to the subset Java regex
+# (Spark) and RE2 (DuckDB) evaluate identically: contractions, optionally
+# space-prefixed letter runs, digit runs, punctuation runs. Leftmost-first
+# alternation order is the same in both engines.
+_BPE_PATTERN = "('[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+)"
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id, lang,
+           len(str_split(text, ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(
+               text, '(''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+)', 1
+           )) AS n_tokens_bpe,
+           round(n_chars::DOUBLE / len(regexp_extract_all(
+               text, '(''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+)', 1
+           )), 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting two ways: whitespace words and a
+    BPE-ish regex tokenizer (contractions / space-prefixed letter runs /
+    digit runs / punctuation runs — the GPT-2 pattern restricted to the
+    Java∩RE2 regex subset so the oracle tokenizes identically).
+
+    chars-per-token is the compression-ratio signal curation pipelines
+    use to budget training tokens. Pure Catalyst string expressions —
+    no Python in the row path; embarrassingly parallel at 100 TB (no
+    shuffle at all: one scan, map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 1)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens_ws"),
+        F.size(bpe).alias("n_tokens_bpe"),
+        F.round(F.col("n_chars").cast("double") / F.size(bpe), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word
+        FROM documents
+    ), f AS (
+        SELECT word, count(*) AS c FROM w GROUP BY word
+    ), t AS (
+        SELECT sum(c)::DOUBLE AS n FROM f
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           round(avg(-log2(f.c / t.n)), 4) AS avg_neg_log2p
+    FROM w JOIN f USING (word), t
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train a corpus unigram LM
+    (one wordcount pass), then score each document by its mean negative
+    log2 word probability — the perplexity-style filter real curation
+    pipelines run (gibberish scores high, boilerplate scores low).
+
+    100 TB: the LM is aggregate-then-broadcast — the vocabulary after
+    the first groupBy is tiny relative to the corpus, so the per-word
+    probability join broadcasts; the scoring pass is then map-side only
+    plus one doc_id groupBy. Rounded to 4 decimals (FP summation order,
+    SURVEY §5.4.2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = words.join(F.broadcast(freq), "word").crossJoin(
+        F.broadcast(total)
+    )
+    neg_log2p = -F.log2(F.col("c") / F.col("n"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.round(F.avg(neg_log2p), 4).alias("avg_neg_log2p"),
+    )

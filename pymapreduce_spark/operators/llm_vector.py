@@ -506,3 +506,90 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(qv).alias("q_min"),
         F.array_max(qv).alias("q_max"),
     )
+
+
+@query(
+    "llm_embed_centroid",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label,
+               unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS c_label, i, avg(x) AS c
+        FROM pos GROUP BY label, i
+    ), dist AS (
+        SELECT p.vec_id, p.label, c.c_label,
+               sum((p.x - c.c) * (p.x - c.c)) AS d2
+        FROM pos p JOIN cent c ON p.i = c.i
+        GROUP BY p.vec_id, p.label, c.c_label
+    ), ranked AS (
+        SELECT vec_id, label, c_label, d2,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY round(d2, 6), c_label
+               ) AS rn
+        FROM dist
+    )
+    SELECT vec_id, label, c_label AS assigned_label,
+           round(d2, 4) AS dist2,
+           (label = c_label) AS is_own_centroid
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means step over the embedding corpus: compute the per-label
+    centroid, then assign every vector to its nearest centroid (squared
+    L2). The building block of embedding-space clustering / topic
+    bucketing in curation pipelines.
+
+    Centroids via posexplode → groupBy(label, dim) → avg — a partial-
+    aggregable shuffle whose output is k×dim rows (tiny) — re-collected
+    to arrays and BROADCAST to the assignment join: the corpus never
+    re-shuffles (aggregate-then-broadcast, 100 TB posture). Nearest
+    pick rounds d2 to 6 before ranking so FP summation-order ulps can't
+    flip the argmin between engines (SURVEY §5.4.2)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    cent = (
+        emb.select(
+            "label", F.posexplode("e").alias("i", "x")
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "c"))
+            ).alias("pairs")
+        )
+        .select(
+            "c_label",
+            F.transform(F.col("pairs"), lambda p: p.getField("c")).alias(
+                "ce"
+            ),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("ce"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            F.round("d2", 4).alias("dist2"),
+            (F.col("label") == F.col("c_label")).alias("is_own_centroid"),
+        )
+    )
