@@ -67,6 +67,9 @@ HEADLINE = {
     "scd2": "etl_scd2",
     "heavy_hitters": "agg_heavy_hitters",
     "kmeans_step": "llm_embed_centroid",
+    "snapshot_diff": "etl_snapshot_diff",
+    "chunking": "llm_chunk_documents",
+    "ewma": "ts_ewma",
 }
 
 

@@ -446,3 +446,68 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, ts::TIMESTAMP AS tsu, value
+        FROM events
+    ), framed AS (
+        SELECT event_id, event_type, value,
+               list(value) OVER (
+                   PARTITION BY event_type
+                   ORDER BY tsu DESC, event_id DESC
+                   ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING
+               ) AS vals
+        FROM e
+    )
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round(
+               list_dot_product(
+                   vals,
+                   list_transform(range(1, len(vals) + 1),
+                                  i -> 0.2 * pow(0.8, i - 1))
+               ) / (1 - pow(0.8, len(vals))), 4
+           ) AS ewma10
+    FROM framed
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.2) over each event
+    type's last 10 values — the smoothing pass a metrics pipeline runs
+    before anomaly thresholds.
+
+    The trailing frame is collected newest-first (ORDER BY ts DESC +
+    rows [0, 9] following ≡ the 10 most recent), so weights are the
+    fixed geometric series α·(1-α)^i and the normalizer has the closed
+    form (1-(1-α)^L) — one window, one array fold, no self-join. Both
+    engines fold the identical value order; round(4) absorbs FP ulps.
+    At 100 TB the window partitions by series key — no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.currentRow, 9)
+    )
+    vals = F.collect_list("value").over(w)
+    framed = ev.select(
+        "event_id", "event_type", "value", vals.alias("vals")
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.col("vals"),
+            F.sequence(F.lit(1), F.size("vals")),
+            lambda v, i: v * F.lit(0.2) * F.pow(F.lit(0.8), i - 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = 1 - F.pow(F.lit(0.8), F.size("vals"))
+    return framed.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(num / den, 4).alias("ewma10"),
+    )

@@ -214,3 +214,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("s").alias("pr_scaled"))
+
+
+@query(
+    "graph_degrees",
+    oracle="""
+    WITH d AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    nn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM d) WHERE rn = 1
+    ),
+    deg AS (
+        SELECT dst AS node, count(*) AS in_degree FROM nn GROUP BY dst
+    )
+    SELECT in_degree, count(*) AS n_nodes
+    FROM deg GROUP BY in_degree
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the 1-NN similarity graph: how many
+    vectors each vector is nearest-neighbor OF — the hubness diagnostic
+    run before trusting kNN-based dedup/labeling (high-hubness spaces
+    skew both). Nodes nobody points at don't appear (in-degree 0 rows
+    are the complement, derivable by one anti join).
+
+    Two partial-aggregable groupBys over the edge list; the edge build
+    itself is the blocked kNN kernel (`llm_knn_self_join`), so the 100 TB
+    path inherits its broadcast-block structure."""
+    from pymapreduce_spark.operators.llm_vector import llm_knn_self_join
+
+    nn1 = (
+        llm_knn_self_join(spark, sf_dir)
+        .where(F.col("nn_rank") == 1)
+        .select(F.col("neighbor_id").alias("node"))
+    )
+    return (
+        nn1.groupBy("node")
+        .agg(F.count("*").alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )

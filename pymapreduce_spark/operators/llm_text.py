@@ -931,3 +931,51 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.round(F.avg(neg_log2p), 4).alias("avg_neg_log2p"),
     )
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, text, n_chars,
+               greatest(0, (n_chars - 51) // 150) AS k_max
+        FROM documents
+    )
+    SELECT doc_id, k.chunk_id,
+           1 + k.chunk_id * 150 AS chunk_start,
+           substring(text, (1 + k.chunk_id * 150)::INT, 200) AS chunk_text,
+           length(substring(text, (1 + k.chunk_id * 150)::INT, 200))
+               AS chunk_chars
+    FROM n, LATERAL (
+        SELECT unnest(range(0, k_max + 1)) AS chunk_id
+    ) AS k
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed 200-char windows with 50-char
+    overlap (stride 150). Chunk count per doc is
+    ``1 + max(0, ceil((n_chars - 200) / 150))`` so the final chunk always
+    reaches the end of the document and no chunk is fully contained in
+    its predecessor.
+
+    Pure Catalyst: `sequence` + `explode` + `substring` — map-only, no
+    shuffle, embarrassingly parallel at 100 TB (chunking is the classic
+    pre-embedding fan-out; output rows ≈ chars/stride)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k_max = F.greatest(
+        F.lit(0), F.floor((F.col("n_chars") - 51) / 150).cast("long")
+    )
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_id"),
+    )
+    start = (1 + F.col("chunk_id") * 150).cast("int")
+    chunk_text = F.substring(F.col("text"), start, 200)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("chunk_start"),
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("chunk_chars"),
+    )
