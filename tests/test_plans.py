@@ -302,3 +302,45 @@ def test_fixed_k_sample_is_take_ordered(spark, sf_dir):
     (per-partition local top-k), never a global sort."""
     plan = plan_of("sample_fixed_k", spark, sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ohlc_single_shuffle_partial_agg(spark, sf_dir):
+    """OHLC bars must be ONE map-side-combined aggregation: exactly one
+    exchange, with partial min/max of the ordering struct before it."""
+    plan = plan_of("ts_resample_ohlc", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    fplan = formatted_plan_of("ts_resample_ohlc", spark, sf_dir)
+    assert "partial_min" in fplan and "partial_max" in fplan, fplan
+
+
+def test_centroid_assignment_broadcasts(spark, sf_dir):
+    """k-means step: the k×dim centroid table broadcasts; the corpus
+    never re-shuffles for the assignment join."""
+    plan = plan_of("llm_embed_centroid", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_unigram_lm_broadcasts_vocabulary(spark, sf_dir):
+    """The unigram-LM probability join must broadcast the aggregated
+    vocabulary, not shuffle the corpus against it."""
+    plan = plan_of("llm_unigram_logprob", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Document chunking is explode+substring — embarrassingly parallel,
+    so the plan must contain NO exchange at all."""
+    plan = plan_of("llm_chunk_documents", spark, sf_dir)
+    assert "Exchange" not in plan, plan
+
+
+def test_token_count_is_map_only(spark, sf_dir):
+    plan = plan_of("llm_token_count", spark, sf_dir)
+    assert "Exchange" not in plan, plan
+
+
+def test_ewma_single_window_no_self_join(spark, sf_dir):
+    """Trailing EWMA: one window over one sort — no join anywhere."""
+    plan = plan_of("ts_ewma", spark, sf_dir)
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
