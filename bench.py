@@ -70,6 +70,7 @@ HEADLINE = {
     "snapshot_diff": "etl_snapshot_diff",
     "chunking": "llm_chunk_documents",
     "ewma": "ts_ewma",
+    "join_salted": "join_salted",
 }
 
 

@@ -240,3 +240,66 @@ def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "join_salted",
+    oracle="""
+    WITH f AS (
+        SELECT l_quantity, round(l_extendedprice * 100, 0)::BIGINT AS c
+        FROM lineitem
+    ), d AS (
+        SELECT l_quantity, sum(c) AS s, count(*) AS n
+        FROM f GROUP BY l_quantity
+    )
+    SELECT f.l_quantity,
+           max(d.n) AS n_items,
+           round(sum(abs(f.c * d.n - d.s))
+                 / (max(d.n) * max(d.n) * 100.0), 4) AS mad_price
+    FROM f JOIN d USING (l_quantity)
+    GROUP BY f.l_quantity
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted big-big join on a 50-value hot key (l_quantity): the
+    fact side salts with xxhash64(row identity) % 8, the keyed side
+    replicates 8× via explode — every hot key spreads over 8 reducers
+    instead of melting one. Result is IDENTICAL to the unsalted join
+    (the oracle); only shuffle routing changes. The hint pins a
+    ShuffledHashJoin so the demo can't silently degrade to broadcast
+    at fixture scale — at 100 TB both sides are too big to broadcast
+    and this salt+replicate shape (or AQE skew splitting, which it
+    composes with) is the only way a 10^9-row hot key finishes.
+
+    The payload statistic (per-key mean absolute deviation of price)
+    is integer-exact until the final division: |cents·n − Σcents| sums
+    in bigint, so the oracle hash can't drift on FP summation order."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    fact = lineitem.select(
+        "l_quantity",
+        cents("l_extendedprice").alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    dim = fact.groupBy("l_quantity").agg(
+        F.sum("c").alias("s"), F.count("*").alias("n")
+    )
+    r = 8
+    salted = fact.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(r)).cast(
+            "int"
+        ),
+    )
+    dimx = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+    ).hint("shuffle_hash")
+    joined = salted.join(dimx, ["l_quantity", "salt"])
+    return joined.groupBy("l_quantity").agg(
+        F.max("n").alias("n_items"),
+        F.round(
+            F.sum(F.abs(F.col("c") * F.col("n") - F.col("s")))
+            / (F.max("n") * F.max("n") * 100.0),
+            4,
+        ).alias("mad_price"),
+    )

@@ -221,3 +221,29 @@ def test_pack_sequences_capacity_bound(spark, sf_dir):
         max_doc = max(max_doc, r.n_tokens)
     assert all(v < 2048 + max_doc for v in packs.values())
     assert len(packs) > 1
+
+
+def test_minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash signatures must actually estimate word-set Jaccard:
+    across doc pairs, mean |estimate − exact| stays under the
+    theoretical s.e. envelope for 16 hashes (~0.125) plus slack."""
+    from pymapreduce_spark.registry import QUERIES
+
+    sig = {
+        r["doc_id"]: r["minhash_sig"]
+        for r in QUERIES["llm_minhash_sig"](spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    ids = sorted(docs)[:60]
+    errs = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        exact = len(docs[a] & docs[b]) / len(docs[a] | docs[b])
+        est = sum(x == y for x, y in zip(sig[a], sig[b])) / len(sig[a])
+        errs.append(abs(est - exact))
+    assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
