@@ -71,6 +71,10 @@ HEADLINE = {
     "chunking": "llm_chunk_documents",
     "ewma": "ts_ewma",
     "join_salted": "join_salted",
+    "join_bloom": "join_bloom",
+    "sketch_quantiles": "agg_sketch_quantiles",
+    "regression": "agg_regression",
+    "gopher_quality": "llm_gopher_quality",
 }
 
 

@@ -566,3 +566,101 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("total"), 6).alias("support"),
         )
     )
+
+
+@query("agg_sketch_quantiles")  # rows-only: KLL compaction is randomized
+def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Apache DataSketches, built into
+    Spark 4.x) — the scale path for percentiles.
+
+    Exact percentiles need a full sort (or all values in one reducer);
+    at 100 TB that's the canonical anti-pattern. KLL sketches are
+    fixed-size (k=200 → a few KB), mergeable, and carry proven rank
+    error (~1.3% at 99% confidence), so the natural layout is: sketch
+    per fine-grained stratum (here returnflag×linestatus — in
+    production, per day/partition), persist the sketches, and answer
+    any coarser rollup by MERGING sketches instead of rescanning data.
+    Both agg levels are partial-aggregable single-shuffle plans.
+
+    Rows-only oracle (compaction randomness makes bits nondeterministic);
+    tests/test_llm.py bounds the estimates against exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_bigint(
+            cents("l_extendedprice"), F.lit(200)
+        ).alias("sk")
+    )
+    merged = fine.groupBy("l_returnflag").agg(
+        F.collect_list("sk").alias("sks")
+    ).select(
+        "l_returnflag",
+        F.expr(
+            "reduce(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
+        ).alias("sk"),
+    )
+    return merged.select(
+        "l_returnflag",
+        F.kll_sketch_get_n_bigint("sk").alias("n_rows"),
+        (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.25)) / 100.0).alias("p25_price"),
+        (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)) / 100.0).alias("p50_price"),
+        (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.75)) / 100.0).alias("p75_price"),
+    )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_linestatus,
+               count(*)::HUGEINT AS n,
+               sum(round(l_quantity * 100)::BIGINT)::HUGEINT AS sx,
+               sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sy,
+               sum(round(l_quantity * 100)::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sxy,
+               sum(round(l_quantity * 100)::BIGINT
+                   * round(l_quantity * 100)::BIGINT)::HUGEINT AS sxx
+        FROM lineitem
+        GROUP BY l_linestatus
+    )
+    SELECT l_linestatus,
+           n::BIGINT AS n_rows,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS slope,
+           round((sy * sxx - sx * sxy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE / 100.0, 6) AS intercept
+    FROM s
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (price ~ quantity) via the
+    closed-form normal equations over exact integer sums.
+
+    ``F.regr_slope`` exists but accumulates in IEEE doubles, so its
+    low-order bits depend on partition merge order — unusable under the
+    driver's exact value-hash. Instead the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) are summed as integer cents — one map-side
+    partial-aggregable shuffle, same cost as any groupBy — and the
+    slope/intercept are formed in DECIMAL(38,0) cross-products (n·Σxy
+    overflows a long at ~10⁹ rows) with ONE final double division,
+    which is bit-identical in both engines. This is also the mergeable
+    form: the five sums compose across partitions/days like a sketch,
+    with zero error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = cents("l_quantity"), cents("l_extendedprice")
+    s = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d38 = "decimal(38,0)"
+    n, sx, sy, sxy, sxx = (F.col(c).cast(d38) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    det = n * sxx - sx * sx
+    return s.select(
+        "l_linestatus",
+        F.col("n").alias("n_rows"),
+        F.round((n * sxy - sx * sy).cast("double") / det.cast("double"), 6).alias("slope"),
+        F.round((sy * sxx - sx * sxy).cast("double") / det.cast("double") / 100.0, 6).alias("intercept"),
+    )

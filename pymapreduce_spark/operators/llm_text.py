@@ -979,3 +979,68 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_text.alias("chunk_text"),
         F.length(chunk_text).alias("chunk_chars"),
     )
+
+
+@query(
+    "llm_gopher_quality",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               list_sum(list_transform(words, x -> len(x))) AS total_chars,
+               list_max(list_transform(list_distinct(words),
+                        d -> len(list_filter(words, x -> x = d)))) AS top_count
+        FROM w
+    )
+    SELECT doc_id,
+           n_words,
+           round(total_chars::DOUBLE / n_words, 4) AS mean_word_len,
+           round(top_count::DOUBLE / n_words, 6) AS top_word_frac,
+           (n_words >= 50
+            AND total_chars::DOUBLE / n_words BETWEEN 3 AND 10
+            AND top_count::DOUBLE / n_words <= 0.2) AS gopher_pass
+    FROM m
+    """,
+)
+def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality rules (Rae et al. 2021,
+    public): word-count band, mean-word-length band, and top-word
+    dominance (the single-word repetition signal). All three metrics
+    are array higher-order functions over split(text) — per-row,
+    map-only, no shuffle, whole-stage codegen — so the filter runs at
+    scan speed ahead of any expensive dedup. The dominance metric is
+    O(distinct·n) per doc via transform-over-distinct, fine for
+    prose-length documents; integer counts divide once at the end so
+    the oracle hash is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        ).alias("top_count"),
+    )
+    mean_len = F.col("total_chars").cast("double") / F.col("n_words")
+    top_frac = F.col("top_count").cast("double") / F.col("n_words")
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        (
+            (F.col("n_words") >= 50)
+            & mean_len.between(3, 10)
+            & (top_frac <= 0.2)
+        ).alias("gopher_pass"),
+    )

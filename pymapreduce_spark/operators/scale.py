@@ -303,3 +303,95 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mad_price"),
     )
+
+
+@query(
+    "join_bloom",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n_items,
+           sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS revenue
+    FROM lineitem l
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY l_linestatus
+    """,
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the runtime-filter pattern.
+
+    A selective dimension predicate (urgent 1997 orders, ~4% of orders)
+    must semi-join a fact table far too large to broadcast at 100 TB;
+    shuffling the whole fact side to discover most rows don't match is
+    the classic waste. This is the shape Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects: a
+    fixed-size Bloom bitmap over the dim keys (2^16 bits = 1024 longs,
+    k=3 xxhash64 probes) is built by a constant-size aggregation and —
+    like dynamic partition pruning — the tiny build side is EXECUTED
+    EAGERLY and embedded as a literal, so the probe is a pure scan-side
+    filter with no join Catalyst could reorder. (A first draft attached
+    the bitmap via a broadcast nested-loop join; PushLeftSemiThroughJoin
+    then reordered the exact semi join BELOW the probe filter, which
+    defeats the prefilter — the literal embedding is the fix AND the
+    faithful mechanic.) Rows failing any probe die before the exchange;
+    the exact left-semi join above removes the ~1% false positives, so
+    the result is bit-identical to the plain semi join (the oracle).
+    The bitmap is ≤8 KB at ANY dim cardinality; only its false-positive
+    rate degrades if overfull — size m to ~10 bits/key in production."""
+    n_bits = 64 * 1024  # 2^16 bits -> 1024 longs
+    k = 3
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey")
+
+    def positions(key: str) -> list[F.Column]:
+        return [
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+            for i in range(k)
+        ]
+
+    # Build side: ≤1024 (word, bits) rows — the DPP-style eager subquery.
+    words = (
+        dim.select(F.explode(F.array(*positions("o_orderkey"))).alias("pos"))
+        .groupBy(F.floor(F.col("pos") / 64).cast("int").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    bloom = F.lit(bitmap)  # array<bigint> literal, ≤8 KB
+
+    cond = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(i)), F.lit(n_bits))
+        word = F.floor(p / 64).cast("int")
+        mask = F.expr(
+            f"shiftleft(1L, cast(pmod(pmod(xxhash64(l_orderkey, {i}),"
+            f" {n_bits}), 64) as int))"
+        )
+        cond = cond & (F.element_at(bloom, word + 1).bitwiseAND(mask) != 0)
+
+    prefiltered = lineitem.select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    ).where(cond)
+    exact = prefiltered.join(
+        dim, prefiltered.l_orderkey == dim.o_orderkey, "left_semi"
+    )
+    return exact.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        (F.sum(cents("l_extendedprice")) / 100.0).alias("revenue"),
+    )

@@ -247,3 +247,25 @@ def test_minhash_jaccard_estimate(spark, sf_dir):
         est = sum(x == y for x, y in zip(sig[a], sig[b])) / len(sig[a])
         errs.append(abs(est - exact))
     assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
+
+
+def test_kll_sketch_quantile_tolerance(spark, duck, sf_dir):
+    """KLL (k=200) merged estimates must land within ±3% rank of the
+    exact quantile: estimate(q) ∈ [exact(q−.03), exact(q+.03)]."""
+    from pymapreduce_spark.registry import QUERIES
+
+    est = {
+        r["l_returnflag"]: (r["p25_price"], r["p50_price"], r["p75_price"])
+        for r in QUERIES["agg_sketch_quantiles"](spark, sf_dir).collect()
+    }
+    for flag, (p25, p50, p75) in est.items():
+        for q, v in ((0.25, p25), (0.5, p50), (0.75, p75)):
+            lo, hi = duck.execute(
+                """
+                SELECT quantile_cont(l_extendedprice, ?),
+                       quantile_cont(l_extendedprice, ?)
+                FROM lineitem WHERE l_returnflag = ?
+                """,
+                [max(q - 0.03, 0.0), min(q + 0.03, 1.0), flag],
+            ).fetchone()
+            assert lo <= v <= hi, (flag, q, v, lo, hi)

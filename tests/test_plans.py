@@ -344,3 +344,44 @@ def test_ewma_single_window_no_self_join(spark, sf_dir):
     plan = plan_of("ts_ewma", spark, sf_dir)
     assert "Join" not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_bloom_prefilter_before_semi_join(spark, sf_dir):
+    """join_bloom: the literal-bitmap probe (element_at & mask) must sit
+    in a Filter BELOW the left-semi join — only probable matches reach
+    the join — and the probe filter must prune most of lineitem."""
+    plan = plan_of("join_bloom", spark, sf_dir)
+    assert "LeftSemi" in plan, plan
+    semi = plan.index("LeftSemi")
+    probe = plan.index("element_at")
+    assert probe > semi, "bloom probe filter must be under the semi join"
+    from pymapreduce_spark.io import load_table
+    from pymapreduce_spark.registry import QUERIES
+
+    total = load_table(spark, sf_dir, "lineitem").count()
+    kept = QUERIES["join_bloom"](spark, sf_dir).agg({"n_items": "sum"}).collect()[0][0]
+    assert kept < 0.12 * total, (kept, total)
+
+
+def test_sketch_quantiles_partial_agg_two_exchanges(spark, sf_dir):
+    """KLL sketches build as partial+merge ObjectHashAggregates: one
+    exchange per agg level, no sort anywhere."""
+    plan = plan_of("agg_sketch_quantiles", spark, sf_dir)
+    assert "kll_sketch_agg_bigint" in plan, plan
+    assert "partial_kll_sketch_agg_bigint" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "Sort" not in plan, plan
+
+
+def test_regression_is_one_partial_aggregable_shuffle(spark, sf_dir):
+    """The five sufficient statistics sum map-side: one exchange, with
+    partial_sum below it."""
+    plan = plan_of("agg_regression", spark, sf_dir)
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_gopher_quality_is_map_only(spark, sf_dir):
+    """Per-doc HOF metrics: no exchange anywhere — filter at scan speed."""
+    plan = plan_of("llm_gopher_quality", spark, sf_dir)
+    assert "Exchange" not in plan, plan
