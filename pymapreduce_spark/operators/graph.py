@@ -35,14 +35,18 @@ def connected_components(
     the label table — the standard Pregel-on-DataFrames shape that
     scales to edge sets far beyond one executor.
     """
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Checkpoint the symmetric edge set FIRST and derive the label table
+    # from the checkpointed edges — the edge build (here: a kNN kernel)
+    # would otherwise be evaluated once per eager checkpoint.
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_rounds):
         # Three propagation steps per materialized round: the dominant
