@@ -162,7 +162,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           x -> upper(x)), '|') AS first3_upper,
            len(list_filter(str_split(text, ' '), x -> length(x) > 5)) AS n_long_words,
            list_sum(list_transform(str_split(text, ' '), x -> length(x)))
-               AS total_chars_in_words
+               ::BIGINT AS total_chars_in_words
     FROM documents
     """,
 )

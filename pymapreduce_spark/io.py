@@ -56,6 +56,13 @@ def _fix_events(df: DataFrame) -> DataFrame:
     dtypes = dict(df.dtypes)
     if dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtypes.get("ts") == "timestamp_ntz":
+        # Newer fixtures store ts as parquet timestamp[us] without timezone,
+        # which Spark reads as TimestampNTZType. Session timezone is pinned
+        # UTC (session.py), so casting to the zoned TimestampType is
+        # value-preserving and matches DuckDB's ts::TIMESTAMP. The zoned
+        # type is required by withWatermark and unix_micros downstream.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

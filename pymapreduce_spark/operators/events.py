@@ -42,7 +42,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
                sum(is_new) OVER (
                    PARTITION BY user_id ORDER BY tsu, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               )::BIGINT AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,

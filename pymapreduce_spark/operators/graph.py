@@ -170,7 +170,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM s4 LEFT JOIN (SELECT e.dst AS node, sum(s4.s) AS m
                               FROM nn e JOIN s4 ON s4.node = e.src
                               GROUP BY e.dst) inc USING (node))
-    SELECT node, s AS pr_scaled FROM s5
+    SELECT node, s::BIGINT AS pr_scaled FROM s5
     """,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

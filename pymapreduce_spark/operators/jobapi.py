@@ -51,7 +51,7 @@ def api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_purchases,
-           sum(round(value * 100)::BIGINT) AS total_cents
+           sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY user_id

@@ -264,7 +264,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           sum(n_chars)::BIGINT AS total_chars,
            round(avg(n_chars), 4) AS avg_chars,
            round(avg(len(str_split(text, ' '))), 4) AS avg_words
     FROM documents
@@ -630,7 +630,7 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                ), 0) AS cum_before
         FROM toks
     )
-    SELECT doc_id, source, n_tokens, cum_before // 2048 AS pack_id
+    SELECT doc_id, source, n_tokens, (cum_before // 2048)::BIGINT AS pack_id
     FROM cum
     """,
 )

@@ -476,7 +476,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            len(qv) AS n_dims,
-           list_aggregate(qv, 'sum') AS q_sum,
+           list_aggregate(qv, 'sum')::BIGINT AS q_sum,
            list_aggregate(qv, 'min') AS q_min,
            list_aggregate(qv, 'max') AS q_max
     FROM q

@@ -219,7 +219,7 @@ def mr_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tf AS (
         SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
     )
-    SELECT word, count(*) AS doc_freq, sum(tf) AS total_tf
+    SELECT word, count(*) AS doc_freq, sum(tf)::BIGINT AS total_tf
     FROM tf GROUP BY word
     ORDER BY doc_freq DESC, word
     LIMIT 20

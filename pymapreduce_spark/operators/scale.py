@@ -183,7 +183,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           sum(n_chars)::BIGINT AS total_chars
     FROM sampled
     WHERE (lang = 'en' AND bucket < 5) OR (lang <> 'en' AND bucket < 2)
     GROUP BY lang

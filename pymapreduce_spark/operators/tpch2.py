@@ -239,9 +239,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus AS ship_class,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
+               THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+               THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_returnflag = 'R'

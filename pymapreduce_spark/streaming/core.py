@@ -38,7 +38,11 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     file per day under day=YYYY-MM-DD/, timestamps already normalized."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(_ARTIFACTS, sf_tag, "events_replay")
-    marker = os.path.join(path, "_REPLAY_READY")
+    # v2: replay files written after the fixture moved ts to timestamp[us]
+    # (io._fix_events normalizes NTZ→LTZ before the replay copy is laid
+    # out). A v1 marker means the on-disk copy may carry NTZ timestamps,
+    # which withWatermark rejects — regenerate.
+    marker = os.path.join(path, "_REPLAY_READY_v2")
     if not os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events").withColumn(
             "day", F.date_format("ts", "yyyy-MM-dd")
@@ -70,7 +74,14 @@ def read_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.parquet(path).drop("day")
+    s = reader.parquet(path).drop("day")
+    # Defense in depth: if a stale replay copy (or a future fixture
+    # change) yields NTZ event time, normalize — the session timezone is
+    # pinned UTC so the cast is value-preserving, and watermarks require
+    # the zoned TimestampType.
+    if dict(s.dtypes).get("ts") == "timestamp_ntz":
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s
 
 
 def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -93,7 +104,7 @@ def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     "stream_source",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(event_id) AS id_sum,
+           sum(event_id)::BIGINT AS id_sum,
            min(ts::TIMESTAMP) AS min_ts,
            max(ts::TIMESTAMP) AS max_ts
     FROM events

@@ -92,6 +92,24 @@ def compare_frames(
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()
 
+    # Driver-faithful type audit: the driver fetches DuckDB results via
+    # Arrow, where HUGEINT (DuckDB's sum(BIGINT) result type) becomes
+    # decimal128(38,0) and hashes differently from Spark's bigint even
+    # when every value is equal. fetchall() converts HUGEINT to Python
+    # int and hides that, so audit the Arrow schema explicitly: any
+    # decimal column in the oracle output must be cast (::BIGINT /
+    # ::DOUBLE) in the oracle SQL.
+    arrow_schema = duck_rel.execute(oracle_sql).fetch_arrow_table().schema
+    leaks = [
+        f"{f.name}:{f.type}"
+        for f in arrow_schema
+        if str(f.type).startswith("decimal")
+    ]
+    assert not leaks, (
+        f"[{name}] oracle yields Arrow decimal columns (HUGEINT leak — "
+        f"add ::BIGINT/::DOUBLE casts in the oracle SQL): {leaks}"
+    )
+
     assert sorted(s_cols) == sorted(d_cols), (
         f"[{name}] column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
