@@ -132,13 +132,24 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_approx_distinct")  # rows-only: approximate by definition
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ cardinality next to the exact count. Self-check (tested):
-    relative error within 3×rsd. At 100 TB the approx variant is the only
-    one that doesn't need a distinct-expand shuffle."""
+    """HLL++ cardinality next to the exact count. At 100 TB the approx
+    variant is the only one that doesn't need a distinct-expand shuffle.
+
+    Self-evidencing result: every row carries (approx, exact, abs_err,
+    within_tol) so the rows-only correctness check still demonstrates
+    the error bound (|err| ≤ 3×rsd with rsd=0.02)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
+    out = orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    abs_err = F.abs(F.col("approx_customers") - F.col("exact_customers"))
+    return out.select(
+        "o_orderstatus",
+        "approx_customers",
+        "exact_customers",
+        abs_err.alias("abs_err"),
+        (abs_err <= 3 * 0.02 * F.col("exact_customers")).alias("within_tol"),
     )
 
 
@@ -168,11 +179,25 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_percentile_approx")  # rows-only: approximate by definition
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentile — the mergeable-sketch
-    path that scales (exact percentile needs the whole group)."""
+    path that scales (exact percentile needs the whole group).
+
+    Self-evidencing result: (approx, exact, abs_err, within_tol) per
+    row; at accuracy=10000 the rank error is ≤ 1/10000, so a 1% relative
+    value tolerance on this distribution is generous."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
+    out = orders.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.round(F.median("o_totalprice"), 4).alias("exact_median"),
+    )
+    abs_err = F.round(
+        F.abs(F.col("approx_median") - F.col("exact_median")), 4
+    )
+    return out.select(
+        "o_orderstatus",
+        "approx_median",
+        "exact_median",
+        abs_err.alias("abs_err"),
+        (abs_err <= 0.01 * F.col("exact_median")).alias("within_tol"),
     )
 
 
@@ -420,14 +445,28 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_distinct_users"
-            ),
-            F.count("*").alias("n_daily_sketches"),
-        )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "approx_distinct_users"
+        ),
+        F.count("*").alias("n_daily_sketches"),
+    )
+    # Self-evidencing: join the exact distinct count (fine at test scale;
+    # at 100 TB you would persist only the sketches) and emit the error
+    # bound the sketch promises (±5% at lgK default 12).
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct_users")
+    )
+    abs_err = F.abs(
+        F.col("approx_distinct_users") - F.col("exact_distinct_users")
+    )
+    return merged.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "approx_distinct_users",
+        "exact_distinct_users",
+        "n_daily_sketches",
+        abs_err.alias("abs_err"),
+        (abs_err <= 0.05 * F.col("exact_distinct_users")).alias("within_tol"),
     )
 
 
@@ -599,12 +638,30 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
         ).alias("sk"),
     )
-    return merged.select(
+    approx = merged.select(
         "l_returnflag",
         F.kll_sketch_get_n_bigint("sk").alias("n_rows"),
         (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.25)) / 100.0).alias("p25_price"),
         (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)) / 100.0).alias("p50_price"),
         (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.75)) / 100.0).alias("p75_price"),
+    )
+    # Self-evidencing: exact median alongside, with the ~1.3% rank-error
+    # bound translated to a (generous) 5% value tolerance on p50.
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("exact_p50_price")
+    )
+    abs_err = F.round(
+        F.abs(F.col("p50_price") - F.col("exact_p50_price")), 4
+    )
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "p25_price",
+        "p50_price",
+        "p75_price",
+        "exact_p50_price",
+        abs_err.alias("abs_err"),
+        (abs_err <= 0.05 * F.col("exact_p50_price")).alias("within_tol"),
     )
 
 
