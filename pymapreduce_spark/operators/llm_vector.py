@@ -320,6 +320,59 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode, schema)
 
 
+#: Largest corpus the broadcast-matmul kNN path may collect to the
+#: driver. 200 k × 64-d float64 ≈ 100 MB — comfortable broadcast size;
+#: past it the O(N²) scan is the bigger problem anyway and the LSH
+#: bucket-join path below takes over.
+_KNN_BROADCAST_MAX_ROWS = 200_000
+
+
+def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Distributed approximate kNN self-join — the >threshold path.
+
+    BucketedRandomProjectionLSH ``approxSimilarityJoin`` generates
+    candidate pairs from hash-bucket equi-joins (never an all-pairs
+    product, never a driver collect). Vectors are L2-normalized, so
+    Euclidean distance is monotone in cosine (d² = 2 − 2·cos) and the
+    per-query top-k by smallest distance is the top-k by cosine; the
+    cosine column is recovered exactly as 1 − d²/2."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        "vec_id", array_to_vector(_as_double("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=8,
+        seed=42,
+    )
+    model = lsh.fit(feat)
+    # Normalized vectors live on the unit sphere: max distance is 2.0,
+    # so this threshold only prunes pairs sharing no hash bucket.
+    pairs = model.approxSimilarityJoin(feat, feat, 2.0, distCol="dist")
+    cand = pairs.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "nn_rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
 @query(
     "llm_knn_self_join",
     oracle="""
@@ -349,14 +402,17 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and faster than the DuckDB envelope.
 
     Scale: O(N²·d) stays O(N²·d) — the broadcast side must fit in
-    executor memory (fine to ~10⁶×10³ dims). Above that the candidate
-    matrix becomes LSH/IVF buckets (llm_sim_search_ann) and this same
-    matmul kernel runs per bucket."""
+    executor memory (fine to ~10⁶×10³ dims). The bound is ENFORCED in
+    code: above ``_KNN_BROADCAST_MAX_ROWS`` the operator switches to the
+    LSH bucket-join path (:func:`_knn_self_join_lsh`) instead of
+    collecting the corpus to the driver."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    if emb.count() > _KNN_BROADCAST_MAX_ROWS:
+        return _knn_self_join_lsh(emb, k=5)
     rows = emb.collect()  # aggregate-then-broadcast side data (§4.2)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)

@@ -269,3 +269,28 @@ def test_kll_sketch_quantile_tolerance(spark, duck, sf_dir):
                 [max(q - 0.03, 0.0), min(q + 0.03, 1.0), flag],
             ).fetchone()
             assert lo <= v <= hi, (flag, q, v, lo, hi)
+
+
+def test_knn_self_join_scale_guard(spark, sf_dir, monkeypatch):
+    """Above _KNN_BROADCAST_MAX_ROWS the kNN self-join must NOT collect
+    the corpus to the driver — it switches to the LSH bucket-join path.
+    Force the guard and check the fallback's recall@5 vs the exact path."""
+    from pymapreduce_spark.operators import llm_vector
+    from pymapreduce_spark.registry import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["llm_knn_self_join"](spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm_vector, "_KNN_BROADCAST_MAX_ROWS", 0)
+    approx_rows = QUERIES["llm_knn_self_join"](spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+
+    n_queries = len({q for q, _ in exact})
+    assert len({q for q, _ in approx}) == n_queries  # every query answered
+    per_q: dict = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v == 5 for v in per_q.values())  # exactly k rows per query
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH fallback recall@5 too low: {recall:.3f}"
