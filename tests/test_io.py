@@ -1,0 +1,48 @@
+"""IO-layer tests: the split-layout cache must be value-transparent.
+
+The fixture ships one parquet file per table with a single row group, so
+Spark cannot parallelize the scan. ``load_table`` serves big tables from
+a multi-file re-layout under .artifacts; these tests pin (a) the copy is
+byte-equivalent to the raw table and (b) it actually splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pymapreduce_spark.io import (
+    _SPLIT_MIN_BYTES,
+    _fix_events,
+    load_table,
+    table_path,
+)
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def _xor_hash(df) -> int:
+    cols = ",".join(df.columns)
+    return df.select(F.expr(f"bit_xor(xxhash64({cols}))").alias("h")).first().h
+
+
+def test_split_cache_equivalent_and_parallel(spark):
+    import os
+
+    for name in ("lineitem", "orders", "events"):
+        assert os.path.getsize(table_path(SF01, name)) >= _SPLIT_MIN_BYTES
+        served = load_table(spark, SF01, name)
+        raw = spark.read.parquet(table_path(SF01, name))
+        if name == "events":
+            raw = _fix_events(raw)
+        assert served.count() == raw.count(), name
+        assert _xor_hash(served) == _xor_hash(raw), name
+        assert served.rdd.getNumPartitions() > 1, (
+            f"{name}: split layout did not parallelize the scan"
+        )
+
+
+def test_small_tables_served_raw(spark):
+    # Below the size threshold the raw fixture file is read directly —
+    # no cache materialization cost for small dims.
+    df = load_table(spark, SF01, "region")
+    assert df.count() == 5
