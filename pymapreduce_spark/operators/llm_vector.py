@@ -224,11 +224,17 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold
     (canonicalized a < b). Threshold 0.45 exercises the operator on the
     fixture's cosine distribution (max ≈ 0.51); production near-dup
-    would use ≥ 0.95 and the LSH candidate path of llm_sim_search_ann
-    instead of this exact O(N²) form."""
+    uses ≥ 0.95, where the LSH candidate path prunes even harder.
+
+    The exact all-pairs form is the oracle-checkable baseline and is
+    gated IN CODE to small corpora: above ``_DEDUP_EMBED_MAX_ROWS`` the
+    operator switches to :func:`_dedup_embed_lsh` (bucket-join candidate
+    generation, no quadratic product)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
+    if emb.count() > _DEDUP_EMBED_MAX_ROWS:
+        return _dedup_embed_lsh(emb, threshold=0.45)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     return (
@@ -238,6 +244,47 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
         )
+    )
+
+
+#: Above this corpus size the exact O(N²) pair join is off-limits and
+#: the LSH bucket-join candidate path takes over (20 k rows ≈ 2×10⁸
+#: candidate pairs — the most the demo form should ever chew).
+_DEDUP_EMBED_MAX_ROWS = 20_000
+
+
+def _dedup_embed_lsh(emb: DataFrame, threshold: float) -> DataFrame:
+    """Near-dup pairs via LSH candidate generation — the at-scale path.
+
+    For L2-normalized vectors cos ≥ t ⇔ dist ≤ √(2−2t), so the
+    approxSimilarityJoin distance cutoff expresses the cosine threshold
+    exactly; candidate pairs come from hash-bucket equi-joins and the
+    reported cosine is recovered from the exact join distance."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col("vec_id"), array_to_vector(F.col("e")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=8,
+        seed=42,
+    )
+    model = lsh.fit(feat)
+    dist_cut = float((2.0 - 2.0 * threshold) ** 0.5)
+    pairs = model.approxSimilarityJoin(feat, feat, dist_cut, distCol="dist")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
 
 

@@ -294,3 +294,27 @@ def test_knn_self_join_scale_guard(spark, sf_dir, monkeypatch):
     assert all(v == 5 for v in per_q.values())  # exactly k rows per query
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH fallback recall@5 too low: {recall:.3f}"
+
+
+def test_dedup_embed_scale_guard(spark, sf_dir, monkeypatch):
+    """Above _DEDUP_EMBED_MAX_ROWS the near-dup pair search must use the
+    LSH candidate path, never the O(N^2) pair join. Force the guard and
+    check the fallback recovers the exact pair set with high recall and
+    zero false positives (candidate filtering is exact)."""
+    from pymapreduce_spark.operators import llm_vector
+    from pymapreduce_spark.registry import QUERIES
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["llm_dedup_embed"](spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm_vector, "_DEDUP_EMBED_MAX_ROWS", 0)
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["llm_dedup_embed"](spark, sf_dir).collect()
+    }
+    assert set(approx) <= set(exact)  # no false positives
+    recall = len(approx) / max(len(exact), 1)
+    assert recall >= 0.9, f"LSH dedup recall too low: {recall:.3f}"
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-5, (k, v, exact[k])
