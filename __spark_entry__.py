@@ -104,11 +104,37 @@ _PRIORITY = [
 ]
 
 
+def _driver_checked_names() -> set[str]:
+    """Query names that already have a row in any past driver
+    correctness artifact (CORRECTNESS_r*.json in the repo root)."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except Exception:  # pragma: no cover - malformed artifact
+            continue
+    return seen
+
+
 def _ordered_names() -> list[str]:
+    """Registry order for the driver: never-driver-checked queries first
+    (curated priority order, then registration order), already-checked
+    ones after. Because past rounds' artifacts are read at call time,
+    the verification window advances itself every round until every
+    query has a driver correctness row."""
     missing = [n for n in _PRIORITY if n not in registry.QUERIES]
     assert not missing, f"priority list references unknown queries: {missing}"
-    rest = [n for n in registry.QUERIES if n not in set(_PRIORITY)]
-    return _PRIORITY + rest
+    seen = _driver_checked_names()
+    curated = list(_PRIORITY) + [
+        n for n in registry.QUERIES if n not in set(_PRIORITY)
+    ]
+    fresh = [n for n in curated if n not in seen]
+    checked = [n for n in curated if n in seen]
+    return fresh + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
