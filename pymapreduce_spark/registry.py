@@ -43,3 +43,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[_F], _F]:
         return fn
 
     return deco
+
+
+def reorder(names: list[str]) -> None:
+    """Rebuild QUERIES/ORACLES in ``names`` order (must be a permutation
+    of the registered query names). Called once at package-import time so
+    every consumer — ``__spark_entry__`` and direct registry readers —
+    sees the driver-facing verification order."""
+    assert sorted(names) == sorted(QUERIES), "reorder() needs a permutation"
+    q = {n: QUERIES[n] for n in names}
+    o = {n: ORACLES[n] for n in names if n in ORACLES}
+    QUERIES.clear()
+    QUERIES.update(q)
+    ORACLES.clear()
+    ORACLES.update(o)
