@@ -46,3 +46,24 @@ def test_small_tables_served_raw(spark):
     # no cache materialization cost for small dims.
     df = load_table(spark, SF01, "region")
     assert df.count() == 5
+
+
+def test_split_cache_keeps_pushdown(spark):
+    # Filters and column pruning must reach the parquet scan of the
+    # split-layout copy exactly as they do on the raw file.
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF01, "lineitem")
+    plan = (
+        li.where(F.col("l_shipdate") <= F.lit("1995-01-01"))
+        .select("l_orderkey", "l_quantity")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    assert "ReadSchema" in plan
+    # pruned read: only the referenced columns reach the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema
