@@ -527,9 +527,11 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("block").alias("block_b"),
         F.col("sh").alias("sh_b"),
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # Shingle arrays are distinct, so |a ∪ b| = |a| + |b| − |a ∩ b| —
+    # one array_intersect per candidate pair instead of intersect +
+    # union (array_union would re-hash both arrays), identical output.
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
         a.join(
             c,

@@ -365,11 +365,14 @@ def test_bloom_prefilter_before_semi_join(spark, sf_dir):
 
 def test_sketch_quantiles_partial_agg_two_exchanges(spark, sf_dir):
     """KLL sketches build as partial+merge ObjectHashAggregates: one
-    exchange per agg level, no sort anywhere."""
+    exchange per agg level, no sort anywhere. The self-evidencing exact
+    median adds its own agg exchange + a broadcast of the 3-row result
+    (4 exchanges total, only one of them a broadcast)."""
     plan = plan_of("agg_sketch_quantiles", spark, sf_dir)
     assert "kll_sketch_agg_bigint" in plan, plan
     assert "partial_kll_sketch_agg_bigint" in plan, plan
-    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("BroadcastExchange") == 1, plan
     assert "Sort" not in plan, plan
 
 
