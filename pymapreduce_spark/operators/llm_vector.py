@@ -93,6 +93,36 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_topk_evidence(
+    ann: DataFrame, emb: DataFrame, query_pred, k: int = 5
+) -> DataFrame:
+    """Append ``in_exact_topk`` to an ANN result so the rows themselves
+    evidence recall: the exact top-k (broadcast queries, one candidate
+    scan, same tie-break) is computed alongside and left-joined on
+    (query_id, neighbor_id)."""
+    q = emb.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.lit(True).alias("in_exact_topk"))
+    )
+    return ann.join(
+        F.broadcast(exact), ["query_id", "neighbor_id"], "left"
+    ).withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
+
+
 @query("llm_sim_search_ann")  # rows-only: ANN candidate set is not SQL
 def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via BucketedRandomProjectionLSH
@@ -127,7 +157,7 @@ def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("datasetA.e"), F.col("datasetB.e")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
+    ann = (
         pairs.withColumn("nn_rank", F.row_number().over(w))
         .where(F.col("nn_rank") <= 5)
         .select(
@@ -137,6 +167,10 @@ def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+    # Self-evidencing recall: every row states whether it is also an
+    # exact top-5 neighbor, so the rows-only driver check still shows
+    # the approximation quality.
+    return _exact_topk_evidence(ann, emb, F.col("vec_id") < 10)
 
 
 @query(
@@ -555,7 +589,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("qe"), F.col("e")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
+    ann = (
         pairs.withColumn("nn_rank", F.row_number().over(w))
         .where(F.col("nn_rank") <= 5)
         .select(
@@ -565,6 +599,8 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+    # Self-evidencing recall, same contract as llm_sim_search_ann.
+    return _exact_topk_evidence(ann, emb, F.col("vec_id") < 10)
 
 
 @query(

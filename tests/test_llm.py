@@ -17,12 +17,13 @@ def test_ann_recall_vs_exact(spark, sf_dir):
         (r.query_id, r.neighbor_id)
         for r in QUERIES["llm_sim_search"](spark, sf_dir).collect()
     }
-    ann = {
-        (r.query_id, r.neighbor_id)
-        for r in QUERIES["llm_sim_search_ann"](spark, sf_dir).collect()
-    }
+    ann_rows = QUERIES["llm_sim_search_ann"](spark, sf_dir).collect()
+    ann = {(r.query_id, r.neighbor_id) for r in ann_rows}
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.9, f"ANN recall@5 = {recall:.3f}"
+    # the self-evidencing column must agree with the exact set
+    for r in ann_rows:
+        assert r.in_exact_topk == ((r.query_id, r.neighbor_id) in exact), r
 
 
 def test_fuzzy_dedup_synthetic(spark):
@@ -124,12 +125,13 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         (r.query_id, r.neighbor_id)
         for r in QUERIES["llm_sim_search"](spark, sf_dir).collect()
     }
-    ivf = {
-        (r.query_id, r.neighbor_id)
-        for r in QUERIES["llm_sim_search_ivf"](spark, sf_dir).collect()
-    }
+    ivf_rows = QUERIES["llm_sim_search_ivf"](spark, sf_dir).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
+    # the self-evidencing column must agree with the exact set
+    for r in ivf_rows:
+        assert r.in_exact_topk == ((r.query_id, r.neighbor_id) in exact), r
 
 
 def test_tfidf_ml_agrees_with_sql_form(spark, sf_dir):
