@@ -238,7 +238,11 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized w.r.t. the 2-hour watermark are emitted; the tail of the
     stream stays in state. Late-data dropping is exercised with a
     crafted two-file scenario in tests/test_streaming.py (a file-source
-    replay can't make the fixture itself late)."""
+    replay can't make the fixture itself late).
+
+    Self-evidencing: every emitted (finalized) window joins its
+    batch-computed count — ``matches_batch`` must be true on every row,
+    proving append mode emitted complete windows and nothing else."""
     s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
     agg = (
         s.withWatermark("ts", "2 hours")
@@ -250,7 +254,23 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.end").alias("window_end"),
         "n_events",
     )
-    return drain(out, "append")
+    emitted = drain(out, "append")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("batch_n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "batch_n_events",
+        )
+    )
+    return emitted.join(
+        F.broadcast(batch), ["window_start", "window_end"], "left"
+    ).withColumn(
+        "matches_batch",
+        F.col("n_events") == F.coalesce("batch_n_events", F.lit(-1)),
+    )
 
 
 @query(
