@@ -51,9 +51,10 @@ _ARTIFACTS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".arti
 
 # DataFrame catalog: fixtures are immutable, so the analyzed relation
 # (file listing + parquet footer schema) is reused per session. Saves
-# ~0.1-0.3 s of re-listing/footer reads on EVERY query. Keyed by session
-# id so a driver-created fresh session never sees stale plans.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# ~0.1-0.3 s of re-listing/footer reads on EVERY query. Keyed by the
+# Spark applicationId (unique per context — unlike id(spark), which can
+# be reused after GC and would serve plans bound to a dead session).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -119,7 +120,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are served from the split-layout cache (see :data:`_SPLIT_MIN_BYTES`)
     so scans parallelize.
     """
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
