@@ -35,6 +35,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
+    # AQE's coalesce target is a bytes-per-task knob: the 64 MB default
+    # assumes cluster-scale shuffles and collapses this fixture's few-MB
+    # shuffles to ONE post-shuffle task, idling 31 of 32 cores in every
+    # window/join reduce stage. 2 MB keeps reduce stages parallel at
+    # local scale (measured 20-25% off win_*/sessionize/q3 at sf0.1);
+    # on a real cluster leave the default via the env override.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_BYTES", "2097152"
+    ),
 }
 
 #: Configs that must be set before the JVM session exists.
