@@ -135,3 +135,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from the parquet footer — no
+    Spark job. Used by operator scale guards (e.g. the kNN broadcast
+    bound) where only the corpus size matters, not the data."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.io import load_table
+from pymapreduce_spark.io import load_table, table_row_count
 from pymapreduce_spark.registry import query
 
 
@@ -267,7 +267,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
-    if emb.count() > _DEDUP_EMBED_MAX_ROWS:
+    if table_row_count(sf_dir, "embeddings") > _DEDUP_EMBED_MAX_ROWS:
         return _dedup_embed_lsh(emb, threshold=0.45)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
@@ -492,7 +492,7 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    if emb.count() > _KNN_BROADCAST_MAX_ROWS:
+    if table_row_count(sf_dir, "embeddings") > _KNN_BROADCAST_MAX_ROWS:
         return _knn_self_join_lsh(emb, k=5)
     rows = emb.collect()  # aggregate-then-broadcast side data (§4.2)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
