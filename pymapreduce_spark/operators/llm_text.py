@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pymapreduce_spark.io import load_table
@@ -1086,4 +1086,122 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & mean_len.between(3, 10)
             & (top_frac <= 0.2)
         ).alias("gopher_pass"),
+    )
+
+
+@query(
+    "llm_repetition_filter",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, len(str_split(text, ' ')) AS n_words,
+               str_split(text, ' ') AS words
+        FROM documents
+    ), c AS (
+        SELECT doc_id, word, count(*) AS n
+        FROM (SELECT doc_id, unnest(words) AS word FROM w)
+        GROUP BY doc_id, word
+    ), top AS (
+        SELECT doc_id, n AS top_count
+        FROM (SELECT doc_id, n, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY n DESC, word) AS rn
+              FROM c)
+        WHERE rn = 1
+    ), big AS (
+        SELECT doc_id,
+               len(words) - 1 AS n_bigrams,
+               len(list_distinct(list_transform(range(1, len(words)),
+                   i -> concat_ws(' ', words[i], words[i+1]))))
+                   AS n_distinct_bigrams
+        FROM w
+    )
+    SELECT w.doc_id,
+           round(top.top_count::DOUBLE / w.n_words, 6) AS top_word_share,
+           round(1.0 - big.n_distinct_bigrams::DOUBLE / big.n_bigrams, 6)
+               AS dup_bigram_frac,
+           (top.top_count::DOUBLE / w.n_words <= 0.12
+            AND 1.0 - big.n_distinct_bigrams::DOUBLE / big.n_bigrams <= 0.6)
+               AS passes_repetition
+    FROM w JOIN top ON w.doc_id = top.doc_id
+           JOIN big ON w.doc_id = big.doc_id
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher repetition family):
+    per document, the most-frequent-word share and the duplicate-bigram
+    fraction, plus the pass/fail verdict at curation thresholds.
+
+    Shape: the top-word count is a (doc_id, word) combiner-friendly
+    aggregate + per-doc top-1 window (both partial-aggregable, one
+    shuffle each); bigram stats are map-only higher-order functions.
+    At 100 TB every stage is embarrassingly parallel over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        (F.size("words") - 1).alias("n_bigrams"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    """
+                    transform(sequence(1, size(words) - 1), i ->
+                        concat_ws(' ', element_at(words, i),
+                                       element_at(words, i + 1)))
+                    """
+                )
+            )
+        ).alias("n_distinct_bigrams"),
+        F.explode("words").alias("word"),
+    )
+    counts = base.groupBy(
+        "doc_id", "n_words", "n_bigrams", "n_distinct_bigrams", "word"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "word")
+    top = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    top_share = F.col("n").cast("double") / F.col("n_words")
+    dup_frac = 1.0 - F.col("n_distinct_bigrams").cast("double") / F.col(
+        "n_bigrams"
+    )
+    return top.select(
+        "doc_id",
+        F.round(top_share, 6).alias("top_word_share"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        ((top_share <= 0.12) & (dup_frac <= 0.6)).alias(
+            "passes_repetition"
+        ),
+    )
+
+
+@query(
+    "llm_domain_mix",
+    oracle="""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(str_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / t, 6) AS token_share
+    FROM per, tot
+    """,
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report: per-source document and token counts
+    with each source's token share — the dashboard a data-mixture
+    curator reads before weighting domains. One partial-aggregable
+    shuffle; the scalar total is broadcast, never a second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
     )
