@@ -209,14 +209,22 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(var_pop(l_quantity), 4) AS var_qty,
            round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-           round(skewness(l_extendedprice), 4) AS skew_price,
-           round(kurtosis(l_extendedprice), 4) AS kurt_price
+           round(skewness(l_extendedprice) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_price,
+           round(kurtosis_pop(l_extendedprice), 4) AS kurt_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical moments per group."""
+    """Statistical moments per group.
+
+    Estimator alignment: Spark's skewness/kurtosis are POPULATION
+    moments (g1, excess g2); DuckDB's defaults are sample-corrected
+    (G1, bias-corrected kurtosis). The oracle converts G1 → g1
+    (× (n−2)/√(n(n−1))) and uses kurtosis_pop, so the values agree at
+    every group size — at sf0.01 the difference hid below round(4),
+    at sf0.001 it surfaced (caught by the cross-SF oracle sweep)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
