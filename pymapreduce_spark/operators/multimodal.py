@@ -140,9 +140,9 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     )
     SELECT doc_id, n_samples,
-           round(s1 / n_samples::DOUBLE, 6) AS mean_amp,
-           round(s2 / n_samples::DOUBLE
-                 - (s1 / n_samples::DOUBLE) * (s1 / n_samples::DOUBLE), 4)
+           s1 / n_samples::DOUBLE AS mean_amp,
+           s2 / n_samples::DOUBLE
+               - (s1 / n_samples::DOUBLE) * (s1 / n_samples::DOUBLE)
                AS var_amp,
            peak AS peak_amp,
            (n_samples * 1000000) // 16000 AS duration_us
@@ -154,9 +154,13 @@ def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/variance amplitude, peak, duration (µs) at a fake 16 kHz rate.
 
     The numpy math is real (vectorized over the Arrow batch); only the
-    "bytes are PCM" premise is the stub. Sums are exact int64 so mean and
-    variance are bit-identical to the SQL oracle — the FP-determinism
-    discipline of SURVEY.md §5.4 applied across an engine boundary.
+    "bytes are PCM" premise is the stub. Sums are exact int64, and mean/
+    variance are emitted UNROUNDED: both engines perform the identical
+    IEEE divisions on identical integers, so the doubles are already
+    bit-equal — while a round() would half-tie whenever n is a power of
+    two times a divisor of s1 (35991/384 = 93.7265625 ties at round(6);
+    Python rounds half-even, DuckDB half-away — caught by the sf0.1
+    oracle sweep). SURVEY.md §5.4 discipline across an engine boundary.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,7 +174,7 @@ def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mean = s1 / n
                 # duration in exact integer µs — a float seconds value
                 # hits round-half ties that differ between engines
-                out.append((n, round(mean, 6), round(s2 / n - mean * mean, 4), int(a.max()), n * 1_000_000 // 16000))
+                out.append((n, mean, s2 / n - mean * mean, int(a.max()), n * 1_000_000 // 16000))
             cols = list(zip(*out))
             yield pd.DataFrame(
                 {

@@ -82,7 +82,8 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_agg",
     oracle="""
     SELECT user_id,
-           round(avg(value), 4) AS mean_value,
+           sum(round(value * 100)::BIGINT) / (100.0 * count(*))
+               AS mean_value,
            round(quantile_cont(value, 0.5), 4) AS median_value
     FROM events
     GROUP BY user_id
@@ -91,11 +92,18 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF (Series→scalar) used inside groupBy().agg.
     pandas ``median`` == DuckDB ``quantile_cont(0.5)`` (both interpolate
-    the middle pair)."""
+    the middle pair). The mean goes through exact integer cents (value
+    is a 2-decimal money column): Σcents/(100·n) is ONE double division
+    of identical operands in both engines — bit-identical, emitted
+    UNROUNDED (a round(4) would half-tie whenever cents·10⁴/(100n) lands
+    on .5, e.g. any 64-event group — caught by the sf0.1 oracle sweep).
+    The median never ties at round(4): the middle pair's average has at
+    most 3 decimals."""
 
     @F.pandas_udf("double")
     def pmean(v: pd.Series) -> float:
-        return float(v.mean())
+        cents = (v * 100).round().astype("int64").sum()
+        return float(cents) / (100.0 * len(v))
 
     @F.pandas_udf("double")
     def pmedian(v: pd.Series) -> float:
@@ -103,7 +111,7 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.round(pmean("value"), 4).alias("mean_value"),
+        pmean("value").alias("mean_value"),
         F.round(pmedian("value"), 4).alias("median_value"),
     )
 
