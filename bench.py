@@ -80,6 +80,10 @@ HEADLINE = {
     "gopher_quality": "llm_gopher_quality",
 }
 
+#: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a
+#: larger sample so regression vs noise is decidable round-over-round.
+EXTRA_RUNS = {"knn_self_join": 5, "tfidf": 5, "asof_join": 5, "q15": 5}
+
 
 def fetch(df) -> None:
     """Force full execution AND full result transfer to the driver.
@@ -118,7 +122,7 @@ def main() -> None:
             # outputs still exist, which under-reports by up to 10×. Fresh
             # plans force full scan→shuffle→result execution every run.
             runs = []
-            for _ in range(3):
+            for _ in range(EXTRA_RUNS.get(key, 3)):
                 t0 = time.perf_counter()
                 fetch(fn(spark, SF_DIR))
                 runs.append(time.perf_counter() - t0)

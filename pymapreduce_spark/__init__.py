@@ -47,12 +47,13 @@ from pymapreduce_spark.functions import scalar  # noqa: F401
 from pymapreduce_spark.streaming import core as streaming_core  # noqa: F401
 
 # With every operator registered, rebuild the registry in the
-# driver-facing verification order (never-driver-checked queries first;
-# see pymapreduce_spark.ordering). Both access paths — __spark_entry__
-# and direct registry readers — then agree on iteration order.
+# driver-facing verification order (re-checks of non-green driver rows,
+# a small resample of green rows, then never-checked names; see
+# pymapreduce_spark.ordering). Both access paths — __spark_entry__ and
+# direct registry readers — then agree on iteration order.
 from pymapreduce_spark import ordering as _ordering  # noqa: E402
 
-registry.reorder(_ordering.ordered_names(registry.QUERIES))
+registry.reorder(_ordering.ordered_names(registry.QUERIES, registry.ORACLES))
 
 __all__ = [
     "registry",

@@ -96,8 +96,20 @@ def _split_layout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(_ARTIFACTS_DIR, sf_tag, "split", name)
     marker = os.path.join(path, "_SPLIT_READY")
-    if os.path.exists(marker):
-        return path
+    # The marker is keyed to the raw file's identity (size + mtime_ns):
+    # a regenerated fixture at the same path invalidates the cached copy
+    # instead of silently serving stale data (the events ts re-encoding
+    # already forced the same versioning on the streaming replay dir).
+    try:
+        stamp = f"{size}:{os.stat(raw).st_mtime_ns}"
+    except OSError:
+        return None
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return path
+    except OSError:
+        pass
     n_files = max(2, min(_SPLIT_MAX_FILES, size // _SPLIT_TARGET_BYTES))
     try:
         df = spark.read.parquet(raw)
@@ -105,7 +117,7 @@ def _split_layout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
             df = _fix_events(df)  # cache the normalized timestamps
         df.repartition(n_files).write.mode("overwrite").parquet(path)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(stamp)
     except Exception:  # pragma: no cover - read-only FS etc.
         return None
     return path

@@ -130,14 +130,10 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: approximate by definition
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ cardinality next to the exact count. At 100 TB the approx
-    variant is the only one that doesn't need a distinct-expand shuffle.
-
-    Self-evidencing result: every row carries (approx, exact, abs_err,
-    within_tol) so the rows-only correctness check still demonstrates
-    the error bound (|err| ≤ 3×rsd with rsd=0.02)."""
+def approx_distinct_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic frame for agg_approx_distinct: every row carries
+    (approx, exact, abs_err, within_tol) so tests can bound the actual
+    HLL++ error (tests/test_llm.py::test_approx_count_distinct_tolerance)."""
     orders = load_table(spark, sf_dir, "orders")
     out = orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
@@ -150,6 +146,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_customers",
         abs_err.alias("abs_err"),
         (abs_err <= 3 * 0.02 * F.col("exact_customers")).alias("within_tol"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           true AS within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality next to the exact count. At 100 TB the approx
+    variant is the only one that doesn't need a distinct-expand shuffle.
+
+    Hash-checkable despite being approximate: the output is the exact
+    count plus ``within_tol`` = (|approx − exact| ≤ 3×rsd×exact),
+    computed Spark-side with rsd=0.02; the oracle expects every group
+    to read (exact, true). A sketch drifting out of tolerance flips the
+    boolean and fails the driver's value hash — the tolerance claim IS
+    the checked row set. The raw approx/abs_err diagnostics live in
+    approx_distinct_rich (engine-specific values can't hash-match)."""
+    return approx_distinct_rich(spark, sf_dir).select(
+        "o_orderstatus", "exact_customers", "within_tol"
     )
 
 
@@ -176,14 +198,10 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")  # rows-only: approximate by definition
-def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate percentile — the mergeable-sketch
-    path that scales (exact percentile needs the whole group).
-
-    Self-evidencing result: (approx, exact, abs_err, within_tol) per
-    row; at accuracy=10000 the rank error is ≤ 1/10000, so a 1% relative
-    value tolerance on this distribution is generous."""
+def percentile_approx_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic frame for agg_percentile_approx: (approx, exact,
+    abs_err, within_tol) per group, for the tolerance test in
+    tests/test_llm.py::test_percentile_approx_tolerance."""
     orders = load_table(spark, sf_dir, "orders")
     out = orders.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
@@ -198,6 +216,31 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_median",
         abs_err.alias("abs_err"),
         (abs_err <= 0.01 * F.col("exact_median")).alias("within_tol"),
+    )
+
+
+@query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4) AS exact_median,
+           true AS within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentile — the mergeable-sketch
+    path that scales (exact percentile needs the whole group).
+
+    Hash-checkable tolerance claim: output = (exact_median, within_tol)
+    with ``within_tol`` = (|approx − exact| ≤ 1% of exact) computed
+    Spark-side; the oracle expects (exact, true) per group, so a sketch
+    out of tolerance fails the driver's value hash. At accuracy=10000
+    the GK rank error is ≤ 1/10000 — 1% value tolerance is generous.
+    Raw approx/abs_err diagnostics: percentile_approx_rich."""
+    return percentile_approx_rich(spark, sf_dir).select(
+        "o_orderstatus", "exact_median", "within_tol"
     )
 
 
@@ -439,16 +482,9 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable")  # rows-only: Datasketches binary, not SQL
-def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches (Apache DataSketches via
-    F.hll_sketch_agg) — THE 100 TB distinct-count pattern: build one
-    small sketch per (event_type, day) partition, then answer
-    "distinct users per type over any date range" by unioning sketches
-    (hll_union_agg) instead of re-scanning raw events. The daily
-    pre-aggregate is what you'd persist; the union is bytes-sized work
-    no matter how large the raw table was. Accuracy self-check (±5% vs
-    exact) lives in tests/test_llm.py."""
+def hll_mergeable_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic frame for agg_hll_mergeable: approx next to exact with
+    abs_err/within_tol, for tests/test_llm.py's ±5% accuracy check."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -459,9 +495,9 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_daily_sketches"),
     )
-    # Self-evidencing: join the exact distinct count (fine at test scale;
-    # at 100 TB you would persist only the sketches) and emit the error
-    # bound the sketch promises (±5% at lgK default 12).
+    # Exact distinct count alongside (fine at test scale; at 100 TB you
+    # would persist only the sketches), with the error bound the sketch
+    # promises (±5% at lgK default 12).
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct_users")
     )
@@ -475,6 +511,36 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_daily_sketches",
         abs_err.alias("abs_err"),
         (abs_err <= 0.05 * F.col("exact_distinct_users")).alias("within_tol"),
+    )
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_distinct_users,
+           count(DISTINCT date_trunc('day', ts)) AS n_daily_sketches,
+           true AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    F.hll_sketch_agg) — THE 100 TB distinct-count pattern: build one
+    small sketch per (event_type, day) partition, then answer
+    "distinct users per type over any date range" by unioning sketches
+    (hll_union_agg) instead of re-scanning raw events. The daily
+    pre-aggregate is what you'd persist; the union is bytes-sized work
+    no matter how large the raw table was.
+
+    Hash-checkable: output = (exact count, number of daily sketches
+    merged, within_tol), where ``within_tol`` = (|estimate − exact| ≤
+    5% of exact) is computed Spark-side from the real sketch union; the
+    oracle expects (exact, n_days, true). Estimate drift flips the
+    boolean and fails the value hash. Raw estimates: hll_mergeable_rich."""
+    return hll_mergeable_rich(spark, sf_dir).select(
+        "event_type", "exact_distinct_users", "n_daily_sketches", "within_tol"
     )
 
 
@@ -615,22 +681,10 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_quantiles")  # rows-only: KLL compaction is randomized
-def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable KLL quantile sketches (Apache DataSketches, built into
-    Spark 4.x) — the scale path for percentiles.
-
-    Exact percentiles need a full sort (or all values in one reducer);
-    at 100 TB that's the canonical anti-pattern. KLL sketches are
-    fixed-size (k=200 → a few KB), mergeable, and carry proven rank
-    error (~1.3% at 99% confidence), so the natural layout is: sketch
-    per fine-grained stratum (here returnflag×linestatus — in
-    production, per day/partition), persist the sketches, and answer
-    any coarser rollup by MERGING sketches instead of rescanning data.
-    Both agg levels are partial-aggregable single-shuffle plans.
-
-    Rows-only oracle (compaction randomness makes bits nondeterministic);
-    tests/test_llm.py bounds the estimates against exact percentiles."""
+def sketch_quantiles_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic frame for agg_sketch_quantiles: the raw p25/p50/p75
+    KLL estimates next to the exact median, for the rank-error envelope
+    test in tests/test_llm.py::test_kll_sketch_quantile_tolerance."""
     li = load_table(spark, sf_dir, "lineitem")
     fine = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.kll_sketch_agg_bigint(
@@ -670,6 +724,41 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p50_price",
         abs_err.alias("abs_err"),
         (abs_err <= 0.05 * F.col("exact_p50_price")).alias("within_tol"),
+    )
+
+
+@query(
+    "agg_sketch_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(median(l_extendedprice), 4) AS exact_p50_price,
+           true AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Apache DataSketches, built into
+    Spark 4.x) — the scale path for percentiles.
+
+    Exact percentiles need a full sort (or all values in one reducer);
+    at 100 TB that's the canonical anti-pattern. KLL sketches are
+    fixed-size (k=200 → a few KB), mergeable, and carry proven rank
+    error (~1.3% at 99% confidence), so the natural layout is: sketch
+    per fine-grained stratum (here returnflag×linestatus — in
+    production, per day/partition), persist the sketches, and answer
+    any coarser rollup by MERGING sketches instead of rescanning data.
+    Both agg levels are partial-aggregable single-shuffle plans.
+
+    Hash-checkable despite randomized compaction: output = (row count
+    from the sketch's own n, exact median, within_tol) where
+    ``within_tol`` = (|sketch p50 − exact| ≤ 5% of exact) is computed
+    Spark-side; the oracle expects (count(*), exact, true) — n_rows
+    also proves the sketch saw every row. Raw p25/p50/p75 estimates:
+    sketch_quantiles_rich."""
+    return sketch_quantiles_rich(spark, sf_dir).select(
+        "l_returnflag", "n_rows", "exact_p50_price", "within_tol"
     )
 
 

@@ -84,30 +84,22 @@ def cluster_near_duplicates(
             F.col("datasetB.doc_id").alias("dst"),
         )
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # Components via the shared Pregel-shaped kernel (graph.py):
+    # pointer-jumped min-label propagation, eager localCheckpoint
+    # lineage cuts, and monotone-sum convergence detection — O(log n)
+    # materialized rounds with O(1) plan depth, vs the previous fixed
+    # 8 lazy-checkpoint rounds whose plan chain grew per round. Only
+    # docs that appear in a candidate pair enter the iteration; the
+    # (dominant) singleton majority joins back in one left join.
+    from pymapreduce_spark.operators.graph import connected_components
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    # Min-label propagation; component diameter in the fixture (prefix
-    # chains) is tiny — 8 rounds is a safe bound, each one shuffle pair.
-    for _ in range(8):
-        nbr = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_cluster"))
-        )
-        labels = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_cluster"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    labels = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -154,41 +146,96 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
-    surv = (
+    # Survivors (which includes every singleton cluster — most of the
+    # corpus) have jaccard_to_survivor = 1.0 by definition: short-circuit
+    # them so the shingle arrays only join for non-survivor members.
+    # Broadcasting the survivor shingles would ship ~the whole corpus's
+    # shingle sets (singletons dominate); restricted to members it's a
+    # duplicate-sized shuffle join on cluster_id, which AQE may still
+    # turn into a broadcast when the duplicate set really is small.
+    surv_sh = (
         labels.where("is_survivor")
         .join(sh, "doc_id")
         .select("cluster_id", F.col("sh").alias("surv_sh"))
     )
     inter = F.size(F.array_intersect("sh", "surv_sh")).cast("double")
     jac = inter / (F.size("sh") + F.size("surv_sh") - inter)
+    member_jac = (
+        labels.where(~F.col("is_survivor"))
+        .join(sh, "doc_id")
+        .join(surv_sh, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "is_survivor",
+            F.round(jac, 6).alias("jaccard_to_survivor"),
+        )
+    )
+    surv_jac = labels.where("is_survivor").select(
+        "doc_id",
+        "cluster_id",
+        "is_survivor",
+        F.lit(1.0).alias("jaccard_to_survivor"),
+    )
     return (
-        labels.join(sh, "doc_id")
+        member_jac.unionByName(surv_jac)
         .join(F.broadcast(sizes), "cluster_id")
-        .join(F.broadcast(surv), "cluster_id")
         .select(
             "doc_id",
             "cluster_id",
             "is_survivor",
             "cluster_size",
-            F.round(jac, 6).alias("jaccard_to_survivor"),
+            "jaccard_to_survivor",
         )
     )
 
 
-@query("llm_minhash_sig")  # rows-only: xxhash64 is Spark-native
-def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-hash MinHash signature per document as an array<bigint>
-    column — a compact, mergeable fingerprint (the building block LSH
-    banding uses). Pure Catalyst higher-order expression."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = F.expr(
-        """
-        transform(sequence(0, 15), i ->
+def minhash_signature_expr(n_hashes: int = 16):
+    """Internal building block: the 16-slot MinHash signature as ONE
+    array column (array<string> of 16-hex-char hashes) — what LSH
+    banding consumes. Pure Catalyst higher-order expression, no shuffle.
+    md5 (not xxhash64) so the same permutation family is computable by
+    any engine; swap for xxhash64 when cross-engine parity isn't needed."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {n_hashes - 1}), i ->
             array_min(transform(array_distinct(split(text, ' ')),
-                                w -> xxhash64(concat(w, cast(i AS string))))))
+                w -> substr(md5(concat(w, '#', cast(i AS string))), 1, 16))))
         """
     )
-    return docs.select("doc_id", sig.alias("minhash_sig"))
+
+
+@query(
+    "llm_minhash_sig",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           i AS sig_idx,
+           min(substr(md5(w || '#' || i), 1, 16)) AS sig_hash
+    FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS idx
+    GROUP BY doc_id, i
+    """,
+)
+def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signature per document, emitted as scalar rows
+    (doc_id, sig_idx, sig_hash) — a compact, mergeable fingerprint (the
+    building block LSH banding uses; see minhash_signature_expr for the
+    array form). Each slot is min over a salted-md5 permutation of the
+    document's distinct words.
+
+    Scale shape: the signature is ONE Catalyst higher-order expression
+    per document (no explode-then-groupBy shuffle — the min runs inside
+    the array), then a 16× posexplode fan-out; map-only end to end. The
+    scalar-row representation is also the driver-canonicalizable one:
+    array columns break pandas-based row sorting downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(minhash_signature_expr(16)).alias("sig_idx", "sig_hash"),
+    )
 
 
 @query(
@@ -1113,16 +1160,20 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> concat_ws(' ', words[i], words[i+1]))))
                    AS n_distinct_bigrams
         FROM w
+    ), m AS (
+        SELECT w.doc_id,
+               top.top_count::DOUBLE / w.n_words AS top_share,
+               CASE WHEN big.n_bigrams < 1 THEN 0.0
+                    ELSE 1.0 - big.n_distinct_bigrams::DOUBLE / big.n_bigrams
+               END AS dup_frac
+        FROM w JOIN top ON w.doc_id = top.doc_id
+               JOIN big ON w.doc_id = big.doc_id
     )
-    SELECT w.doc_id,
-           round(top.top_count::DOUBLE / w.n_words, 6) AS top_word_share,
-           round(1.0 - big.n_distinct_bigrams::DOUBLE / big.n_bigrams, 6)
-               AS dup_bigram_frac,
-           (top.top_count::DOUBLE / w.n_words <= 0.12
-            AND 1.0 - big.n_distinct_bigrams::DOUBLE / big.n_bigrams <= 0.6)
-               AS passes_repetition
-    FROM w JOIN top ON w.doc_id = top.doc_id
-           JOIN big ON w.doc_id = big.doc_id
+    SELECT doc_id,
+           round(top_share, 6) AS top_word_share,
+           round(dup_frac, 6) AS dup_bigram_frac,
+           (top_share <= 0.12 AND dup_frac <= 0.6) AS passes_repetition
+    FROM m
     """,
 )
 def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,7 +1184,12 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the top-word count is a (doc_id, word) combiner-friendly
     aggregate + per-doc top-1 window (both partial-aggregable, one
     shuffle each); bigram stats are map-only higher-order functions.
-    At 100 TB every stage is embarrassingly parallel over documents."""
+    At 100 TB every stage is embarrassingly parallel over documents.
+
+    Sub-2-word documents are defined to have dup_bigram_frac = 0 (no
+    bigrams → nothing duplicated); the transform indices are clamped
+    (greatest/least, as in llm_dedup_fuzzy) because sequence(1, 0)
+    descends and element_at(words, 0) throws."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.split("text", " ").alias("words")
@@ -1145,9 +1201,9 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.expr(
                     """
-                    transform(sequence(1, size(words) - 1), i ->
+                    transform(sequence(1, greatest(size(words) - 1, 1)), i ->
                         concat_ws(' ', element_at(words, i),
-                                       element_at(words, i + 1)))
+                                       element_at(words, least(i + 1, size(words)))))
                     """
                 )
             )
@@ -1162,8 +1218,8 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") == 1
     )
     top_share = F.col("n").cast("double") / F.col("n_words")
-    dup_frac = 1.0 - F.col("n_distinct_bigrams").cast("double") / F.col(
-        "n_bigrams"
+    dup_frac = F.when(F.col("n_bigrams") < 1, F.lit(0.0)).otherwise(
+        1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
     )
     return top.select(
         "doc_id",

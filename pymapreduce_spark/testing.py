@@ -88,21 +88,22 @@ def compare_frames(
     """Assert Spark result == DuckDB oracle result (driver-equivalent)."""
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
-    cur = duck_rel.execute(oracle_sql)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    # Single oracle execution: the Arrow table serves both the schema
+    # audit and the row values (to_pylist keeps ints as ints — no pandas
+    # nullable-int→float coercion; no oracle emits map/struct columns,
+    # so object shapes match what fetchall() produced).
+    arrow_tbl = duck_rel.execute(oracle_sql).fetch_arrow_table()
+    d_cols = list(arrow_tbl.schema.names)
+    d_rows = [tuple(d[c] for c in d_cols) for d in arrow_tbl.to_pylist()]
 
     # Driver-faithful type audit: the driver fetches DuckDB results via
     # Arrow, where HUGEINT (DuckDB's sum(BIGINT) result type) becomes
     # decimal128(38,0) and hashes differently from Spark's bigint even
-    # when every value is equal. fetchall() converts HUGEINT to Python
-    # int and hides that, so audit the Arrow schema explicitly: any
-    # decimal column in the oracle output must be cast (::BIGINT /
-    # ::DOUBLE) in the oracle SQL.
-    arrow_schema = duck_rel.execute(oracle_sql).fetch_arrow_table().schema
+    # when every value is equal — any decimal column in the oracle
+    # output must be cast (::BIGINT / ::DOUBLE) in the oracle SQL.
     leaks = [
         f"{f.name}:{f.type}"
-        for f in arrow_schema
+        for f in arrow_tbl.schema
         if str(f.type).startswith("decimal")
     ]
     assert not leaks, (

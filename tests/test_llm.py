@@ -55,17 +55,27 @@ def test_fuzzy_dedup_synthetic(spark):
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
-    rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    from pymapreduce_spark.operators.aggregates import approx_distinct_rich
+
+    rows = approx_distinct_rich(spark, sf_dir).collect()
     for r in rows:
         rel_err = abs(r.approx_customers - r.exact_customers) / r.exact_customers
         assert rel_err <= 0.06, f"{r.o_orderstatus}: rel_err={rel_err:.3f}"
+        assert r.within_tol
+    # The registered query must agree with the rich frame's verdict.
+    assert all(
+        r.within_tol for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    )
 
 
 def test_percentile_approx_tolerance(spark, sf_dir):
-    rows = QUERIES["agg_percentile_approx"](spark, sf_dir).collect()
+    from pymapreduce_spark.operators.aggregates import percentile_approx_rich
+
+    rows = percentile_approx_rich(spark, sf_dir).collect()
     for r in rows:
         rel_err = abs(r.approx_median - r.exact_median) / r.exact_median
         assert rel_err <= 0.02
+        assert r.within_tol
 
 
 def test_fingerprints_stable_across_runs(spark, sf_dir):
@@ -162,9 +172,11 @@ def test_hll_mergeable_within_tolerance(spark, sf_dir):
     from pymapreduce_spark.registry import QUERIES
     from pyspark.sql import functions as F
 
+    from pymapreduce_spark.operators.aggregates import hll_mergeable_rich
+
     approx = {
         r["event_type"]: r["approx_distinct_users"]
-        for r in QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
+        for r in hll_mergeable_rich(spark, sf_dir).collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -231,10 +243,9 @@ def test_minhash_jaccard_estimate(spark, sf_dir):
     theoretical s.e. envelope for 16 hashes (~0.125) plus slack."""
     from pymapreduce_spark.registry import QUERIES
 
-    sig = {
-        r["doc_id"]: r["minhash_sig"]
-        for r in QUERIES["llm_minhash_sig"](spark, sf_dir).collect()
-    }
+    sig: dict = {}
+    for r in QUERIES["llm_minhash_sig"](spark, sf_dir).collect():
+        sig.setdefault(r["doc_id"], [None] * 16)[r["sig_idx"]] = r["sig_hash"]
     docs = {
         r["doc_id"]: set(r["text"].split(" "))
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -256,9 +267,11 @@ def test_kll_sketch_quantile_tolerance(spark, duck, sf_dir):
     exact quantile: estimate(q) ∈ [exact(q−.03), exact(q+.03)]."""
     from pymapreduce_spark.registry import QUERIES
 
+    from pymapreduce_spark.operators.aggregates import sketch_quantiles_rich
+
     est = {
         r["l_returnflag"]: (r["p25_price"], r["p50_price"], r["p75_price"])
-        for r in QUERIES["agg_sketch_quantiles"](spark, sf_dir).collect()
+        for r in sketch_quantiles_rich(spark, sf_dir).collect()
     }
     for flag, (p25, p50, p75) in est.items():
         for q, v in ((0.25, p25), (0.5, p50), (0.75, p75)):
