@@ -54,35 +54,94 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_doc_id", "n_copies", "text_chars")
 
 
+#: 3-word shingle set as ONE higher-order expression over a hoisted
+#: ``words`` column. Indices are clamped (greatest/least) so sub-3-word
+#: documents yield a single degenerate shingle instead of throwing.
+_SHINGLES_EXPR = """
+array_distinct(
+    transform(sequence(1, greatest(size(words) - 2, 1)), i ->
+        concat_ws(' ', element_at(words, i),
+                       element_at(words, least(i + 1, size(words))),
+                       element_at(words, least(i + 2, size(words))))))
+"""
+
+
 def cluster_near_duplicates(
-    docs: DataFrame, max_jaccard_dist: float = 0.5
+    docs: DataFrame,
+    max_jaccard_dist: float = 0.5,
+    n_hashes: int = 16,
+    band_rows: int = 2,
 ) -> DataFrame:
     """Core fuzzy-dedup pipeline over a (doc_id, text) DataFrame:
-    MinHash-LSH candidate pairs → min-label-propagation components →
-    (doc_id, cluster_id, is_survivor). Seeded, deterministic."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
-    words = docs.withColumn("words", F.split("text", " "))
-    shingled = NGram(n=3, inputCol="words", outputCol="shingles").transform(
-        words
+    MinHash-LSH banded candidate pairs → exact-Jaccard verification →
+    connected components → (doc_id, cluster_id, is_survivor).
+
+    The LSH is self-built on salted md5 (the permutation family of
+    minhash_signature_expr, here over 3-word shingles) rather than an
+    opaque library: every stage — signature, band keys, candidate join,
+    verify filter, components — is reproducible by any engine that has
+    md5, which is what lets llm_dedup_fuzzy carry a full value-hash
+    oracle. Config: 16 hashes in 8 bands × 2 rows puts the S-curve
+    half-probability point at (1/8)^(1/2) ≈ 0.35 Jaccard, so true pairs
+    at the 0.5 threshold band-collide with p ≈ 0.90 per pair (chained
+    recall inside clusters is higher); the exact-Jaccard filter then
+    removes every false candidate, so banding only costs recall, never
+    precision.
+
+    Scale shape: signatures and band keys are map-only higher-order
+    expressions (no explode-then-groupBy); candidates come from an
+    equi-join on (band, key) — shuffle on a 2-hash band key, never a
+    cross join; the verify join touches only candidate pairs; components
+    run on the Pregel-shaped kernel (pointer jumping, eager checkpoint,
+    monotone-sum convergence) from graph.py."""
+    min_jaccard = 1.0 - max_jaccard_dist
+    n_bands = n_hashes // band_rows
+    sig = F.expr(
+        f"""
+        transform(sequence(0, {n_hashes - 1}), i ->
+            array_min(transform(sh,
+                s -> substr(md5(concat(s, '#', cast(i AS string))), 1, 16))))
+        """
     )
-    featurized = HashingTF(
-        inputCol="shingles",
-        outputCol="features",
-        numFeatures=1 << 18,
-        binary=True,
-    ).transform(shingled)
-    model = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
-    ).fit(featurized)
-    pairs = (
-        model.approxSimilarityJoin(
-            featurized, featurized, max_jaccard_dist, distCol="jaccard_dist"
+    band_keys = F.expr(
+        f"""
+        transform(sequence(0, {n_bands - 1}), b ->
+            concat_ws('|', slice(sig, b * {band_rows} + 1, {band_rows})))
+        """
+    )
+    sh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+    )
+    bands = sh.withColumn("sig", sig).select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
-            F.col("datasetA.doc_id").alias("src"),
-            F.col("datasetB.doc_id").alias("dst"),
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
         )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jacc = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    pairs = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a")),
+            "src",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b")),
+            "dst",
+        )
+        .where(jacc >= min_jaccard)
+        .select("src", "dst")
     )
     # Components via the shared Pregel-shaped kernel (graph.py):
     # pointer-jumped min-label propagation, eager localCheckpoint
@@ -107,41 +166,91 @@ def cluster_near_duplicates(
     )
 
 
-@query("llm_dedup_fuzzy")  # rows-only: LSH candidate set is not SQL
+@query(
+    "llm_dedup_fuzzy",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> concat_ws(' ', words[i],
+                                  words[least(i + 1, len(words))],
+                                  words[least(i + 2, len(words))]))) AS sh
+        FROM w
+    ), sig AS (
+        SELECT doc_id, i, min(substr(md5(s || '#' || i), 1, 16)) AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS idx
+        GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // 2 AS b, string_agg(h, '|' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // 2
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
+        FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key
+        WHERE a.doc_id < b2.doc_id
+    ), verified AS (
+        SELECT c.src, c.dst
+        FROM cands c
+        JOIN sh s1 ON s1.doc_id = c.src
+        JOIN sh s2 ON s2.doc_id = c.dst
+        WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
+              / (len(s1.sh) + len(s2.sh)
+                 - len(list_intersect(s1.sh, s2.sh))) >= 0.5
+    ), edges AS (
+        SELECT src, dst FROM verified
+        UNION SELECT dst, src FROM verified
+    ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ), comp AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id,
+           l.doc_id = l.cluster_id AS is_survivor,
+           sizes.cluster_size,
+           CASE WHEN l.doc_id = l.cluster_id THEN 1.0
+                ELSE round(len(list_intersect(m.sh, sv.sh))::DOUBLE
+                     / (len(m.sh) + len(sv.sh)
+                        - len(list_intersect(m.sh, sv.sh))), 6)
+           END AS jaccard_to_survivor
+    FROM lab l
+    JOIN sizes ON sizes.cluster_id = l.cluster_id
+    JOIN sh m ON m.doc_id = l.doc_id
+    JOIN sh sv ON sv.doc_id = l.cluster_id
+    """,
+)
 def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clustering: MinHash-LSH over 3-word shingles →
-    candidate pairs (Jaccard distance ≤ 0.5) → connected components via
-    min-label propagation → per-doc cluster assignment.
+    """Near-duplicate clustering: banded MinHash-LSH over 3-word
+    shingles (salted md5, 8 bands × 2 rows) → exact-Jaccard-verified
+    candidate pairs (J ≥ 0.5) → connected components → per-doc cluster
+    assignment. One row per document: (doc_id, cluster_id, is_survivor,
+    cluster_size, jaccard_to_survivor); survivor = min doc_id.
 
-    One row per document: (doc_id, cluster_id, is_survivor,
-    cluster_size, jaccard_to_survivor) — deterministic (LSH seed=42,
-    survivor = min doc_id in component). Recall vs known near-dups is
-    asserted in tests/test_llm.py on a synthetic corpus.
+    Fully hash-checked: because the LSH permutations are salted md5
+    (cluster_near_duplicates), the oracle replays the ENTIRE pipeline —
+    signatures, band keys, candidate join, verify filter, and
+    transitive closure via recursive CTE — so banding recall, clustering,
+    and the per-member true-Jaccard all get the driver's value-hash
+    check, not a rows-only pass. Chained members may sit below the
+    pairwise threshold to their survivor — transitive-closure semantics,
+    visible in jaccard_to_survivor rather than hidden.
 
-    Self-evidencing: every row carries the TRUE 3-shingle Jaccard to its
-    cluster survivor (1.0 for survivors), so the rows-only check shows
-    clustered docs really are near-duplicates (chained members may sit
-    below the pairwise threshold — that is transitive-closure semantics,
-    visible in the value rather than hidden).
-
-    Scale: candidates come from equi-joins on band buckets (shuffle on
-    hash), components from ≤8 join+groupBy rounds — no cross join, no
-    driver-side data except the loop counter.
-    """
+    Scale: candidates from equi-joins on band keys (never a cross
+    join), verification touches candidates only, components via the
+    checkpointed Pregel kernel — no driver-side data."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     labels = cluster_near_duplicates(docs)
-    shingles = F.array_distinct(
-        F.expr(
-            """
-            transform(sequence(1, greatest(size(words) - 2, 1)), i ->
-                concat_ws(' ', element_at(words, i),
-                               element_at(words, least(i + 1, size(words))),
-                               element_at(words, least(i + 2, size(words)))))
-            """
-        )
-    )
     sh = docs.withColumn("words", F.split("text", " ")).select(
-        "doc_id", shingles.alias("sh")
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("sh")
     )
     sizes = labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")

@@ -13,17 +13,22 @@ from pymapreduce_spark.registry import QUERIES
 
 def test_ann_recall_vs_exact(spark, sf_dir):
     """recall@5 of the LSH path vs brute force must be ≥ 0.9."""
+    from pymapreduce_spark.operators.llm_vector import sim_search_ann_rich
+
     exact = {
         (r.query_id, r.neighbor_id)
         for r in QUERIES["llm_sim_search"](spark, sf_dir).collect()
     }
-    ann_rows = QUERIES["llm_sim_search_ann"](spark, sf_dir).collect()
+    ann_rows = sim_search_ann_rich(spark, sf_dir).collect()
     ann = {(r.query_id, r.neighbor_id) for r in ann_rows}
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.9, f"ANN recall@5 = {recall:.3f}"
-    # the self-evidencing column must agree with the exact set
+    # the evidence column must agree with the exact set
     for r in ann_rows:
         assert r.in_exact_topk == ((r.query_id, r.neighbor_id) in exact), r
+    # the registered summary must agree with the evidence
+    for r in QUERIES["llm_sim_search_ann"](spark, sf_dir).collect():
+        assert r.n_results == 5 and r.recall_ok, r
 
 
 def test_fuzzy_dedup_synthetic(spark):
