@@ -1016,7 +1016,7 @@ def llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT word, len(docs) AS n_docs,
            docs[1] AS first_doc, docs[len(docs)] AS last_doc,
-           docs[1:5] AS head_docs
+           array_to_string(docs[1:5], '|') AS head_docs
     FROM postings
     """,
 )
@@ -1025,9 +1025,11 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval-side structure a search/RAG pipeline builds from the
     corpus). collect_set dedups within the aggregate, array_sort makes
     the posting order deterministic (SURVEY §5.4.4). Output carries the
-    list head plus summary fields — at 100 TB postings are written
-    per-word-bucket to parquet, not returned; one shuffle keyed by
-    word, partial-aggregated map-side."""
+    list head ('|'-joined string — array cells crash the driver's
+    pandas canonicalizer, the llm_minhash_sig r3 failure class) plus
+    summary fields — at 100 TB postings are written per-word-bucket to
+    parquet, not returned; one shuffle keyed by word,
+    partial-aggregated map-side."""
     docs = load_table(spark, sf_dir, "documents")
     postings = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -1039,7 +1041,7 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("docs").alias("n_docs"),
         F.element_at("docs", 1).alias("first_doc"),
         F.element_at("docs", F.size("docs")).alias("last_doc"),
-        F.slice("docs", 1, 5).alias("head_docs"),
+        F.array_join(F.slice("docs", 1, 5), "|").alias("head_docs"),
     )
 
 

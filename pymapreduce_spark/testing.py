@@ -78,6 +78,27 @@ def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(canon_cell(row[i]) for i in order) for row in rows)
 
 
+def assert_driver_canonicalizable(name: str, spark_df: DataFrame) -> None:
+    """The driver canonicalizes results with a pandas ``sort_values``
+    over every column; array/map/struct cells arrive as numpy arrays or
+    dicts and crash ``factorize`` (``TypeError: unhashable type`` — the
+    llm_minhash_sig r3 failure). Checked-query outputs must therefore be
+    scalar-only: flatten lists with array_join, structs with explicit
+    column selection. (Local canon_cell handles nesting, so only this
+    guard catches the class before the driver does.)"""
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"[{name}] output has complex-typed columns the driver's pandas "
+        f"canonicalizer cannot sort/hash (flatten them): {complex_cols}"
+    )
+
+
 def compare_frames(
     name: str,
     spark_df: DataFrame,
@@ -86,6 +107,7 @@ def compare_frames(
     max_diff_report: int = 5,
 ) -> None:
     """Assert Spark result == DuckDB oracle result (driver-equivalent)."""
+    assert_driver_canonicalizable(name, spark_df)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     # Single oracle execution: the Arrow table serves both the schema

@@ -7,7 +7,10 @@ import pytest
 
 import pymapreduce_spark  # noqa: F401  (registers operators)
 from pymapreduce_spark.registry import ORACLES, QUERIES
-from pymapreduce_spark.testing import compare_frames
+from pymapreduce_spark.testing import (
+    assert_driver_canonicalizable,
+    compare_frames,
+)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -17,10 +20,13 @@ def test_oracle(name: str, spark, duck, sf_dir: str) -> None:
 
 
 def test_all_queries_run(spark, sf_dir: str) -> None:
-    """Rows-only ops (no oracle) must still execute and return a schema."""
+    """Rows-only ops (no oracle) must still execute, return a schema,
+    and survive the driver's pandas canonicalizer (scalar-only cols —
+    rows-only results are canonicalized too; see llm_minhash_sig r3)."""
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, sf_dir)
         assert df.columns, name
+        assert_driver_canonicalizable(name, df)
         assert df.count() >= 0, name
 
 
