@@ -141,3 +141,155 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1.n_orders").alias("old_n_orders"),
         F.col("s2.n_orders").alias("new_n_orders"),
     )
+
+
+@query(
+    "etl_fk_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n
+                WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+               (SELECT 1 FROM nation n
+                WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n WHERE NOT EXISTS
+               (SELECT 1 FROM region r
+                WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for every
+    foreign-key edge, how many child rows exist and how many are
+    orphans (no matching parent) — the data-quality gate an ETL
+    pipeline runs before publishing a snapshot. NOT EXISTS is spelled
+    as a left_anti join, the null-safe formulation (NOT IN returns
+    zero rows the moment the parent side has one NULL key).
+
+    Each check is one anti join where the parent side is
+    dims-or-aggregated — broadcastable at any fixture scale, and at
+    100 TB the fact-side anti join partial-aggregates to a count
+    before anything crosses the wire. The five checks union into one
+    plan, so Catalyst schedules them as parallel independent stages."""
+    checks = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    parts = []
+    for label, child_t, child_k, parent_t, parent_k in checks:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).alias("__pk")
+        )
+        orphans = child.join(
+            parent, child[child_k] == F.col("__pk"), "left_anti"
+        )
+        parts.append(
+            child.agg(F.count("*").alias("n_child")).crossJoin(
+                orphans.agg(F.count("*").alias("n_orphan"))
+            ).select(
+                F.lit(label).alias("relationship"), "n_child", "n_orphan"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "etl_data_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           (SELECT count(*) FROM orders) AS n_rows,
+           count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', (SELECT count(*) FROM orders),
+           count(*) FILTER (o_custkey IS NULL), count(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', (SELECT count(*) FROM orders),
+           count(*) FILTER (o_orderstatus IS NULL),
+           count(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', (SELECT count(*) FROM orders),
+           count(*) FILTER (o_totalprice IS NULL),
+           count(DISTINCT o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', (SELECT count(*) FROM orders),
+           count(*) FILTER (o_orderdate IS NULL),
+           count(DISTINCT o_orderdate)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', (SELECT count(*) FROM orders),
+           count(*) FILTER (o_orderpriority IS NULL),
+           count(DISTINCT o_orderpriority)
+    FROM orders
+    """,
+)
+def etl_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of the `orders` table — row count, null count,
+    exact distinct count per column — the schema-drift/data-quality
+    summary an ingestion pipeline publishes with every batch.
+
+    All six columns profile in ONE aggregate over ONE scan
+    (count+count_distinct per column are partial-aggregable in a single
+    HashAggregate), then the 1×N metric row unpivots to N rows with
+    `stack` — no per-column scan, no union of six jobs (the oracle
+    spells it per-column; DuckDB scans a 15 k-row view six times for
+    free, Spark at 100 TB must not). Exact integers only — no string
+    min/max, whose casts render differently across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")

@@ -511,3 +511,250 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round(num / den, 4).alias("ewma10"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS lo,
+               date_trunc('hour', max(ts::TIMESTAMP)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    types AS (SELECT DISTINCT event_type AS et FROM events),
+    obs AS (
+        SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type AS et,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY h, et
+    ),
+    dense AS (
+        SELECT types.et, grid.h, obs.cents
+        FROM grid CROSS JOIN types
+        LEFT JOIN obs ON obs.h = grid.h AND obs.et = types.et
+    ),
+    framed AS (
+        SELECT et, h, cents,
+               last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY et ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_cents,
+               last_value(CASE WHEN cents IS NOT NULL THEN h END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY et ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_h,
+               first_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY et ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_cents,
+               first_value(CASE WHEN cents IS NOT NULL THEN h END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY et ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_h
+        FROM dense
+    )
+    SELECT et AS event_type, h::TIMESTAMP AS hour,
+           cents AS observed_cents,
+           CASE
+               WHEN cents IS NOT NULL THEN cents / 100.0
+               WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL THEN
+                   (prev_cents
+                    + (next_cents - prev_cents)
+                      * ((epoch(h) - epoch(prev_h))
+                         / (epoch(next_h) - epoch(prev_h)))) / 100.0
+           END AS value_interp
+    FROM framed
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps in an hourly value series: the dense
+    per-type grid (ts_gapfill's build) carries the hourly sum of
+    `value`; hours with no events take the straight line between the
+    nearest observed hour on each side, leading/trailing gaps stay NULL
+    (no extrapolation) — the imputation step between resampling and any
+    model-facing feature table.
+
+    One shuffle on the series key, two windows (backward carry, forward
+    carry) over per-type partitions — no self-join, no driver loop;
+    state per partition is one series, the 100 TB layout for panel data.
+    Determinism: observations ride integer cents (the proven
+    ts_forward_fill device), gap positions are integer epoch seconds,
+    and both engines evaluate the identical op order
+    prev + diff·(k/gap) over those exact integers — bit-identical IEEE
+    doubles, emitted unrounded (rounding would reintroduce half-tie
+    divergence)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    obs = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.col("event_type").alias("et"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(
+            F.broadcast(obs),
+            (F.col("h") == F.col("hour")) & (obs.et == types.et),
+            "left",
+        )
+        .select(types.et.alias("event_type"), "hour", "cents")
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("cents").isNotNull(), F.col("hour"))
+    prev_c = F.last("cents", ignorenulls=True).over(back)
+    prev_h = F.last(obs_hour, ignorenulls=True).over(back)
+    next_c = F.first("cents", ignorenulls=True).over(fwd)
+    next_h = F.first(obs_hour, ignorenulls=True).over(fwd)
+    frac = (F.unix_timestamp("hour") - F.unix_timestamp(prev_h)) / (
+        F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    )
+    # UNROUNDED on purpose: every input is an exact integer (cents,
+    # epoch seconds), so the shared op order prev + diff·(k/gap) makes
+    # both engines produce bit-identical IEEE doubles; round(4) would
+    # REINTRODUCE half-tie divergence (Spark HALF_UP vs DuckDB
+    # half-even — bit at sf0.001).
+    interp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents") / 100.0)
+        .when(
+            prev_c.isNotNull() & next_c.isNotNull(),
+            (prev_c + (next_c - prev_c) * frac) / 100.0,
+        )
+    )
+    return dense.select(
+        "event_type",
+        "hour",
+        F.col("cents").alias("observed_cents"),
+        interp.alias("value_interp"),
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS lo,
+               date_trunc('hour', max(ts::TIMESTAMP)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    types AS (SELECT DISTINCT event_type AS et FROM events),
+    counts AS (
+        SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type AS et,
+               count(*) AS n
+        FROM events GROUP BY h, et
+    ),
+    dense AS (
+        SELECT types.et, grid.h, coalesce(counts.n, 0) AS n
+        FROM grid CROSS JOIN types
+        LEFT JOIN counts ON counts.h = grid.h AND counts.et = types.et
+    ),
+    rolled AS (
+        SELECT et, h, n,
+               count(*) OVER w AS w_n,
+               sum(n) OVER w AS w_sum,
+               sum(n * n) OVER w AS w_sum2
+        FROM dense
+        WINDOW w AS (PARTITION BY et ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT et AS event_type, h::TIMESTAMP AS hour, n AS n_events,
+           CASE WHEN w_n = 24 AND w_sum2 * 24 > w_sum * w_sum THEN
+               round((n - w_sum / 24.0)
+                     / sqrt((w_sum2 - w_sum * w_sum / 24.0) / 23.0), 4)
+           END AS zscore,
+           coalesce(
+               abs(CASE WHEN w_n = 24 AND w_sum2 * 24 > w_sum * w_sum THEN
+                   round((n - w_sum / 24.0)
+                         / sqrt((w_sum2 - w_sum * w_sum / 24.0) / 23.0), 4)
+               END) > 3.0, false) AS is_anomaly
+    FROM rolled
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on hourly event counts: each
+    dense hourly bucket (gap-filled to 0 — a silent outage IS the
+    anomaly) is scored against the trailing 24-hour window's mean and
+    sample stddev; |z| > 3 flags. Buckets without a full 24-hour
+    history, and windows with zero variance, score NULL.
+
+    The rolling moments are integer window sums (Σn, Σn², both exact
+    BIGINT in both engines), so mean and variance are the same
+    rationals everywhere and the only FP steps — one sqrt, one divide —
+    are sealed by round(4); the flag compares the ROUNDED score so both
+    engines threshold the identical number. One shuffle on the series
+    key, one ordered window — the same panel layout as
+    ts_interpolate_linear."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.col("event_type").alias("et"),
+    ).agg(F.count("*").alias("cnt"))
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(
+            F.broadcast(counts),
+            (F.col("h") == F.col("hour")) & (counts.et == types.et),
+            "left",
+        )
+        .select(
+            types.et.alias("event_type"),
+            "hour",
+            F.coalesce("cnt", F.lit(0)).alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, 0)
+    )
+    w_n = F.count("*").over(w)
+    w_sum = F.sum("n").over(w)
+    w_sum2 = F.sum(F.col("n") * F.col("n")).over(w)
+    z = F.when(
+        (w_n == 24) & (w_sum2 * 24 > w_sum * w_sum),
+        F.round(
+            (F.col("n") - w_sum / 24.0)
+            / F.sqrt((w_sum2 - w_sum * w_sum / 24.0) / 23.0),
+            4,
+        ),
+    )
+    return dense.select(
+        "event_type",
+        "hour",
+        F.col("n").alias("n_events"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )

@@ -265,3 +265,111 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("in_degree")
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH d AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    nn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM d) WHERE rn <= 3
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM nn
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+        SELECT node, count(*) AS dg
+        FROM (SELECT a AS node FROM und
+              UNION ALL SELECT b AS node FROM und)
+        GROUP BY node
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM und) AS n_edges,
+           (SELECT (sum(dg * (dg - 1))::BIGINT / 2)::BIGINT
+            FROM deg) AS n_wedges,
+           tri.n_triangles,
+           round(3.0 * tri.n_triangles
+                 / nullif((SELECT (sum(dg * (dg - 1))::BIGINT / 2)::BIGINT
+                           FROM deg), 0), 4) AS clustering
+    FROM tri
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the 3-NN
+    similarity graph — the cohesion diagnostic for embedding-space
+    cluster structure (high clustering ⇒ tight semantic groups, the
+    regime where graph-based dedup works).
+
+    The classic two-join triangle enumeration over the canonicalized
+    edge list (a<b): e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with the ordering
+    a<b<c counting each triangle exactly once. At 100 TB this is THE
+    textbook MapReduce triangle algorithm (node-iterator join); skew
+    from hub nodes is bounded here because out-degree is fixed at 3 by
+    construction — general graphs would pre-split high-degree nodes.
+    Wedge count Σ deg·(deg−1)/2 is an exact integer fold; the only
+    double is the final 3·Δ/wedges ratio, sealed by round(4)."""
+    from pymapreduce_spark.operators.llm_vector import llm_knn_self_join
+
+    nn = (
+        llm_knn_self_join(spark, sf_dir)
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    und = nn.select(
+        F.least("query_id", "neighbor_id").alias("a"),
+        F.greatest("query_id", "neighbor_id").alias("b"),
+    ).distinct().localCheckpoint(eager=True)
+
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("dg") * (F.col("dg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        summary.crossJoin(edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges"), F.lit(0)),
+                4,
+            ).alias("clustering"),
+        )
+    )

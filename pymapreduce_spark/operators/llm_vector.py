@@ -759,3 +759,84 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("c_label")).alias("is_own_centroid"),
         )
     )
+
+
+@query(
+    "llm_cluster_topics",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label,
+               unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS c_label, i, avg(x) AS c
+        FROM pos GROUP BY label, i
+    ), dist AS (
+        SELECT p.vec_id, c.c_label,
+               sum((p.x - c.c) * (p.x - c.c)) AS d2
+        FROM pos p JOIN cent c ON p.i = c.i
+        GROUP BY p.vec_id, c.c_label
+    ), assign AS (
+        SELECT vec_id, c_label AS cluster FROM (
+            SELECT vec_id, c_label, row_number() OVER (
+                PARTITION BY vec_id ORDER BY round(d2, 6), c_label
+            ) AS rn FROM dist
+        ) WHERE rn = 1
+    ), toks AS (
+        SELECT DISTINCT a.cluster, d.doc_id, t.word
+        FROM assign a
+        JOIN documents d ON d.doc_id = a.vec_id,
+        LATERAL (SELECT unnest(str_split(d.text, ' ')) AS word) t
+        WHERE len(t.word) >= 4
+    ), freq AS (
+        SELECT cluster, word, count(*) AS n_docs
+        FROM toks GROUP BY cluster, word
+    )
+    SELECT cluster, term_rank, word AS term, n_docs
+    FROM (
+        SELECT cluster, word, n_docs, row_number() OVER (
+            PARTITION BY cluster ORDER BY n_docs DESC, word
+        ) AS term_rank
+        FROM freq
+    ) WHERE term_rank <= 3
+    """,
+)
+def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic terms per embedding cluster: assign every vector to its
+    nearest per-label centroid (the llm_embed_centroid k-means step),
+    join the 1:1 documents row, and surface each cluster's top-3 most
+    document-frequent words (≥4 chars — drops particles without a
+    stopword list). The composite a curation pipeline runs to NAME the
+    clusters its dedup/mixing stages operate on.
+
+    Shape at 100 TB: centroids are aggregate-then-broadcast (k×dim
+    rows), the doc join is id-equi and co-partitionable, term counting
+    is one partial-aggregable shuffle on (cluster, word), and top-3 is
+    a bounded per-cluster window. Counts are exact integers; ties break
+    on the term string — no FP anywhere in the checked output."""
+    from pymapreduce_spark.io import load_table as _lt
+
+    assign = llm_embed_centroid(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cluster")
+    )
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        assign.join(docs, assign.vec_id == docs.doc_id)
+        .select(
+            "cluster",
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .where(F.length("word") >= 4)
+        .distinct()
+    )
+    freq = toks.groupBy("cluster", "word").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_docs"), "word")
+    return (
+        freq.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 3)
+        .select("cluster", "term_rank", F.col("word").alias("term"), "n_docs")
+    )
