@@ -388,3 +388,46 @@ def test_gopher_quality_is_map_only(spark, sf_dir):
     """Per-doc HOF metrics: no exchange anywhere — filter at scan speed."""
     plan = plan_of("llm_gopher_quality", spark, sf_dir)
     assert "Exchange" not in plan, plan
+
+
+def test_interpolate_broadcasts_observations(spark, sf_dir):
+    """The dense grid build must broadcast the aggregated observation
+    side onto the generated grid (aggregate-then-broadcast) — the raw
+    events table itself must never shuffle onto the grid."""
+    plan = plan_of("ts_interpolate_linear", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anomaly_zscore_single_window_over_series_key(spark, sf_dir):
+    """All three rolling moments (count, Σn, Σn²) must evaluate in ONE
+    Window node over one partitioning — three windows would triple the
+    sort."""
+    plan = plan_of("ts_anomaly_zscore", spark, sf_dir)
+    assert plan.count("RunningWindowFunction") + plan.count("Window") <= 2, (
+        plan
+    )
+
+
+def test_fk_integrity_anti_joins_broadcast_parents(spark, sf_dir):
+    """Every parent side (dims or keyed aggregates) is small — all five
+    orphan checks must plan as broadcast anti joins, never
+    shuffle-exchange the fact side for the existence test."""
+    plan = plan_of("etl_fk_integrity", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_data_profile_is_single_scan(spark, sf_dir):
+    """Six columns profile from ONE scan of orders — per-column scans
+    (the oracle's spelling) would read the table six times at 100 TB."""
+    plan = plan_of("etl_data_profile", spark, sf_dir)
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_cluster_topics_broadcasts_centroids(spark, sf_dir):
+    """Centroid assignment must ride a broadcast of the k×dim centroid
+    table; the corpus-side scan must not shuffle for the assignment."""
+    plan = plan_of("llm_cluster_topics", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )
