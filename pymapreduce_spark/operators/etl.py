@@ -293,3 +293,103 @@ def etl_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column_name, n_nulls, n_distinct)",
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@query(
+    "etl_dq_rules",
+    oracle="""
+    SELECT 'orders.totalprice_positive' AS rule,
+           count(*) AS n_checked,
+           count(*) FILTER (NOT coalesce(o_totalprice > 0, false))
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.orderdate_in_range', count(*),
+           count(*) FILTER (NOT coalesce(
+               o_orderdate BETWEEN DATE '1992-01-01'
+                               AND DATE '1998-12-31', false))
+    FROM orders
+    UNION ALL
+    SELECT 'orders.status_enum', count(*),
+           count(*) FILTER (NOT coalesce(
+               o_orderstatus IN ('O', 'F', 'P'), false))
+    FROM orders
+    UNION ALL
+    SELECT 'events.type_enum', count(*),
+           count(*) FILTER (NOT coalesce(event_type IN
+               ('view', 'click', 'signup', 'purchase', 'error'), false))
+    FROM events
+    UNION ALL
+    SELECT 'documents.n_chars_consistent', count(*),
+           count(*) FILTER (NOT coalesce(n_chars = length(text), false))
+    FROM documents
+    """,
+)
+def etl_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine: each rule is a boolean
+    predicate over one table; the report is (rule, n_checked,
+    n_violations) — the publish gate an ETL pipeline evaluates before
+    promoting a batch, and the natural place to wire alert thresholds.
+
+    All rules on one table evaluate in ONE conditional aggregate over
+    ONE scan (`count(when(~pred, 1))` columns, unpivoted with stack),
+    so the whole report costs one map-only pass per table regardless of
+    rule count — the oracle spells it per-rule, which at 100 TB would
+    re-scan the fact table once per rule. Violation counts are exact
+    integers; NULL predicate results count as violations (a NULL where
+    the rule expects truth IS a quality failure)."""
+    from pymapreduce_spark.io import load_table as _lt
+
+    def rule_block(table: str, rules: list[tuple[str, F.Column]]) -> DataFrame:
+        df = _lt(spark, sf_dir, table)
+        aggs = [F.count("*").alias("n_checked")]
+        for i, (_, pred) in enumerate(rules):
+            aggs.append(
+                F.count(
+                    F.when(~F.coalesce(pred, F.lit(False)), 1)
+                ).alias(f"v{i}")
+            )
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{label}', v{i}" for i, (label, _) in enumerate(rules)
+        )
+        return wide.selectExpr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)",
+            "n_checked",
+        ).select("rule", "n_checked", "n_violations")
+
+    orders_rules = rule_block(
+        "orders",
+        [
+            ("orders.totalprice_positive", F.col("o_totalprice") > 0),
+            (
+                "orders.orderdate_in_range",
+                F.col("o_orderdate").between("1992-01-01", "1998-12-31"),
+            ),
+            (
+                "orders.status_enum",
+                F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+        ],
+    )
+    events_rules = rule_block(
+        "events",
+        [
+            (
+                "events.type_enum",
+                F.col("event_type").isin(
+                    "view", "click", "signup", "purchase", "error"
+                ),
+            )
+        ],
+    )
+    docs_rules = rule_block(
+        "documents",
+        [
+            (
+                "documents.n_chars_consistent",
+                F.col("n_chars") == F.length("text"),
+            )
+        ],
+    )
+    return orders_rules.unionByName(events_rules).unionByName(docs_rules)

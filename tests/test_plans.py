@@ -431,3 +431,11 @@ def test_cluster_topics_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         plan
     )
+
+
+def test_dq_rules_one_scan_per_table(spark, sf_dir):
+    """All rules on a table must share one conditional aggregate over
+    one scan — three scans total (orders, events, documents), never one
+    per rule."""
+    plan = plan_of("etl_dq_rules", spark, sf_dir)
+    assert plan.count("FileScan parquet") == 3, plan
