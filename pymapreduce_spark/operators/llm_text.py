@@ -1372,3 +1372,110 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
     )
+
+
+@query(
+    "llm_curation_pipeline",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, text,
+               len(str_split(text, ' ')) AS n_words,
+               len(list_distinct(str_split(text, ' ')))::DOUBLE
+                   / len(str_split(text, ' ')) AS dr
+        FROM documents
+    ), flagged AS (
+        SELECT doc_id, text, n_words,
+               (lang IN ('en', 'es', 'de')
+                AND n_chars BETWEEN 100 AND 400) AS lang_ok,
+               (dr >= 0.5 AND n_words >= 10) AS q_ok
+        FROM d
+    ), surv AS (
+        SELECT *,
+               (lang_ok AND q_ok AND doc_id = min(CASE
+                    WHEN lang_ok AND q_ok THEN doc_id END)
+                    OVER (PARTITION BY text)) AS is_surv
+        FROM flagged
+    )
+    SELECT 0 AS stage_order, 'input' AS stage,
+           count(*) AS n_docs, sum(n_words)::BIGINT AS n_tokens
+    FROM surv
+    UNION ALL
+    SELECT 1, 'lang_filter', count(*) FILTER (lang_ok),
+           coalesce(sum(n_words) FILTER (lang_ok), 0)::BIGINT
+    FROM surv
+    UNION ALL
+    SELECT 2, 'quality_filter', count(*) FILTER (lang_ok AND q_ok),
+           coalesce(sum(n_words) FILTER (lang_ok AND q_ok), 0)::BIGINT
+    FROM surv
+    UNION ALL
+    SELECT 3, 'exact_dedup', count(*) FILTER (is_surv),
+           coalesce(sum(n_words) FILTER (is_surv), 0)::BIGINT
+    FROM surv
+    """,
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: raw corpus → language/length gate
+    (llm_lang_filter's predicate) → quality gate (llm_quality_filter's
+    distinct-ratio ≥ 0.5, ≥ 10 words) → exact dedup (min-doc_id
+    survivor) — reported as the (stage, n_docs, n_tokens) retention
+    funnel every data-curation run publishes. Composes the production
+    operators' exact predicates, so this one query certifies the
+    pipeline wiring, not just each stage alone.
+
+    ONE pass: per-doc flags are computed in a single projection, the
+    dedup survivor needs one window keyed by text (at 100 TB: hash the
+    text first and window on the hash — same shuffle the standalone
+    dedup uses), and all four funnel stages aggregate from the same
+    flagged table with conditional counts — the corpus is scanned once,
+    shuffled once. All outputs are exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    dr = F.size(F.array_distinct(words)).cast("double") / n_words
+    flagged = docs.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        (
+            F.col("lang").isin("en", "es", "de")
+            & F.col("n_chars").between(100, 400)
+        ).alias("lang_ok"),
+        ((dr >= 0.5) & (n_words >= 10)).alias("q_ok"),
+    )
+    wt = Window.partitionBy("text")
+    both = F.col("lang_ok") & F.col("q_ok")
+    surv = flagged.withColumn(
+        "is_surv",
+        both
+        & (
+            F.col("doc_id")
+            == F.min(F.when(both, F.col("doc_id"))).over(wt)
+        ),
+    )
+    gate = {
+        1: F.col("lang_ok"),
+        2: both,
+        3: F.col("is_surv"),
+    }
+    agg = surv.agg(
+        F.count("*").alias("docs0"),
+        F.sum("n_words").alias("toks0"),
+        *[
+            e
+            for i, g in gate.items()
+            for e in (
+                F.count(F.when(g, 1)).alias(f"docs{i}"),
+                F.coalesce(
+                    F.sum(F.when(g, F.col("n_words"))), F.lit(0)
+                ).alias(f"toks{i}"),
+            )
+        ],
+    )
+    names = {0: "input", 1: "lang_filter", 2: "quality_filter",
+             3: "exact_dedup"}
+    stack_args = ", ".join(
+        f"{i}, '{names[i]}', docs{i}, toks{i}" for i in range(4)
+    )
+    return agg.selectExpr(
+        f"stack(4, {stack_args}) AS (stage_order, stage, n_docs, n_tokens)"
+    )

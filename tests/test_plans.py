@@ -439,3 +439,12 @@ def test_dq_rules_one_scan_per_table(spark, sf_dir):
     per rule."""
     plan = plan_of("etl_dq_rules", spark, sf_dir)
     assert plan.count("FileScan parquet") == 3, plan
+
+
+def test_curation_pipeline_single_scan_single_shuffle(spark, sf_dir):
+    """The four-stage funnel must read documents ONCE and shuffle once
+    (the dedup window on text) — per-stage scans would read the corpus
+    four times at 100 TB."""
+    plan = plan_of("llm_curation_pipeline", spark, sf_dir)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
