@@ -108,3 +108,14 @@ def test_global_sort_index_more_partitions_than_rows(spark):
     out = global_sort_index(df, [F.col("k").asc()], num_partitions=8)
     rows = sorted((r.k, r.sort_pos) for r in out.collect())
     assert rows == [(1, 1), (2, 2), (3, 3)], rows
+
+
+def test_cli_list_and_unknown(capsys):
+    from pymapreduce_spark.__main__ import main
+
+    assert main(["list", "etl_"]) == 0
+    out = capsys.readouterr().out
+    assert "etl_dq_rules" in out and "oracle" in out
+    assert main(["run", "no_such_query"]) == 2
+    err = capsys.readouterr().err
+    assert "unknown query" in err
