@@ -393,3 +393,110 @@ def etl_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return orders_rules.unionByName(events_rules).unionByName(docs_rules)
+
+
+@query(
+    "etl_skew_report",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), m AS (
+        SELECT max(cnt) AS mc FROM k
+    )
+    SELECT count(*)::BIGINT AS n_keys,
+           sum(cnt)::BIGINT AS total_rows,
+           max(cnt)::BIGINT AS max_cnt,
+           round(sum(cnt)::BIGINT / (1.0 * count(*)), 4) AS avg_cnt,
+           round(quantile_cont(cnt, 0.95), 4) AS p95_cnt,
+           round(max(cnt) / (sum(cnt)::BIGINT / (1.0 * count(*))), 4)
+               AS skew_ratio,
+           (SELECT min(user_id) FROM k, m WHERE k.cnt = m.mc)
+               AS heaviest_key
+    FROM k
+    """,
+)
+def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis: distribution of per-key row counts for a
+    prospective join/agg key (events.user_id) — the report you run
+    BEFORE keying a 100 TB shuffle, to decide between a plain hash
+    join, salting, or AQE skew splitting.
+
+    Two-phase: per-key counts (one map-side-combined shuffle on the
+    key), then a single global aggregate over the key histogram — the
+    histogram has one row per key, orders of magnitude smaller than the
+    data, so the global stage is trivial at any scale. The heaviest key
+    is picked deterministically as min(struct(-cnt, key)): largest
+    count, smallest key id on ties — one partial-aggregable expression,
+    no second scan. avg/skew use sum/count explicitly (exact integer
+    sum, one division) so both engines emit bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    heavy = F.min(
+        F.struct((-F.col("cnt")).alias("neg"), F.col("user_id").alias("k"))
+    )
+    avg_cnt = F.sum("cnt") / (1.0 * F.count("*"))
+    rep = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(avg_cnt, 4).alias("avg_cnt"),
+        F.round(F.percentile("cnt", 0.95), 4).alias("p95_cnt"),
+        F.round(F.max("cnt") / avg_cnt, 4).alias("skew_ratio"),
+        heavy.alias("h"),
+    )
+    return rep.select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "avg_cnt",
+        "p95_cnt",
+        "skew_ratio",
+        F.col("h").getField("k").alias("heaviest_key"),
+    )
+
+
+@query(
+    "etl_compact_plan",
+    oracle="""
+    WITH p AS (
+        SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT
+                   AS part_key,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY 1
+    )
+    SELECT part_key, n_rows,
+           (coalesce(sum(n_rows) OVER (
+                ORDER BY part_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) // 20000)::BIGINT AS target_file
+    FROM p
+    """,
+)
+def etl_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: bin-pack date partitions into
+    ~20 k-row output files by running-sum assignment — the maintenance
+    pass a 100 TB lake runs to fix write-amplified partition layouts.
+
+    The global-ordered window is NOT a scale hazard here: it runs over
+    the partition-level summary (one row per year-month — thousands of
+    rows at any data scale), never over the data. The data-scale work
+    is the per-partition count, a map-side-combined shuffle. Executing
+    the plan is then `repartitionByRange(target_file)` + write, which
+    this op deliberately stops short of (the plan IS the contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_key = (
+        F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    ).cast("long")
+    p = li.groupBy(part_key.alias("part_key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    w = (
+        Window.orderBy("part_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    return p.select(
+        "part_key",
+        "n_rows",
+        F.floor(prior / 20000).alias("target_file"),
+    )

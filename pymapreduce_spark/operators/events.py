@@ -754,3 +754,101 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_rolling_corr",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
+               round(value * 100)::BIGINT AS v
+        FROM events
+    ), paired AS (
+        SELECT event_id, event_type, tsu, v,
+               lag(v) OVER (PARTITION BY event_type
+                            ORDER BY tsu, event_id) AS p
+        FROM v
+    ), framed AS (
+        SELECT event_id, event_type,
+               count(*) OVER w AS n,
+               sum(v) OVER w AS sx, sum(p) OVER w AS sy,
+               sum(v * v) OVER w AS sxx, sum(p * p) OVER w AS syy,
+               sum(v * p) OVER w AS sxy
+        FROM paired
+        WHERE p IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           round(
+               (n * sxy - sx * sy)::DOUBLE
+               / nullif(sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE), 0.0),
+               4
+           ) + 0.0 AS autocorr20
+    FROM framed
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation of `value` per event type over a
+    trailing 20-pair frame — the serial-dependence diagnostic a metrics
+    pipeline runs before alerting on a series.
+
+    Pearson r is assembled from the five EXACT integer window sums
+    (Σx, Σy, Σx², Σy², Σxy over cent-scaled values) and the closed-form
+    numerator/denominator — never from an engine's streaming corr()
+    accumulator, whose update order and compensation differ between
+    engines (the agg_stats lesson). Both engines therefore feed
+    bit-identical integers into the same double expression; round(4)
+    is presentation. Zero-variance frames yield NULL via nullif.
+    Scale: one shuffle on the series key, bounded 20-row frame state,
+    no global sort — the standard 100 TB window layout."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    paired = v.withColumn("p", F.lag("v").over(wlag)).where(
+        F.col("p").isNotNull()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    framed = paired.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("sx"),
+        F.sum("p").over(w).alias("sy"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sxx"),
+        F.sum(F.col("p") * F.col("p")).over(w).alias("syy"),
+        F.sum(F.col("v") * F.col("p")).over(w).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    # + 0.0 normalizes IEEE -0.0 → +0.0 (engines differ on which side
+    # of zero a tiny negative correlation rounds to; str-compare skew).
+    return framed.select(
+        "event_id",
+        "event_type",
+        (F.round(num / den, 4) + 0.0).alias("autocorr20"),
+    )

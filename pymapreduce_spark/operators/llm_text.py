@@ -1479,3 +1479,162 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack(4, {stack_args}) AS (stage_order, stage, n_docs, n_tokens)"
     )
+
+
+@query(
+    "llm_bm25",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+    ), dl AS (
+        SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl
+        FROM documents
+    ), dfr AS (
+        SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
+    ), st AS (
+        SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+        FROM dl
+    )
+    SELECT tf.doc_id, tf.word, tf.tf,
+           round(
+               ln(1.0 + (st.n_docs - dfr.doc_freq + 0.5)
+                        / (dfr.doc_freq + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * dl.dl / (st.sum_dl / (1.0 * st.n_docs)))),
+               6
+           ) AS bm25
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dfr ON tf.word = dfr.word
+    CROSS JOIN st
+    """,
+)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) term weights per (doc, word) — the
+    retrieval-index build step next to llm_tfidf, with document-length
+    normalization.
+
+    Same dataflow skeleton as llm_tfidf (SURVEY §2-L): term frequencies
+    via one map-side-combined shuffle — doc length rides along as a
+    functionally-dependent group key (computed pre-explode), so there is
+    NO corpus-sized doc-length join; the only joined sides are the
+    vocab-cardinality doc-frequency aggregate (broadcast) and the
+    scalar (N, Σdl). Determinism: avgdl is spelled sum_dl / n_docs in
+    BOTH engines (exact integer sum, one double division) rather than
+    avg(), whose accumulation order an engine is free to choose — every
+    downstream double op then has bit-identical operands and round(6)
+    is cosmetic, not load-bearing. At 100 TB the tf shuffle dominates
+    and stays; AQE demotes the doc_freq broadcast to a shuffle join
+    when vocab outgrows the threshold (same posture as llm_tfidf path
+    (a)→(c))."""
+    docs = load_table(spark, sf_dir, "documents")
+    wordsc = F.split("text", " ")
+    words = docs.select(
+        "doc_id",
+        F.size(wordsc).cast("long").alias("dl"),
+        F.explode(wordsc).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "dl", "word").agg(
+        F.count("*").alias("tf")
+    )
+    st = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(wordsc).cast("long")).alias("sum_dl"),
+    )
+    avgdl = F.col("sum_dl") / (1.0 * F.col("n_docs"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+        / (F.col("doc_freq") + 0.5)
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    score = (
+        idf
+        * (F.col("tf") * (1.2 + 1.0))
+        / (
+            F.col("tf")
+            + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / avgdl)
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "word", "tf", F.round(score, 6).alias("bm25"))
+    )
+
+
+@query(
+    "llm_quality_classifier",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(str_split(text, ' '))::BIGINT AS n_words,
+               len(list_distinct(str_split(text, ' ')))::BIGINT
+                   AS n_distinct,
+               len(list_filter(str_split(text, ' '),
+                   w -> list_contains(
+                       ['join', 'hash', 'row', 'batch', 'scan'], w)
+               ))::BIGINT AS n_stop,
+               n_chars
+        FROM documents
+    ), z AS (
+        SELECT doc_id,
+               -2.0 + 0.8 * ln(1.0 * n_words)
+                    - 0.1 * ((n_chars - (n_words - 1)) / (1.0 * n_words))
+                    + 1.5 * (n_distinct / (1.0 * n_words))
+                    + 0.5 * (n_stop / (1.0 * n_words)) AS z
+        FROM f
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+           (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic scorer over cheap text
+    features (log length, avg word length, distinct ratio, stopword
+    ratio) — the fastText-classifier slot of a curation pipeline, with
+    the model reduced to broadcast weights so the oracle can replay it.
+
+    The whole scorer is one map-only Catalyst projection: features are
+    array HOFs over split(text), the linear form and sigmoid are scalar
+    expressions, and the weights are literals (a real model would
+    broadcast its coefficient vector — same plan). No shuffle, no
+    Python in the row path; at 100 TB this runs at scan speed.
+    Determinism: both engines evaluate the identical expression tree on
+    identical integer features, so z and the 0.5 threshold compare on
+    bit-identical doubles; round(6) is presentation only."""
+    docs = load_table(spark, sf_dir, "documents")
+    wordsc = F.split("text", " ")
+    f = docs.select(
+        "doc_id",
+        F.size(wordsc).cast("long").alias("n_words"),
+        F.size(F.array_distinct(wordsc)).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(
+                wordsc,
+                lambda w: F.array_contains(
+                    F.array(*[F.lit(s) for s in _STOPWORDS]), w
+                ),
+            )
+        ).cast("long").alias("n_stop"),
+        "n_chars",
+    )
+    z = (
+        F.lit(-2.0)
+        + 0.8 * F.log(1.0 * F.col("n_words"))
+        - 0.1
+        * ((F.col("n_chars") - (F.col("n_words") - 1)) / (1.0 * F.col("n_words")))
+        + 1.5 * (F.col("n_distinct") / (1.0 * F.col("n_words")))
+        + 0.5 * (F.col("n_stop") / (1.0 * F.col("n_words")))
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return f.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -448,3 +448,49 @@ def test_curation_pipeline_single_scan_single_shuffle(spark, sf_dir):
     plan = plan_of("llm_curation_pipeline", spark, sf_dir)
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_bm25_broadcasts_dfreq_no_doclen_join(spark, sf_dir):
+    """BM25's only joins are the broadcast vocab aggregate and the
+    scalar (N, Σdl) — doc length must ride the tf group key, never a
+    corpus-sized join side."""
+    plan = plan_of("llm_bm25", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        plan
+    )
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """The logistic scorer is one scan + projection: no shuffle, no
+    Python in the row path."""
+    plan = plan_of("llm_quality_classifier", spark, sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "FileScan parquet" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_skew_report_two_phase_aggregate(spark, sf_dir):
+    """Key histogram then global stats: the only wide ops are the key
+    shuffle and the 1-row final aggregate — no window, no join."""
+    plan = plan_of("etl_skew_report", spark, sf_dir)
+    assert "HashAggregate" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_compact_plan_window_over_summary_only(spark, sf_dir):
+    """The global-ordered running sum must run over the per-partition
+    summary AFTER the count aggregate — the partial_count before the
+    exchange proves data-scale rows never reach the single-partition
+    window."""
+    plan = formatted_plan_of("etl_compact_plan", spark, sf_dir)
+    assert "partial_count" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_rolling_corr_single_window_partitioned(spark, sf_dir):
+    """All five running sums must evaluate in Window nodes partitioned
+    by the series key — no 'No Partition Defined' global window."""
+    plan = plan_of("ts_rolling_corr", spark, sf_dir)
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
