@@ -147,6 +147,47 @@ class MapReduceJob:
         partial (map-side combine) + final aggregation. The scale path."""
         return MapReduceJob(self.df.groupBy(*keys).agg(*aggs))
 
+    def reduce_by_key_sorted(
+        self,
+        keys: list[str],
+        sort_cols: list[str],
+        fn: Callable[[tuple, pd.DataFrame], Row | Iterable[Row]],
+        schema: str,
+    ) -> "MapReduceJob":
+        """MR secondary sort: the reducer's values iterator arrives
+        ordered by ``sort_cols`` within each key group. Hadoop achieves
+        this with a composite shuffle key + grouping comparator; here
+        the group is sorted engine-side before the reducer sees it —
+        same contract, and the sort is per-group (bounded by the key's
+        fan-in), never global."""
+
+        def runner(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            ordered = pdf.sort_values(sort_cols, kind="mergesort")
+            out = fn(key, ordered)
+            rows = [out] if isinstance(out, dict) else list(out)
+            return pd.DataFrame(rows)
+
+        return MapReduceJob(
+            self.df.groupBy(*keys).applyInPandas(runner, schema)
+        )
+
+    # -- counters (MR task counters) -----------------------------------
+
+    def with_counters(self, **counters: Column):
+        """MR counters: named aggregate expressions observed on the rows
+        flowing through this stage, collected driver-side after the
+        next action — Spark's ``Observation`` is the accumulator-backed
+        equivalent of Hadoop's task counters (zero extra passes; the
+        metrics piggyback on the job). Returns ``(job, observation)``;
+        read ``observation.get`` after an action."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = self.df.observe(
+            obs, *[c.alias(n) for n, c in counters.items()]
+        )
+        return MapReduceJob(observed), obs
+
     # -- shuffle/layout controls (MR partitioner & secondary sort) -----
 
     def partition_by(self, n: int, *cols: str) -> "MapReduceJob":

@@ -181,3 +181,101 @@ def api_map_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@query(
+    "api_secondary_sort",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts::TIMESTAMP AS tsu, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts::TIMESTAMP, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           string_agg(CASE WHEN rn <= 8 THEN substr(event_type, 1, 1) END,
+                      '' ORDER BY rn) AS journey,
+           count(*)::BIGINT AS n_events,
+           ((epoch_us(max(tsu)) - epoch_us(min(tsu))) // 1000000)::BIGINT
+               AS span_seconds
+    FROM e
+    GROUP BY user_id
+    """,
+)
+def api_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR secondary sort on the facade: the reducer consumes each
+    user's events ORDERED BY (ts, event_id) — the values-sorted
+    contract Hadoop builds from a composite key + grouping comparator
+    — and emits an order-sensitive result (the first-8-events journey
+    string), which no unordered reducer could produce correctly.
+    Declarative twin: a string_agg window (the oracle). One shuffle on
+    user_id; the sort is per-group, bounded by a user's fan-in."""
+    def journey_reducer(key, rows):
+        mn = rows["ts"].min()
+        mx = rows["ts"].max()
+        return {
+            "user_id": int(key[0]),
+            "journey": "".join(
+                t[0] for t in rows["event_type"].head(8)
+            ),
+            "n_events": int(len(rows)),
+            "span_seconds": int((mx - mn).total_seconds()),
+        }
+
+    return (
+        MapReduceJob.from_table(spark, sf_dir, "events")
+        .select_expr("user_id", "ts", "event_id", "event_type")
+        .reduce_by_key_sorted(
+            ["user_id"],
+            ["ts", "event_id"],
+            journey_reducer,
+            schema=(
+                "user_id long, journey string, n_events long,"
+                " span_seconds long"
+            ),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "api_counters",
+    oracle="""
+    SELECT 'n_rows' AS counter, count(*)::BIGINT AS value FROM events
+    UNION ALL
+    SELECT 'n_purchases', count(*) FILTER (
+        WHERE event_type = 'purchase')::BIGINT FROM events
+    UNION ALL
+    SELECT 'n_errors', count(*) FILTER (
+        WHERE event_type = 'error')::BIGINT FROM events
+    UNION ALL
+    SELECT 'purchase_cents', sum(CASE WHEN event_type = 'purchase'
+        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT FROM events
+    """,
+)
+def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR task counters on the facade: named metrics observed on the
+    rows flowing through a job, collected driver-side after one action
+    — Spark's Observation (accumulator-backed) is the zero-extra-pass
+    equivalent of Hadoop counters; the returned table is the counter
+    snapshot, the bounded driver-side structure counters always were.
+    The oracle recomputes each counter as a filtered aggregate."""
+    job, obs = MapReduceJob.from_table(
+        spark, sf_dir, "events"
+    ).with_counters(
+        n_rows=F.count(F.lit(1)),
+        n_purchases=F.count(F.when(F.col("event_type") == "purchase", 1)),
+        n_errors=F.count(F.when(F.col("event_type") == "error", 1)),
+        purchase_cents=F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ),
+    )
+    job.to_df().count()  # the action the counters piggyback on
+    got = obs.get
+    return spark.createDataFrame(
+        [(k, int(got[k])) for k in sorted(got)],
+        "counter string, value long",
+    )

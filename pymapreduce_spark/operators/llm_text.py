@@ -1638,3 +1638,70 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@query(
+    "llm_bigram_lm",
+    oracle="""
+    WITH ws AS (
+        SELECT str_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, len(w)),
+                   i -> struct_pack(w1 := w[i], w2 := w[i + 1])
+               )) AS p
+        FROM ws WHERE len(w) >= 2
+    ), c2 AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS n
+        FROM pairs GROUP BY p.w1, p.w2
+    ), c1 AS (
+        SELECT w1, sum(n)::BIGINT AS starts FROM c2 GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT word)::BIGINT AS vocab
+        FROM (SELECT unnest(w) AS word FROM ws)
+    )
+    SELECT c2.w1, c2.w2, c2.n,
+           round(ln((c2.n + 1.0) / (c1.starts + v.vocab)), 6) AS logp
+    FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-one smoothing: log P(w2 | w1) =
+    ln((c(w1,w2)+1) / (c(w1,·)+V)) — the n-gram LM estimation step a
+    data pipeline runs for perplexity-based quality filtering (the
+    bigram upgrade of llm_unigram_logprob).
+
+    Bigram extraction is one guarded Catalyst HOF (sequence is clamped
+    by the `size >= 2` filter — the llm_repetition_filter hazard);
+    counting is one map-side-combined shuffle on (w1, w2). The
+    continuation-count side c(w1,·) is vocab-cardinality → broadcast;
+    V is a scalar broadcast. At 100 TB only the bigram-count shuffle
+    scales with data; both joined sides stay vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    wsc = F.split("text", " ")
+    pairs = (
+        docs.where(F.size(wsc) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                    "             element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    c1 = c2.groupBy("w1").agg(F.sum("n").alias("starts"))
+    v = docs.select(F.explode(wsc).alias("word")).agg(
+        F.count_distinct("word").alias("vocab")
+    )
+    logp = F.log(
+        (F.col("n") + 1.0) / (F.col("starts") + F.col("vocab"))
+    )
+    return (
+        c2.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "w2", "n", F.round(logp, 6).alias("logp"))
+    )

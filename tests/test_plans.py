@@ -494,3 +494,22 @@ def test_rolling_corr_single_window_partitioned(spark, sf_dir):
     plan = plan_of("ts_rolling_corr", spark, sf_dir)
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_bigram_lm_broadcasts_vocab_sides(spark, sf_dir):
+    """Only the bigram-count shuffle scales with data; the c(w1,·) and
+    vocab-size sides must join as broadcasts."""
+    plan = plan_of("llm_bigram_lm", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        plan
+    )
+
+
+def test_secondary_sort_single_shuffle(spark, sf_dir):
+    """The sorted reducer is one exchange on user_id feeding one
+    FlatMapGroupsInPandas — the MR shuffle+sort+reduce in one stage
+    pair."""
+    plan = plan_of("api_secondary_sort", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
