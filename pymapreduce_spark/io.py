@@ -149,6 +149,57 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def partitioned_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    part_col: str,
+    part_expr,
+) -> DataFrame:
+    """Hive-partitioned copy of a fixture table (directory per
+    ``part_col`` value, computed by ``part_expr``), materialized once
+    under ``.artifacts/<sf>/part/`` and keyed to the raw file's identity
+    (size + mtime_ns) exactly like the split cache — a regenerated
+    fixture invalidates the copy instead of serving stale data.
+
+    This is the layout a 100 TB lake already has (date-partitioned
+    directories); materializing it locally lets partition-pruning
+    operators exercise the REAL pruned-scan path (PartitionFilters /
+    dynamicpruning in the physical plan) rather than simulate it.
+    Falls back to the unpartitioned table (with ``part_col`` appended)
+    when the artifacts dir is unwritable — results stay identical, only
+    the pruning physics is lost."""
+    raw = table_path(sf_dir, name)
+    fallback = load_table(spark, sf_dir, name).withColumn(
+        part_col, part_expr
+    )
+    try:
+        st = os.stat(raw)
+    except OSError:
+        return fallback
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        _ARTIFACTS_DIR, sf_tag, "part", f"{name}_by_{part_col}"
+    )
+    marker = os.path.join(path, "_PART_READY")
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return spark.read.parquet(path)
+    except OSError:
+        pass
+    try:
+        fallback.write.partitionBy(part_col).mode("overwrite").parquet(
+            path
+        )
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    except Exception:  # pragma: no cover - read-only FS etc.
+        return fallback
+    return spark.read.parquet(path)
+
+
 def table_row_count(sf_dir: str, name: str) -> int:
     """Exact row count of a fixture table from the parquet footer — no
     Spark job. Used by operator scale guards (e.g. the kNN broadcast

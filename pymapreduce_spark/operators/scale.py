@@ -395,3 +395,49 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         (F.sum(cents("l_extendedprice")) / 100.0).alias("revenue"),
     )
+
+
+@query(
+    "join_partition_pruned",
+    oracle="""
+    SELECT year(o_orderdate)::INTEGER AS o_year,
+           'Y' || year(o_orderdate)::VARCHAR AS label,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+    GROUP BY 1, 2
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning, both flavors, over a date-partitioned layout —
+    the single biggest scan-cost lever on a 100 TB date-partitioned
+    lake (skip whole directories, not rows).
+
+    The fact side is a hive-partitioned copy of orders (dir per
+    o_year; io.partitioned_table — the layout a real lake already
+    has). The dim side carries a selective predicate on the join key,
+    so Catalyst plans BOTH mechanisms at once, asserted by the plan
+    test: (a) static PartitionFilters inferred from the dim's range
+    constraint through the equi-join, and (b) a
+    SubqueryAdaptiveBroadcast dynamicpruning filter (DPP) that reuses
+    the dim broadcast to enumerate surviving partitions at runtime.
+    Only 2 of 7 year-directories are ever listed/read. At 100 TB the
+    same plan skips years of data without touching a footer."""
+    from pymapreduce_spark.io import partitioned_table
+
+    po = partitioned_table(
+        spark, sf_dir, "orders", "o_year", F.year("o_orderdate")
+    )
+    dim = spark.createDataFrame(
+        [(y, f"Y{y}") for y in range(1992, 2003)],
+        "o_year int, label string",
+    ).where(F.col("o_year").between(1995, 1996))
+    return (
+        po.join(F.broadcast(dim), "o_year")
+        .groupBy("o_year", "label")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+    )

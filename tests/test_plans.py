@@ -513,3 +513,12 @@ def test_secondary_sort_single_shuffle(spark, sf_dir):
     plan = plan_of("api_secondary_sort", spark, sf_dir)
     assert plan.count("Exchange") == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_partition_pruned_join_has_both_prune_mechanisms(spark, sf_dir):
+    """The partitioned-layout join must plan static PartitionFilters
+    (constraint propagation through the equi-join) AND a DPP subquery
+    (dynamicpruning) — directories, not rows, get skipped."""
+    plan = plan_of("join_partition_pruned", spark, sf_dir)
+    assert "PartitionFilters: [" in plan, plan
+    assert "dynamicpruning" in plan.lower(), plan
