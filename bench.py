@@ -78,6 +78,11 @@ HEADLINE = {
     "sketch_quantiles": "agg_sketch_quantiles",
     "regression": "agg_regression",
     "gopher_quality": "llm_gopher_quality",
+    "bm25": "llm_bm25",
+    "bigram_lm": "llm_bigram_lm",
+    "semdedup": "llm_semdedup",
+    "partition_pruned": "join_partition_pruned",
+    "rolling_corr": "ts_rolling_corr",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

@@ -47,6 +47,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SPLIT_MIN_BYTES = 1_500_000
 _SPLIT_TARGET_BYTES = 768 * 1024
 _SPLIT_MAX_FILES = 16
+
+#: Bytes-on-disk underestimate the work a scan FEEDS for some tables:
+#: every documents row explodes into ~30 token rows downstream, and
+#: embeddings rows feed O(n²)/HOF vector kernels. The effective size
+#: (size × multiplier) drives the split decision so these tables scan
+#: in parallel too — measured ~2× on BM25/ngram-shaped text queries at
+#: sf0.1, which otherwise tokenize 5 000 docs on ONE core (the 594 KB
+#: file sits under the byte threshold). Multipliers are tuned so sf0.1
+#: lands near 8 files: interleaved A/B showed 8-way matches raw-scan
+#: cost on trivial single-pass queries while capturing the full win on
+#: HOF-heavy ones; 16-way taxed the trivial class ~0.1 s of pure task
+#: overhead.
+_WORK_MULTIPLIER = {"documents": 12, "embeddings": 8}
 _ARTIFACTS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".artifacts")
 
 # DataFrame catalog: fixtures are immutable, so the analyzed relation
@@ -91,17 +104,20 @@ def _split_layout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
         size = os.path.getsize(raw)
     except OSError:
         return None
-    if size < _SPLIT_MIN_BYTES:
+    eff_size = size * _WORK_MULTIPLIER.get(name, 1)
+    if eff_size < _SPLIT_MIN_BYTES:
         return None
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(_ARTIFACTS_DIR, sf_tag, "split", name)
     marker = os.path.join(path, "_SPLIT_READY")
-    # The marker is keyed to the raw file's identity (size + mtime_ns):
-    # a regenerated fixture at the same path invalidates the cached copy
+    # The marker is keyed to the raw file's identity (size + mtime_ns)
+    # AND the target layout (n_files): a regenerated fixture at the
+    # same path OR a re-tuned split sizing invalidates the cached copy
     # instead of silently serving stale data (the events ts re-encoding
     # already forced the same versioning on the streaming replay dir).
+    n_files = max(2, min(_SPLIT_MAX_FILES, eff_size // _SPLIT_TARGET_BYTES))
     try:
-        stamp = f"{size}:{os.stat(raw).st_mtime_ns}"
+        stamp = f"{size}:{os.stat(raw).st_mtime_ns}:n{n_files}"
     except OSError:
         return None
     try:
@@ -110,7 +126,6 @@ def _split_layout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
                 return path
     except OSError:
         pass
-    n_files = max(2, min(_SPLIT_MAX_FILES, size // _SPLIT_TARGET_BYTES))
     try:
         df = spark.read.parquet(raw)
         if name == "events":

@@ -1517,19 +1517,23 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval-index build step next to llm_tfidf, with document-length
     normalization.
 
-    Same dataflow skeleton as llm_tfidf (SURVEY §2-L): term frequencies
-    via one map-side-combined shuffle — doc length rides along as a
-    functionally-dependent group key (computed pre-explode), so there is
-    NO corpus-sized doc-length join; the only joined sides are the
-    vocab-cardinality doc-frequency aggregate (broadcast) and the
-    scalar (N, Σdl). Determinism: avgdl is spelled sum_dl / n_docs in
-    BOTH engines (exact integer sum, one double division) rather than
-    avg(), whose accumulation order an engine is free to choose — every
-    downstream double op then has bit-identical operands and round(6)
-    is cosmetic, not load-bearing. At 100 TB the tf shuffle dominates
-    and stays; AQE demotes the doc_freq broadcast to a shuffle join
-    when vocab outgrows the threshold (same posture as llm_tfidf path
-    (a)→(c))."""
+    Dataflow: term frequencies via one map-side-combined shuffle — doc
+    length rides along as a functionally-dependent group key (computed
+    pre-explode), so there is NO corpus-sized doc-length join; the only
+    joined sides are the vocab-cardinality doc-frequency aggregate
+    (broadcast) and the scalar (N, Σdl). tf feeds THREE consumers
+    (final rows, doc-freq, corpus stats), so it is materialized once
+    with localCheckpoint — llm_tfidf's documented path (c), which wins
+    here because re-deriving tf would tokenize the corpus three times
+    (measured 2.3× at sf0.1 together with the parallel documents scan).
+    Determinism: avgdl is spelled sum_dl / n_docs in BOTH engines
+    (exact integer sum, one double division) rather than avg(), whose
+    accumulation order an engine is free to choose — every downstream
+    double op then has bit-identical operands and round(6) is
+    cosmetic, not load-bearing. At 100 TB the tf shuffle dominates and
+    stays (checkpoint becomes a real materialization or caching layer);
+    AQE demotes the doc_freq broadcast to a shuffle join when vocab
+    outgrows the threshold."""
     docs = load_table(spark, sf_dir, "documents")
     wordsc = F.split("text", " ")
     words = docs.select(
@@ -1539,10 +1543,11 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "dl", "word").agg(
         F.count("*").alias("tf")
-    )
-    st = docs.agg(
+    ).localCheckpoint(eager=True)
+    dls = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    st = dls.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(wordsc).cast("long")).alias("sum_dl"),
+        F.sum("dl").alias("sum_dl"),
     )
     avgdl = F.col("sum_dl") / (1.0 * F.col("n_docs"))
     idf = F.log(
@@ -1675,8 +1680,11 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the `size >= 2` filter — the llm_repetition_filter hazard);
     counting is one map-side-combined shuffle on (w1, w2). The
     continuation-count side c(w1,·) is vocab-cardinality → broadcast;
-    V is a scalar broadcast. At 100 TB only the bigram-count shuffle
-    scales with data; both joined sides stay vocabulary-sized."""
+    V is a scalar broadcast. The bigram-count table feeds two consumers
+    (final rows and c1), so it is materialized once via localCheckpoint
+    rather than re-extracting bigrams per branch. At 100 TB only the
+    bigram-count shuffle scales with data; both joined sides stay
+    vocabulary-sized."""
     docs = load_table(spark, sf_dir, "documents")
     wsc = F.split("text", " ")
     pairs = (
@@ -1692,7 +1700,9 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
     c1 = c2.groupBy("w1").agg(F.sum("n").alias("starts"))
     v = docs.select(F.explode(wsc).alias("word")).agg(
         F.count_distinct("word").alias("vocab")

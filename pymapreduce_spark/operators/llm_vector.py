@@ -840,3 +840,101 @@ def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term_rank") <= 3)
         .select("cluster", "term_rank", F.col("word").alias("term"), "n_docs")
     )
+
+
+@query(
+    "llm_semdedup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < 8
+    ), scored AS (
+        SELECT e.vec_id, seeds.seed_id,
+               round(list_dot_product(e.v, seeds.sv), 6) AS cos
+        FROM e CROSS JOIN seeds
+    ), assigned AS (
+        SELECT vec_id, seed_id AS cluster FROM (
+            SELECT vec_id, seed_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+            FROM scored) WHERE rn = 1
+    ), dups AS (
+        SELECT DISTINCT xa.vec_id
+        FROM assigned xa
+        JOIN assigned ya ON xa.cluster = ya.cluster
+                        AND ya.vec_id < xa.vec_id
+        JOIN e x ON x.vec_id = xa.vec_id
+        JOIN e y ON y.vec_id = ya.vec_id
+        WHERE round(list_dot_product(x.v, y.v), 6) >= 0.45
+    )
+    SELECT a.vec_id, a.cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: coarse-cluster the corpus, then
+    look for near-duplicate pairs ONLY within each cluster and keep the
+    lowest id — the cluster-bucketed alternative to global LSH
+    (llm_dedup_embed), and the reason semantic dedup is tractable at
+    100 TB: pairwise cost is Σ|cluster|², never N².
+
+    The coarse quantizer is a deterministic stand-in (the 8 lowest-id
+    vectors as centroids — production drops in k-means centroids, same
+    plan): assignment is a broadcast of 8 seed vectors against the
+    corpus scan with an argmax via one partial-aggregable
+    min(struct(-cos, seed)); the ONLY shuffle is the groupBy(cluster)
+    feeding the pair kernel. The within-cluster pairwise pass is a
+    per-group numpy matmul under applyInPandas (the llm_knn_self_join
+    kernel shape) — one |C|×|C| GEMM per cluster beats ~|C|²/2
+    Catalyst HOF lambda folds by ~4× at sf0.1, and its memory is
+    bounded by the cluster size the quantizer granularity controls.
+    Threshold compares round(cos, 6) in BOTH engines so numpy's
+    pairwise summation and DuckDB's sequential fold cannot disagree at
+    the boundary."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "v",
+        F.col("seed_id"),
+        F.round(_dot(F.col("v"), F.col("sv")), 6).alias("cos"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"),
+                    F.col("seed_id").alias("s"),
+                )
+            ).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "vec_id", F.col("best").getField("s").alias("cluster"), "v"
+        )
+    )
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        m = np.vstack(pdf["v"].to_numpy())
+        sim = np.round(m @ m.T, 6)
+        # strictly-lower triangle: a near-dup partner with a LOWER id
+        is_dup = np.tril(sim >= 0.45, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": pdf["cluster"].to_numpy(),
+                "is_dup": is_dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        pair_kernel, "vec_id long, cluster long, is_dup boolean"
+    )

@@ -522,3 +522,12 @@ def test_partition_pruned_join_has_both_prune_mechanisms(spark, sf_dir):
     plan = plan_of("join_partition_pruned", spark, sf_dir)
     assert "PartitionFilters: [" in plan, plan
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_semdedup_broadcasts_seeds_pairs_on_cluster(spark, sf_dir):
+    """Centroid assignment must ride a broadcast of the 8 seed vectors
+    (BroadcastNestedLoopJoin over the corpus scan); the only data-scale
+    shuffles are the argmax aggregate and the per-cluster pair join."""
+    plan = plan_of("llm_semdedup", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
