@@ -590,21 +590,26 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is vocab-cardinality (small) → broadcast; N is a scalar
     broadcast.
 
-    Formulation benchmarked three ways at sf0.1: (a) this declarative
-    groupBy + broadcast-join (0.79 s — the two tf subtrees do scan the
-    corpus twice since column pruning defeats ReuseExchange);
-    (b) doc_freq as a COUNT window over tf (one scan, 1.12 s — a window
-    partition materializes ALL rows of a hot word, the stopword-skew
-    hazard); (c) tf localCheckpoint + reuse (one scan, 1.06 s). (a)
-    wins while the wordcount shuffle is cheap; at real-vocab 100 TB
-    scale switch to (c) — materialize tf once — and let AQE demote the
-    dfreq broadcast to a shuffle join when vocab outgrows the
-    threshold. (b) is never safe against heavy-tailed vocabularies."""
+    Formulation benchmarked three ways at sf0.1: (a) declarative
+    groupBy + broadcast-join with tf re-derived per branch (the two tf
+    subtrees scan the corpus twice since column pruning defeats
+    ReuseExchange); (b) doc_freq as a COUNT window over tf (one scan —
+    but a window partition materializes ALL rows of a hot word, the
+    stopword-skew hazard, never safe against heavy-tailed
+    vocabularies); (c) tf localCheckpoint + reuse (one scan). (a) won
+    while the corpus scan was single-file (0.79 s vs 1.06 s); under
+    the parallel split layout the double tokenize costs more than the
+    materialization and (c) wins (0.88 s → 0.72 s, interleaved A/B of
+    7) — and (c) is also the 100 TB posture: materialize tf once, let
+    AQE demote the dfreq broadcast to a shuffle join when vocab
+    outgrows the threshold."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=True)
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
     n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
