@@ -500,3 +500,74 @@ def etl_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.floor(prior / 20000).alias("target_file"),
     )
+
+
+@query(
+    "etl_scd2_lookup",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ), changes AS (
+        SELECT o_custkey, o_orderpriority,
+               o_orderdate AS valid_from, o_orderkey
+        FROM ordered
+        WHERE prev_prio IS NULL OR prev_prio != o_orderpriority
+    ), scd AS (
+        SELECT o_custkey, o_orderpriority, valid_from,
+               lead(valid_from) OVER w AS valid_to,
+               row_number() OVER w AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           s.o_orderpriority AS prio_at_order,
+           s.version::BIGINT AS dim_version
+    FROM orders o
+    JOIN scd s ON o.o_custkey = s.o_custkey
+              AND s.valid_from <= o.o_orderdate
+              AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+    """,
+)
+def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: every fact row (order) joined to
+    the SCD2 dimension version that was valid AT its event date — the
+    late-arriving-fact / historical-reporting join every type-2
+    warehouse runs, composed on top of etl_scd2's build.
+
+    The temporal predicate rides an EQUI-join on the dimension's
+    natural key (o_custkey) with the [valid_from, valid_to) range as a
+    post-join filter — Catalyst plans a hash/sort-merge join on the
+    key, never a nested loop over intervals; half-open intervals are
+    non-overlapping by construction, so each fact matches exactly one
+    version. At 100 TB both sides shuffle once on the key and the
+    per-key match set is a customer's handful of versions."""
+    orders = load_table(spark, sf_dir, "orders")
+    scd = etl_scd2(spark, sf_dir).select(
+        F.col("o_custkey").alias("s_custkey"),
+        F.col("o_orderpriority").alias("prio_at_order"),
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("long").alias("dim_version"),
+    )
+    return (
+        orders.join(
+            scd,
+            (F.col("o_custkey") == F.col("s_custkey"))
+            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "prio_at_order",
+            "dim_version",
+        )
+    )

@@ -852,3 +852,70 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.round(num / den, 4) + 0.0).alias("autocorr20"),
     )
+
+
+@query(
+    "llm_event_pattern",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts::TIMESTAMP AS tsu, event_id,
+               substr(event_type, 1, 1) AS initial
+        FROM events
+    ), j AS (
+        SELECT user_id,
+               string_agg(initial, '' ORDER BY tsu, event_id) AS journey
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id, journey,
+           length(journey)::BIGINT AS journey_len,
+           regexp_matches(journey, 'v.*c.*p') AS has_funnel,
+           ((length(journey) - length(replace(journey, 'vp', ''))) // 2)
+               ::BIGINT AS n_direct
+    FROM j
+    """,
+)
+def llm_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing over ordered per-user event sequences:
+    build each user's journey string (event-type initials in (ts,
+    event_id) order) and match patterns on it — the funnel regex
+    view→…→click→…→purchase and the count of direct view→purchase
+    conversions.
+
+    The order-sensitive aggregation is fully declarative:
+    collect_list(struct(ts, event_id, initial)) → array_sort →
+    transform → concat — one shuffle on user_id, deterministic under
+    the struct ordering, state bounded by a user's event count (the
+    sessionize contract). The direct-conversion count is pure string
+    arithmetic (length delta over replace), NOT a regex count — Java
+    and RE2 agree on `v.*c.*p` but non-greedy/overlap counting rules
+    are where engines drift."""
+    ev = load_table(spark, sf_dir, "events")
+    journey = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("initial"),
+                    )
+                )
+            ),
+            lambda x: x.getField("initial"),
+        ),
+    )
+    j = ev.groupBy("user_id").agg(journey.alias("journey"))
+    return j.select(
+        "user_id",
+        "journey",
+        F.length("journey").cast("long").alias("journey_len"),
+        F.col("journey").rlike("v.*c.*p").alias("has_funnel"),
+        (
+            (
+                F.length("journey")
+                - F.length(F.regexp_replace("journey", "vp", ""))
+            )
+            / 2
+        ).cast("long").alias("n_direct"),
+    )
