@@ -1,0 +1,105 @@
+"""Unit tests for the driver-window ordering (pymapreduce_spark/ordering.py).
+
+The external driver samples the first 50 registry names for its
+correctness artifact, so this ordering IS the round's verification
+plan: rechecks first, then a small resample of already-green names,
+then never-checked names in curated priority order.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from pymapreduce_spark import ordering
+
+
+def fake_latest(rows):
+    """rows: name -> (round, row-dict)."""
+    return dict(rows)
+
+
+@pytest.fixture
+def patched(monkeypatch):
+    def _patch(rows):
+        monkeypatch.setattr(
+            ordering, "latest_driver_rows", lambda: fake_latest(rows)
+        )
+
+    return _patch
+
+
+GREEN = {"hash_match": True, "err": None}
+FAIL = {"hash_match": False, "err": None}
+ERR = {"hash_match": None, "err": "boom"}
+NO_ORACLE = {"hash_match": None, "err": "no_oracle"}
+
+
+def test_rechecks_lead_the_window(patched):
+    registered = {n: None for n in ["a", "b", "c", "d"]}
+    patched({"a": (1, GREEN), "b": (1, FAIL), "c": (2, ERR)})
+    order = ordering.ordered_names(registered, oracles=registered)
+    assert order[:2] == ["b", "c"]  # non-green driver rows first
+    assert "d" in order  # fresh follows
+    assert order.index("d") < order.index("a") or order.index("a") < 3
+
+
+def test_rows_only_by_design_not_rechecked(patched):
+    registered = {"x": None, "y": None}
+    patched({"x": (1, NO_ORACLE)})
+    # x has NO oracle registered → its no_oracle row is by design, not
+    # a recheck candidate.
+    order = ordering.ordered_names(registered, oracles={"y": "SELECT 1"})
+    assert order[0] == "x" or order[0] == "y"
+    # but with an oracle now registered, it becomes a recheck
+    order2 = ordering.ordered_names(registered, oracles={"x": "SELECT 1"})
+    assert order2[0] == "x"
+
+
+def test_resample_rotates_oldest_green(patched):
+    registered = {n: None for n in "abcdefg"}
+    patched({n: (i + 1, GREEN) for i, n in enumerate("abcdef")})
+    order = ordering.ordered_names(registered, oracles=registered)
+    # quota of the OLDEST green rows resampled ahead of the rest
+    quota = ordering.RESAMPLE_QUOTA
+    assert order[:quota] == list("abcdef")[:quota]
+    assert order[quota] == "g"  # fresh name right after the resample
+
+
+def test_deterministic_without_artifacts(patched):
+    registered = {n: None for n in ["z", "q2_min_cost_supplier", "m"]}
+    patched({})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(registered, oracles=registered)
+    # curated PRIORITY member first, then registration order
+    assert order[0] == "q2_min_cost_supplier"
+    assert order[1:] == ["z", "m"]
+
+
+def test_unknown_priority_name_warns_not_raises(patched):
+    patched({})
+    registered = {"only_this": None}
+    with pytest.warns(UserWarning, match="unknown queries"):
+        order = ordering.ordered_names(registered, oracles=registered)
+    assert order == ["only_this"]
+
+
+def test_registry_window_is_driver_shaped():
+    """The real registry's first 50 names must contain every known
+    non-green driver row (rechecks cannot be pushed out of the window
+    by fresh names)."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    latest = ordering.latest_driver_rows()
+    window = set(list(qs)[:50])
+    missed = [
+        n
+        for n, (_, row) in latest.items()
+        if n in qs
+        and ordering._needs_recheck(row, n in os_)
+        and n not in window
+    ]
+    assert not missed, f"rechecks outside the driver window: {missed}"
