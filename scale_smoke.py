@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Scale smoke: replicate the sf0.1 fixtures 10× (with shifted keys, so
+group/join cardinalities scale too) and measure headline operators at
+both scales. The point is the RATIO: a plan that survives 100 TB must
+scale near-linearly in rows here — superlinear time or an OOM at 10×
+is a plan bug the sub-second bench cannot see.
+
+Writes replicas under /tmp/scale_smoke (not .artifacts — this is a
+diagnostic, not a fixture) and prints one JSON line:
+  {"metric": "scale_smoke_ratio", "sf_base": 0.1, "factor": 10,
+   "queries": {name: {"base_s": .., "x10_s": .., "ratio": ..}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pymapreduce_spark.session import get_spark  # noqa: E402
+from pymapreduce_spark.io import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_smoke"
+FACTOR = 10
+
+#: (table, key columns to shift per replica so cardinalities scale).
+REPLICATED = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+}
+
+
+def materialize(spark) -> None:
+    for name, shifts in REPLICATED.items():
+        path = os.path.join(OUT, name)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        base = load_table(spark, BASE_SF, name)
+        reps = []
+        for i in range(FACTOR):
+            r = base
+            for col, stride in shifts.items():
+                r = r.withColumn(col, F.col(col) + F.lit(i * stride))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(path)
+
+
+def queries(spark, li, ev, docs):
+    from pymapreduce_spark.functions.checked import cents
+
+    pc, dc = cents("l_extendedprice"), cents("l_discount")
+
+    def q1():
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                (F.sum(pc) / 100.0).alias("sum_base_price"),
+                (F.sum(pc * (100 - dc)) / 10000.0).alias("sum_disc_price"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def sessionize():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        mu = F.unix_micros(F.col("ts"))
+        is_new = F.coalesce(
+            (mu - F.lag(mu).over(w)) > 30 * 60 * 1_000_000, F.lit(True)
+        ).cast("bigint")
+        return (
+            ev.withColumn("sid", F.sum(is_new).over(run))
+            .groupBy("user_id", "sid")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def wordcount():
+        return (
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def dedup_exact():
+        return docs.groupBy("text").agg(
+            F.min("doc_id").alias("keep"), F.count("*").alias("n")
+        )
+
+    return {
+        "q1_agg": q1,
+        "sessionize": sessionize,
+        "wordcount": wordcount,
+        "dedup_exact": dedup_exact,
+    }
+
+
+def timed(fn, n=3) -> float:
+    fn().toArrow()
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn().toArrow()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[n // 2]
+
+
+def main() -> None:
+    spark = get_spark()
+    materialize(spark)
+    li_b = load_table(spark, BASE_SF, "lineitem")
+    ev_b = load_table(spark, BASE_SF, "events")
+    do_b = load_table(spark, BASE_SF, "documents")
+    li_x = spark.read.parquet(os.path.join(OUT, "lineitem"))
+    ev_x = spark.read.parquet(os.path.join(OUT, "events"))
+    do_x = spark.read.parquet(os.path.join(OUT, "documents"))
+
+    base_q = queries(spark, li_b, ev_b, do_b)
+    x10_q = queries(spark, li_x, ev_x, do_x)
+    out = {}
+    for name in base_q:
+        b = timed(base_q[name])
+        x = timed(x10_q[name])
+        out[name] = {
+            "base_s": round(b, 3),
+            "x10_s": round(x, 3),
+            "ratio": round(x / b, 2),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke_ratio",
+                "sf_base": 0.1,
+                "factor": FACTOR,
+                "queries": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
