@@ -117,6 +117,30 @@ def timed(fn, n=3) -> float:
     return sorted(runs)[n // 2]
 
 
+
+def llm_section(spark) -> dict:
+    """Optional heavier section (--llm): the MinHash-LSH fuzzy-dedup
+    pipeline — shingle → signature → band bucket join → connected
+    components — at 50 k docs (10× the corpus the driver ever sees).
+    Validates the iterative at-scale path end-to-end: candidate
+    generation stays banded (no quadratic blowup), the component loop
+    converges, and wall-clock stays in seconds."""
+    from pymapreduce_spark.operators.llm_text import cluster_near_duplicates
+
+    do_x = spark.read.parquet(os.path.join(OUT, "documents"))
+    t0 = time.perf_counter()
+    labels = cluster_near_duplicates(do_x)
+    n_docs = labels.count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    secs = time.perf_counter() - t0
+    return {
+        "fuzzy_dedup_50k": {
+            "n_docs": n_docs,
+            "n_clusters": n_clusters,
+            "wall_s": round(secs, 2),
+        }
+    }
+
 def main() -> None:
     spark = get_spark()
     materialize(spark)
@@ -138,16 +162,15 @@ def main() -> None:
             "x10_s": round(x, 3),
             "ratio": round(x / b, 2),
         }
-    print(
-        json.dumps(
-            {
-                "metric": "scale_smoke_ratio",
-                "sf_base": 0.1,
-                "factor": FACTOR,
-                "queries": out,
-            }
-        )
-    )
+    payload = {
+        "metric": "scale_smoke_ratio",
+        "sf_base": 0.1,
+        "factor": FACTOR,
+        "queries": out,
+    }
+    if "--llm" in sys.argv:
+        payload["llm"] = llm_section(spark)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
