@@ -919,3 +919,88 @@ def llm_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2
         ).cast("long").alias("n_direct"),
     )
+
+
+@query(
+    "ts_seasonal_naive",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS lo,
+               date_trunc('hour', max(ts::TIMESTAMP)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM b
+    ),
+    types AS (SELECT DISTINCT event_type AS et FROM events),
+    counts AS (
+        SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type AS et,
+               count(*) AS n
+        FROM events GROUP BY h, et
+    ),
+    dense AS (
+        SELECT grid.h::TIMESTAMP AS hour, types.et AS event_type,
+               coalesce(counts.n, 0)::BIGINT AS n_events
+        FROM grid CROSS JOIN types
+        LEFT JOIN counts ON counts.h = grid.h AND counts.et = types.et
+    )
+    SELECT hour, event_type, n_events,
+           lag(n_events, 24) OVER w AS forecast,
+           abs(n_events - lag(n_events, 24) OVER w)::BIGINT AS abs_err
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    QUALIFY lag(n_events, 24) OVER w IS NOT NULL
+    """,
+)
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting: predict each hour's event count as
+    the same hour yesterday (lag 24 on the DENSE hourly grid) and score
+    the absolute error — the baseline every forecasting pipeline must
+    beat, and the alignment trap ts_gapfill exists to prevent: lag(24)
+    over raw grouped hours silently misaligns whenever an hour is
+    empty.
+
+    Composes the gapfill grid (aggregate-then-broadcast bounds,
+    distributed sequence explode) with one window per series key; all
+    quantities are exact integers, so the differential is
+    rounding-free. At 100 TB the window partitions by series key —
+    state is one 24-slot frame per key."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select(F.col("event_type").alias("event_type")).distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    dense = (
+        grid.crossJoin(types)
+        .join(F.broadcast(counts), ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    forecast = F.lag("n_events", 24).over(w)
+    return (
+        dense.select(
+            "hour",
+            "event_type",
+            "n_events",
+            forecast.alias("forecast"),
+            F.abs(F.col("n_events") - forecast).cast("long").alias(
+                "abs_err"
+            ),
+        )
+        .where(F.col("forecast").isNotNull())
+    )
