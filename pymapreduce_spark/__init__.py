@@ -45,6 +45,7 @@ from pymapreduce_spark.api import MapReduceJob  # noqa: F401
 from pymapreduce_spark.sources import scans  # noqa: F401
 from pymapreduce_spark.functions import scalar  # noqa: F401
 from pymapreduce_spark.streaming import core as streaming_core  # noqa: F401
+from pymapreduce_spark import sqlfront  # noqa: F401
 
 # With every operator registered, rebuild the registry in the
 # driver-facing verification order (re-checks of non-green driver rows,

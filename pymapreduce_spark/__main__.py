@@ -34,9 +34,25 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         if name == "run":
             p.add_argument("--limit", type=int, default=20)
+
+    p_sql = sub.add_parser("sql", help="run ad-hoc SQL over the fixtures")
+    p_sql.add_argument("text")
+    p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_sql.add_argument("--limit", type=int, default=20)
     args = ap.parse_args(argv)
 
     from pymapreduce_spark import registry
+
+    if args.cmd == "sql":
+        from pymapreduce_spark.session import get_spark
+        from pymapreduce_spark.sqlfront import run_sql
+
+        spark = get_spark(app_name="pymapreduce-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_sql(spark, args.sf_dir, args.text).show(
+            args.limit, truncate=False
+        )
+        return 0
 
     if args.cmd == "list":
         for name in sorted(registry.QUERIES):

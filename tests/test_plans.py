@@ -531,3 +531,13 @@ def test_semdedup_broadcasts_seeds_pairs_on_cluster(spark, sf_dir):
     plan = plan_of("llm_semdedup", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_frontend_gets_same_optimizations(spark, sf_dir):
+    """Ad-hoc SQL must ride the identical Catalyst pipeline as the
+    DataFrame operators: dims broadcast, the date predicate pushed into
+    the orders scan, partial aggregation before the exchange."""
+    plan = formatted_plan_of("sql_frontend", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters: [" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
