@@ -200,10 +200,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_suppkey = s_suppkey AND s_nationkey = 5
         GROUP BY l_partkey
     ),
-    tot AS (SELECT sum(value_c) AS t FROM val)
+    tot AS (SELECT sum(value_c)::BIGINT AS t, count(*)::BIGINT AS n
+            FROM val)
     SELECT l_partkey AS ps_partkey, value_c / 100.0 AS value
     FROM val, tot
-    WHERE value_c * 200 > t
+    WHERE value_c * n > 2 * t
     ORDER BY value DESC, ps_partkey
     """,
 )
@@ -211,9 +212,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts representing a significant fraction of one
     nation's stock value — per-key aggregate compared against a scalar
     global aggregate of itself (aggregate-then-broadcast, never
-    collect()). The fraction test ``value > tot/200`` is exact-integer
-    (value_c · 200 > t). Adapted: lineitem value per part stands in for
-    partsupp availqty · supplycost."""
+    collect()). The significance test is SELF-NORMALIZING — value above
+    2× the mean part share, spelled exact-integer (value_c · n > 2t) —
+    mirroring TPC-H's own scale-aware fraction (0.0001/SF): a fixed
+    1/200 cut returns zero rows once part cardinality outgrows 200,
+    which it already does at the sf0.01 driver gate. Adapted: lineitem
+    value per part stands in for partsupp availqty · supplycost."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation5 = supplier.where(F.col("s_nationkey") == 5)
@@ -222,10 +226,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
     )
-    tot = val.agg(F.sum("value_c").alias("t"))
+    tot = val.agg(
+        F.sum("value_c").alias("t"), F.count("*").alias("n")
+    )
     return (
         val.crossJoin(F.broadcast(tot))
-        .where(F.col("value_c") * 200 > F.col("t"))
+        .where(F.col("value_c") * F.col("n") > 2 * F.col("t"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             (F.col("value_c") / 100.0).alias("value"),
