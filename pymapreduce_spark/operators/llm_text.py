@@ -1384,15 +1384,27 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id, lang, n_chars, text,
-               len(str_split(text, ' ')) AS n_words,
-               len(list_distinct(str_split(text, ' ')))::DOUBLE
-                   / len(str_split(text, ' ')) AS dr
+               len(str_split(text, ' '))::BIGINT AS n_words,
+               len(list_distinct(str_split(text, ' ')))::BIGINT
+                   AS n_distinct,
+               len(list_filter(str_split(text, ' '),
+                   w -> list_contains(
+                       ['join', 'hash', 'row', 'batch', 'scan'], w)
+               ))::BIGINT AS n_stop
         FROM documents
     ), flagged AS (
         SELECT doc_id, text, n_words,
                (lang IN ('en', 'es', 'de')
                 AND n_chars BETWEEN 100 AND 400) AS lang_ok,
-               (dr >= 0.5 AND n_words >= 10) AS q_ok
+               (n_distinct / (1.0 * n_words) >= 0.5
+                AND n_words >= 10) AS q_ok,
+               (1.0 / (1.0 + exp(-(
+                   -2.0 + 0.8 * ln(1.0 * n_words)
+                        - 0.1 * ((n_chars - (n_words - 1))
+                                 / (1.0 * n_words))
+                        + 1.5 * (n_distinct / (1.0 * n_words))
+                        + 0.5 * (n_stop / (1.0 * n_words))
+               ))) >= 0.8) AS c_ok
         FROM d
     ), surv AS (
         SELECT *,
@@ -1416,27 +1428,49 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 3, 'exact_dedup', count(*) FILTER (is_surv),
            coalesce(sum(n_words) FILTER (is_surv), 0)::BIGINT
     FROM surv
+    UNION ALL
+    SELECT 4, 'quality_model', count(*) FILTER (is_surv AND c_ok),
+           coalesce(sum(n_words) FILTER (is_surv AND c_ok), 0)::BIGINT
+    FROM surv
     """,
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel: raw corpus → language/length gate
     (llm_lang_filter's predicate) → quality gate (llm_quality_filter's
     distinct-ratio ≥ 0.5, ≥ 10 words) → exact dedup (min-doc_id
-    survivor) — reported as the (stage, n_docs, n_tokens) retention
-    funnel every data-curation run publishes. Composes the production
-    operators' exact predicates, so this one query certifies the
-    pipeline wiring, not just each stage alone.
+    survivor) → model gate (llm_quality_classifier's logistic scorer)
+    — reported as the (stage, n_docs, n_tokens) retention funnel every
+    data-curation run publishes. Composes the production operators'
+    exact predicates, so this one query certifies the pipeline wiring,
+    not just each stage alone.
 
-    ONE pass: per-doc flags are computed in a single projection, the
-    dedup survivor needs one window keyed by text (at 100 TB: hash the
-    text first and window on the hash — same shuffle the standalone
-    dedup uses), and all four funnel stages aggregate from the same
-    flagged table with conditional counts — the corpus is scanned once,
-    shuffled once. All outputs are exact integers."""
+    ONE pass: per-doc flags (including the classifier score — a scalar
+    expression over the same tokenization) are computed in a single
+    projection, the dedup survivor needs one window keyed by text (at
+    100 TB: hash the text first and window on the hash — same shuffle
+    the standalone dedup uses), and all five funnel stages aggregate
+    from the same flagged table with conditional counts — the corpus
+    is scanned once, shuffled once. All outputs are exact integers."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    n_words = F.size(words)
-    dr = F.size(F.array_distinct(words)).cast("double") / n_words
+    n_words = F.size(words).cast("long")
+    n_distinct = F.size(F.array_distinct(words)).cast("long")
+    n_stop = F.size(
+        F.filter(
+            words,
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in _STOPWORDS]), w
+            ),
+        )
+    ).cast("long")
+    dr = n_distinct / (1.0 * n_words)
+    z = (
+        F.lit(-2.0)
+        + 0.8 * F.log(1.0 * n_words)
+        - 0.1 * ((F.col("n_chars") - (n_words - 1)) / (1.0 * n_words))
+        + 1.5 * (n_distinct / (1.0 * n_words))
+        + 0.5 * (n_stop / (1.0 * n_words))
+    )
     flagged = docs.select(
         "doc_id",
         "text",
@@ -1446,6 +1480,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("n_chars").between(100, 400)
         ).alias("lang_ok"),
         ((dr >= 0.5) & (n_words >= 10)).alias("q_ok"),
+        ((1.0 / (1.0 + F.exp(-z))) >= 0.8).alias("c_ok"),
     )
     wt = Window.partitionBy("text")
     both = F.col("lang_ok") & F.col("q_ok")
@@ -1461,6 +1496,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         1: F.col("lang_ok"),
         2: both,
         3: F.col("is_surv"),
+        4: F.col("is_surv") & F.col("c_ok"),
     }
     agg = surv.agg(
         F.count("*").alias("docs0"),
@@ -1477,12 +1513,12 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     names = {0: "input", 1: "lang_filter", 2: "quality_filter",
-             3: "exact_dedup"}
+             3: "exact_dedup", 4: "quality_model"}
     stack_args = ", ".join(
-        f"{i}, '{names[i]}', docs{i}, toks{i}" for i in range(4)
+        f"{i}, '{names[i]}', docs{i}, toks{i}" for i in range(5)
     )
     return agg.selectExpr(
-        f"stack(4, {stack_args}) AS (stage_order, stage, n_docs, n_tokens)"
+        f"stack(5, {stack_args}) AS (stage_order, stage, n_docs, n_tokens)"
     )
 
 
@@ -1600,7 +1636,7 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
-           (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+           (1.0 / (1.0 + exp(-z))) >= 0.8 AS keep
     FROM z
     """,
 )
@@ -1616,8 +1652,11 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast its coefficient vector — same plan). No shuffle, no
     Python in the row path; at 100 TB this runs at scan speed.
     Determinism: both engines evaluate the identical expression tree on
-    identical integer features, so z and the 0.5 threshold compare on
-    bit-identical doubles; round(6) is presentation only."""
+    identical integer features, so z and the threshold compare on
+    bit-identical doubles; round(6) is presentation only. The 0.8
+    operating point sits just below the corpus median (measured score
+    range 0.59-0.86, median 0.82), so the gate actually discriminates
+    — a 0.5 cut would keep everything."""
     docs = load_table(spark, sf_dir, "documents")
     wordsc = F.split("text", " ")
     f = docs.select(
@@ -1646,7 +1685,7 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "doc_id",
         F.round(score, 6).alias("quality_score"),
-        (score >= 0.5).alias("keep"),
+        (score >= 0.8).alias("keep"),
     )
 
 
