@@ -818,3 +818,72 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy).cast("double") / det.cast("double"), 6).alias("slope"),
         F.round((sy * sxx - sx * sxy).cast("double") / det.cast("double") / 100.0, 6).alias("intercept"),
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'view')::BIGINT AS c_view,
+               count(*) FILTER (event_type = 'click')::BIGINT AS c_click,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS c_signup,
+               count(*) FILTER (event_type = 'purchase')::BIGINT
+                   AS c_purchase,
+               count(*) FILTER (event_type = 'error')::BIGINT AS c_error,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           round(
+             (CASE WHEN c_view > 0 THEN
+                -(c_view / (1.0 * n)) * ln(c_view / (1.0 * n))
+              ELSE 0 END)
+           + (CASE WHEN c_click > 0 THEN
+                -(c_click / (1.0 * n)) * ln(c_click / (1.0 * n))
+              ELSE 0 END)
+           + (CASE WHEN c_signup > 0 THEN
+                -(c_signup / (1.0 * n)) * ln(c_signup / (1.0 * n))
+              ELSE 0 END)
+           + (CASE WHEN c_purchase > 0 THEN
+                -(c_purchase / (1.0 * n)) * ln(c_purchase / (1.0 * n))
+              ELSE 0 END)
+           + (CASE WHEN c_error > 0 THEN
+                -(c_error / (1.0 * n)) * ln(c_error / (1.0 * n))
+              ELSE 0 END), 6) AS entropy
+    FROM c
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity profile (bot detection flags near-zero
+    entropy; engaged users sit near ln 5).
+
+    Determinism by construction: the five per-type counts come from ONE
+    conditional aggregate (one shuffle, map-side combined), and the
+    entropy is a FIXED-ORDER sum of five closed-form terms over those
+    exact integers — never an aggregate over per-row -p·ln p values,
+    whose accumulation order engines choose freely. Both engines
+    evaluate the identical expression tree; round(6) is cosmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "signup", "purchase", "error"]
+    counts = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"c_{t}")
+        for t in types
+    ]
+    c = ev.groupBy("user_id").agg(*counts, F.count("*").alias("n"))
+    n = F.col("n")
+
+    def term(t: str):
+        ct = F.col(f"c_{t}")
+        p = ct / (1.0 * n)
+        return F.when(ct > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    entropy = term(types[0])
+    for t in types[1:]:
+        entropy = entropy + term(t)
+    return c.select(
+        "user_id",
+        n.alias("n_events"),
+        F.round(entropy, 6).alias("entropy"),
+    )

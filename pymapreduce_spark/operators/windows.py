@@ -235,3 +235,57 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types_seen"
         ),
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS d FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   ::INTEGER AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, anchor, count(*)::BIGINT AS len
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           sum(len)::BIGINT AS n_active_days,
+           count(*)::BIGINT AS n_streaks,
+           max(len)::BIGINT AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's activity streaks over calendar
+    days — longest run of consecutive active days, streak count, total
+    active days. The retention metric every engagement dashboard
+    computes, and the canonical date − row_number() anchor trick: days
+    in one unbroken run share an anchor, so streaks fall out of a
+    plain groupBy.
+
+    One shuffle on user_id for the distinct+window, then two
+    partial-aggregable groupBys; everything is exact dates/integers.
+    At 100 TB the window partitions by user — no global sort, state
+    bounded by a user's active-day count."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    grp = days.select(
+        "user_id",
+        F.expr("date_sub(d, cast(row_number() over "
+               "(partition by user_id order by d) as int))").alias(
+            "anchor"
+        ),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
