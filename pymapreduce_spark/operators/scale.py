@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pymapreduce_spark.functions.checked import cents
@@ -440,4 +440,68 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
         )
+    )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars, md5(doc_id::VARCHAR) AS hx
+        FROM documents
+    ), u AS (
+        SELECT doc_id, lang, n_chars,
+               (((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+                   AS u16
+        FROM h
+    ), keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ln((u16 + 1.0) / 65537.0) / n_chars AS k
+        FROM u
+    )
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY k DESC, doc_id) AS sample_rank
+    FROM keyed
+    QUALIFY sample_rank <= 10
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    top-10 docs per language with inclusion probability ∝ n_chars —
+    the deterministic mixture-sampling step a training-data pipeline
+    runs to hit a target domain mix (llm_domain_mix reports the mix;
+    this op draws it).
+
+    A-ES needs a per-row uniform; rand() is banned in checked queries
+    (SURVEY §5.4.5), so u is rebuilt identically in both engines from
+    four md5 nibbles (each mapped through a position-in-'0123…f' lookup
+    — the only md5→integer construction Spark SQL and DuckDB share) →
+    a uniform 16-bit u16, then the A-ES key ln(u)/w ranks per stratum.
+    One map-only projection plus a per-stratum top-k window — at
+    100 TB this is TakeOrdered-per-group over a scan, no global sort,
+    and the draw is reproducible and join-stable across pipeline
+    stages (the property rand() sampling can never give)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def nib(i: int):
+        return (
+            F.expr(
+                f"locate(substring(md5(cast(cast(doc_id AS string) AS"
+                f" binary)), {i}, 1), '0123456789abcdef')"
+            )
+            - 1
+        )
+
+    u16 = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    k = F.log((u16 + 1.0) / 65537.0) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", k.alias("k"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 10)
+        .select("lang", "doc_id", "n_chars", "sample_rank")
     )
