@@ -1759,3 +1759,45 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select("w1", "w2", "n", F.round(logp, 6).alias("logp"))
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT text FROM documents WHERE doc_id % 5 != 4
+    ), batch AS (
+        SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 5 = 4
+    )
+    SELECT b.doc_id, b.n_chars,
+           (c.text IS NOT NULL) AS is_known
+    FROM batch b LEFT JOIN corpus c ON b.text = c.text
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: flag each NEW document (a 20% id-hash
+    batch) whose text already exists in the standing corpus (the other
+    80%) — the nightly-batch-vs-corpus check a continuously-growing
+    training set runs, where re-deduplicating the whole corpus per
+    batch is the anti-pattern.
+
+    The corpus side reduces to DISTINCT text before the join —
+    aggregate-then-join, so the exchange carries unique texts, not the
+    corpus. At 100 TB the standing side becomes its xxhash64 set (join
+    on the 8-byte hash, verify on collision) fronted by a Bloom
+    prefilter on the batch scan — the join_bloom mechanic; the batch
+    side is a day's ingest, orders of magnitude smaller than the
+    corpus, which is exactly why incremental beats global re-dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.where(F.col("doc_id") % 5 != 4).select("text").distinct()
+        .withColumn("known", F.lit(True))
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 4).select(
+        "doc_id", "text", "n_chars"
+    )
+    return batch.join(corpus, "text", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("known", F.lit(False)).alias("is_known"),
+    )
