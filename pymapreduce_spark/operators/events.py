@@ -1004,3 +1004,131 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("forecast").isNotNull())
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS mu
+        FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, epoch_us(ts::TIMESTAMP) AS mu,
+               max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_us(ts::TIMESTAMP)
+    ), tagged AS (
+        SELECT user_id, mu, 0 AS side, view_event_id,
+               NULL::BIGINT AS event_id
+        FROM v
+        UNION ALL
+        SELECT user_id, mu, 1, NULL, event_id FROM p
+    ), carried AS (
+        SELECT user_id, mu, side, event_id,
+               last_value(view_event_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_id,
+               last_value(CASE WHEN side = 0 THEN mu END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_mu,
+               first_value(view_event_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_id,
+               first_value(CASE WHEN side = 0 THEN mu END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_mu
+        FROM tagged
+    )
+    SELECT event_id, user_id,
+           CASE WHEN next_mu IS NULL THEN prev_id
+                WHEN prev_mu IS NULL THEN next_id
+                WHEN mu - prev_mu <= next_mu - mu THEN prev_id
+                ELSE next_id END AS nearest_view_id,
+           CASE WHEN next_mu IS NULL THEN mu - prev_mu
+                WHEN prev_mu IS NULL THEN next_mu - mu
+                ELSE least(mu - prev_mu, next_mu - mu)
+           END AS delta_us
+    FROM carried WHERE side = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join, BOTH directions: each purchase matched
+    to the user's closest view in absolute time (tie → the earlier
+    view) — the variant DuckDB's ASOF JOIN cannot express (it is
+    backward-only), built from the same union-reorder-window kernel as
+    join_asof: one shuffle on user_id, two symmetric carry windows
+    (last-non-null backward, first-non-null forward), O(1) state per
+    row. The oracle spells the identical windows in SQL. All time math
+    is exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("mu")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_micros("ts").alias("mu"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    tagged = v.select(
+        "user_id",
+        "mu",
+        F.lit(0).alias("side"),
+        "view_event_id",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        p.select(
+            "user_id",
+            "mu",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("view_event_id"),
+            "event_id",
+        )
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("mu", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("mu", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_mu = F.when(F.col("side") == 0, F.col("mu"))
+    carried = tagged.select(
+        "user_id",
+        "mu",
+        "side",
+        "event_id",
+        F.last("view_event_id", ignorenulls=True).over(back).alias("prev_id"),
+        F.last(view_mu, ignorenulls=True).over(back).alias("prev_mu"),
+        F.first("view_event_id", ignorenulls=True).over(fwd).alias("next_id"),
+        F.first(view_mu, ignorenulls=True).over(fwd).alias("next_mu"),
+    )
+    mu = F.col("mu")
+    nearest = (
+        F.when(F.col("next_mu").isNull(), F.col("prev_id"))
+        .when(F.col("prev_mu").isNull(), F.col("next_id"))
+        .when(mu - F.col("prev_mu") <= F.col("next_mu") - mu,
+              F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    delta = (
+        F.when(F.col("next_mu").isNull(), mu - F.col("prev_mu"))
+        .when(F.col("prev_mu").isNull(), F.col("next_mu") - mu)
+        .otherwise(
+            F.least(mu - F.col("prev_mu"), F.col("next_mu") - mu)
+        )
+    )
+    return carried.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        nearest.alias("nearest_view_id"),
+        delta.alias("delta_us"),
+    )

@@ -510,3 +510,51 @@ def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2-J `stream_sink` contract key: arbitrary sink via
     foreachBatch (see stream_sink_foreachbatch)."""
     return stream_sink_foreachbatch(spark, sf_dir)
+
+
+@query(
+    "stream_progress_audit",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               count(*)::BIGINT AS input_rows
+        FROM events GROUP BY 1
+    )
+    SELECT (row_number() OVER (ORDER BY day) - 1)::BIGINT AS batch_id,
+           input_rows
+    FROM d
+    """,
+)
+def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability, hash-checked: drain the replay stream
+    one file per micro-batch and return each batch's numInputRows from
+    the StreamingQueryProgress feed. Because the replay layout is one
+    day per file with day-ordered modification times (the file source
+    lists by mod time), batch i IS day i — so the progress metrics an
+    operator team alerts on are verifiable against a plain SQL
+    aggregate, not just eyeballed. The collected progress list is
+    bounded by the batch count (one row per batch), the same
+    O(metrics) driver-side footprint any metrics sink has."""
+    path = replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .drop("day")
+    )
+    q = (
+        s.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (i, int(p["numInputRows"]))
+        for i, p in enumerate(
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, input_rows long"
+    )
