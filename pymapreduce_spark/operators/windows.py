@@ -289,3 +289,55 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.max("len").alias("longest_streak"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
+               round(value * 100)::BIGINT AS vc
+        FROM events
+    )
+    SELECT event_id, event_type,
+           median(vc) OVER (
+               PARTITION BY event_type ORDER BY tsu, event_id
+               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS rolling_median
+    FROM v
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of `value` over each series' trailing
+    21-row frame — the robust centerline a metrics pipeline prefers
+    over a mean that outliers drag.
+
+    Spark has no median window function; the frame's cent-scaled
+    integers are collected per row (bounded: ≤ 21 elements), sorted,
+    and the middle picked — element_at for odd frames, the mean of the
+    two middles for even ones. DuckDB's frame `median()` interpolates
+    identically on integers, and every quantity up to the final /100.0
+    is exact, so the differential is rounding-free. At 100 TB the
+    frame bound (not the partition size) caps per-row state — this is
+    the one windows-family op whose state is O(frame), and the frame
+    is a constant."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    frame = F.array_sort(F.collect_list(vc).over(w))
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    odd = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(frame, (n / 2).cast("int")) + mid_hi
+    ) / 2.0
+    median_c = F.when(n % 2 == 1, odd.cast("double")).otherwise(even)
+    return ev.select(
+        "event_id",
+        "event_type",
+        (median_c / 100.0).alias("rolling_median"),
+    )
