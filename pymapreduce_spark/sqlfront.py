@@ -68,3 +68,34 @@ def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the usual star shape: dims broadcast onto the orders scan, date
     filter pushed to parquet, partial/final aggregation."""
     return run_sql(spark, sf_dir, _SHARED_SQL)
+
+
+#: Correlated subqueries, same dialect-shared contract: Catalyst's
+#: RewritePredicateSubquery turns the EXISTS into a left-semi join and
+#: decorrelates the scalar subquery into an aggregate-join — the user
+#: writes textbook SQL, the engine plans distributed joins.
+_SUBQUERY_SQL = """
+    SELECT c_mktsegment,
+           count(*) AS n_big_spenders,
+           CAST(max((SELECT count(*) FROM orders o2
+                     WHERE o2.o_custkey = c.c_custkey)) AS BIGINT)
+               AS max_orders_one_customer
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    GROUP BY c_mktsegment
+"""
+
+
+@query("sql_subquery", oracle=_SUBQUERY_SQL)
+def sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface through the SQL front-end: one
+    dialect-shared string with a correlated EXISTS (→ left-semi join
+    after RewritePredicateSubquery) and a correlated scalar COUNT
+    (→ decorrelated aggregate join), hash-matched against DuckDB
+    executing the same text. Proves subquery-heavy BI SQL ports
+    unchanged and still plans as distributed joins, never per-row
+    subquery execution."""
+    return run_sql(spark, sf_dir, _SUBQUERY_SQL)
