@@ -887,3 +887,65 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_events"),
         F.round(entropy, 6).alias("entropy"),
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY cents, o_orderkey) AS i
+        FROM c
+    ), sums AS (
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS s,
+               sum(i * cents)::BIGINT AS si
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round((2.0 * si) / (1.0 * n * s) - (n + 1.0) / n, 6) AS gini
+    FROM sums
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    concentration metric a data-mixing or revenue analysis reports
+    (0 = perfectly even, →1 = one order dominates).
+
+    Computed from the closed form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    rank-sorted values: the rank comes from one per-group window with a
+    total tiebreak (cents, orderkey), and Σ(i·x) / Σx / n are EXACT
+    integer aggregates (cents ≤ 6×10⁷, i ≤ n → products fit int64), so
+    the only doubles are two final divisions on identical operands.
+    One shuffle for the window, one for the group aggregate — the same
+    two-exchange shape as any ranked statistic at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority",
+        cents("o_totalprice").alias("cents"),
+        "o_orderkey",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "cents", "o_orderkey"
+    )
+    ranked = c.withColumn("i", F.row_number().over(w).cast("long"))
+    sums = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("si"),
+    )
+    n, s, si = F.col("n"), F.col("s"), F.col("si")
+    gini = (2.0 * si) / (1.0 * n * s) - (n + 1.0) / n
+    return sums.select(
+        "o_orderpriority", "n", F.round(gini, 6).alias("gini")
+    )
