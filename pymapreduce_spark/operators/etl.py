@@ -9,6 +9,8 @@ one shuffle keyed by the dimension key with no global ordering anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -570,4 +572,139 @@ def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prio_at_order",
             "dim_version",
         )
+    )
+
+
+@query(
+    "etl_compact_execute",
+    oracle="""
+    WITH p AS (
+        SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT
+                   AS part_key,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY 1
+    ), planned AS (
+        SELECT part_key, n_rows,
+               (coalesce(sum(n_rows) OVER (
+                    ORDER BY part_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // 20000)::BIGINT AS target_file
+        FROM p
+    )
+    SELECT target_file,
+           count(*)::BIGINT AS n_partitions,
+           sum(n_rows)::BIGINT AS n_rows
+    FROM planned GROUP BY target_file
+    """,
+)
+def etl_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTION: apply etl_compact_plan's bin assignment —
+    rewrite the table hive-partitioned by target_file — then read the
+    compacted layout back and report per-file totals, which must equal
+    what the plan promised (the oracle recomputes the promise from the
+    raw table; the Spark side reports only what is physically on disk
+    after the rewrite — write path and read path both under test).
+
+    The rewrite is one shuffle keyed by the bin id (repartition on
+    target_file before partitionBy write → one file per bin), the same
+    move a 100 TB lake's maintenance job makes; the read-back is a
+    partition-pruned scan of the new layout."""
+    import tempfile
+
+    from pymapreduce_spark.operators.etl import etl_compact_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = etl_compact_plan(spark, sf_dir)
+    part_key = (
+        F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    ).cast("long")
+    assigned = li.withColumn("part_key", part_key).join(
+        F.broadcast(plan.select("part_key", "target_file")), "part_key"
+    )
+    out = tempfile.mkdtemp(prefix="compact_exec_")
+    (
+        assigned.repartition("target_file")
+        .write.mode("overwrite")
+        .partitionBy("target_file")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("target_file").agg(
+        F.count_distinct("part_key").alias("n_partitions"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "etl_write_audit_publish",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderstatus,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'staged_groups' AS check_name,
+           count(*)::BIGINT AS metric, true AS passed
+    FROM agg
+    UNION ALL
+    SELECT 'staged_rows', sum(n_orders)::BIGINT, true FROM agg
+    UNION ALL
+    SELECT 'staged_cents', sum(cents)::BIGINT, true FROM agg
+    UNION ALL
+    SELECT 'published', 1::BIGINT, true
+    """,
+)
+def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write–audit–publish (WAP): stage a derived table to a staging
+    path, AUDIT the staged files by reading them back (never the
+    in-memory frame — the on-disk bytes are what consumers will see),
+    and only then atomically publish via marker. The returned audit
+    report's metrics come exclusively from the STAGED copy; the oracle
+    recomputes them from the raw source — so a lossy write path (type
+    narrowing, dropped rows, bad partitioning) fails the hash match.
+
+    The publish step is the atomic-rename idiom object stores emulate
+    with a manifest: consumers resolve the published marker, never a
+    half-written directory. Audit cost is a scan of the (small)
+    derived table, not the source."""
+    import tempfile
+
+    from pymapreduce_spark.functions.checked import cents as cents_col
+
+    orders = load_table(spark, sf_dir, "orders")
+    derived = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents_col("o_totalprice")).alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="wap_")
+    staging = os.path.join(base, "_staging")
+    derived.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)  # audit the on-disk copy
+    audit = staged.agg(
+        F.count("*").alias("groups"),
+        F.sum("n_orders").alias("rows"),
+        F.sum("cents").alias("cents"),
+    ).first()
+    passed = audit["groups"] > 0 and audit["rows"] > 0
+
+    published = os.path.join(base, "published")
+    if passed:  # atomic publish: rename, then marker
+        os.rename(staging, published)
+        with open(os.path.join(published, "_PUBLISHED"), "w") as fh:
+            fh.write("ok")
+    rows = [
+        ("staged_groups", int(audit["groups"]), bool(passed)),
+        ("staged_rows", int(audit["rows"]), bool(passed)),
+        ("staged_cents", int(audit["cents"]), bool(passed)),
+        (
+            "published",
+            1 if os.path.exists(os.path.join(published, "_PUBLISHED"))
+            else 0,
+            bool(passed),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, metric long, passed boolean"
     )
