@@ -501,3 +501,42 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st.bal") / 100.0).alias("bal"),
         F.col("st.name").alias("s_name"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_total,
+           min(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
+           max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max,
+           count(*) FILTER (json_extract(props, '$.missing') IS NULL)
+               ::BIGINT AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured data: parse_json →
+    a binary-encoded variant column, typed access via variant_get —
+    the open-format answer to schema-on-read JSON that avoids both
+    per-query string re-parsing (get_json_object) and a rigid
+    from_json schema. At 100 TB the variant encodes once at ingest and
+    every downstream path access is a binary field probe; this query
+    aggregates typed extractions per event type, with a missing-path
+    probe proving NULL semantics match JSON semantics (DuckDB's native
+    JSON extraction is the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return ev.select(
+        "event_type", k.alias("k"), missing.alias("m")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("k_total"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing_path"),
+    )
