@@ -219,3 +219,46 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         """
     )
+
+
+@query(
+    "udf_map_arrow",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS cents_total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-native UDF surface (mapInArrow): the function receives
+    raw pyarrow RecordBatches — no pandas materialization at all, the
+    leanest possible Python hop. The batch fn scales values to exact
+    integer cents with pyarrow.compute kernels (C++ vectorized, no
+    per-row Python); the aggregation stays declarative above it, so
+    Catalyst still plans partial/final around the shuffle. Use this
+    surface over mapInPandas when the transform is expressible in
+    Arrow kernels — it skips the pandas conversion both ways."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(batch.column("value"), pa.scalar(100.0))
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_type"), cents],
+                ["event_type", "cents"],
+            )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    mapped = ev.mapInArrow(to_cents, "event_type string, cents long")
+    return mapped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("cents_total"),
+    )
