@@ -1801,3 +1801,74 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.coalesce("known", F.lit(False)).alias("is_known"),
     )
+
+
+@query(
+    "llm_batch_inference",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(doc_id::VARCHAR) AS hx FROM documents
+    ), logits AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) / 15.0
+                   - 0.5 AS logit_0,
+               (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) / 15.0
+                   - 0.5 AS logit_1,
+               (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) / 15.0
+                   - 0.5 AS logit_2
+        FROM h
+    )
+    SELECT doc_id,
+           round(logit_0, 6) AS logit_0,
+           round(logit_1, 6) AS logit_1,
+           round(logit_2, 6) AS logit_2,
+           CASE WHEN logit_0 >= logit_1 AND logit_0 >= logit_2 THEN 0
+                WHEN logit_1 >= logit_2 THEN 1
+                ELSE 2 END AS pred_label
+    FROM logits
+    """,
+)
+def llm_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference plumbing over mapInPandas: documents
+    stream through the scorer in Arrow batches, each batch producing a
+    logit vector + argmax label per doc — the shape of every
+    GPU-scoring stage in a curation pipeline (toxicity, quality,
+    topic). The MODEL is a deterministic md5-nibble STUB (this
+    container ships no model runtime) so the oracle can replay it in
+    SQL; swapping in a real model changes ONLY the function body — the
+    batch iterator, Arrow transfer, output schema, and downstream
+    argmax contract are exactly what production uses. At 100 TB tune
+    spark.sql.execution.arrow.maxRecordsPerBatch to the model's batch
+    size and the stage pipelines with the scan."""
+    import hashlib
+
+    def score(batches):
+        for pdf in batches:
+            hx = pdf["doc_id"].map(
+                lambda d: hashlib.md5(str(d).encode()).hexdigest()
+            )
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            for i in range(3):
+                out[f"logit_{i}"] = (
+                    hx.str[i].map("0123456789abcdef".index) / 15.0 - 0.5
+                )
+            yield out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    scored = docs.mapInPandas(
+        score,
+        "doc_id long, logit_0 double, logit_1 double, logit_2 double",
+    )
+    l0, l1, l2 = (F.col(f"logit_{i}") for i in range(3))
+    pred = (
+        F.when((l0 >= l1) & (l0 >= l2), 0)
+        .when(l1 >= l2, 1)
+        .otherwise(2)
+    )
+    return scored.select(
+        "doc_id",
+        F.round(l0, 6).alias("logit_0"),
+        F.round(l1, 6).alias("logit_1"),
+        F.round(l2, 6).alias("logit_2"),
+        pred.alias("pred_label"),
+    )
