@@ -558,3 +558,65 @@ def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id long, input_rows long"
     )
+
+
+def _hourly_counts(df: DataFrame) -> DataFrame:
+    """The SHARED transform for stream_unified_api: identical code
+    applied to a batch frame and a streaming frame."""
+    return (
+        df.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "stream_unified_api",
+    oracle="""
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
+           event_type,
+           count(*) AS n_batch,
+           count(*) AS n_stream,
+           true AS matches
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_unified_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch/stream unification contract, proven: ONE transform
+    function (hourly counts by type) is applied unchanged to the batch
+    table AND to the replay stream; the two results are full-outer
+    joined and every (hour, type) cell must agree — the property that
+    makes Structured Streaming a re-usable batch plan rather than a
+    second codebase. The oracle states the same claim declaratively:
+    both counts equal the SQL aggregate and `matches` is uniformly
+    true, so a divergence (late-batch loss, double-count on replay)
+    fails the hash, not just an eyeball."""
+    batch = _hourly_counts(load_table(spark, sf_dir, "events"))
+    stream = drain(
+        _hourly_counts(read_stream(spark, sf_dir)), "complete"
+    )
+    b = batch.select(
+        "hour", "event_type", F.col("n").alias("n_batch")
+    )
+    s = stream.select(
+        "hour", "event_type", F.col("n").alias("n_stream")
+    )
+    return (
+        b.join(s, ["hour", "event_type"], "full")
+        .select(
+            "hour",
+            "event_type",
+            "n_batch",
+            "n_stream",
+            (
+                F.col("n_batch").isNotNull()
+                & F.col("n_stream").isNotNull()
+                & (F.col("n_batch") == F.col("n_stream"))
+            ).alias("matches"),
+        )
+    )
