@@ -405,3 +405,43 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"))
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(user_id % 10, 0) AS k,
+               count(*)::BIGINT AS n_a
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), b AS (
+        SELECT nullif(user_id % 10, 0) AS k,
+               count(*)::BIGINT AS n_b
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: keys compared with <=> (IS NOT DISTINCT
+    FROM), so NULL joins NULL instead of silently dropping — the
+    semantics sentinel-key data (unknown bucket → NULL) needs. Catalyst
+    plans <=> as a REAL equi-join (EqualNullSafe join key, hash/SMJ),
+    not a nested-loop fallback; a plain = join would lose the NULL
+    bucket on both sides. Both sides aggregate before the join, so the
+    exchange carries one row per bucket at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 10, F.lit(0))
+
+    def side(t: str, alias: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy(k.alias("k"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    a, b = side("view", "n_a"), side("purchase", "n_b")
+    return a.join(
+        b, a["k"].eqNullSafe(b["k"])
+    ).select(a["k"].alias("k"), "n_a", "n_b")
