@@ -541,3 +541,45 @@ def test_sql_frontend_gets_same_optimizations(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "PushedFilters: [" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_sample_weighted_no_shuffle_before_topk(spark, sf_dir):
+    """A-ES keys are a map-only projection; the only wide op is the
+    per-stratum rank window."""
+    plan = plan_of("sample_weighted", spark, sf_dir)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_gini_two_exchange_shape(spark, sf_dir):
+    """Ranked statistic: one exchange for the rank window, one for the
+    final group aggregate — nothing else wide."""
+    plan = plan_of("agg_gini", spark, sf_dir)
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_scd2_lookup_is_equi_join(spark, sf_dir):
+    """The temporal lookup must ride a hash/merge equi-join on the
+    natural key with the interval as a filter — never a nested loop
+    over intervals."""
+    plan = plan_of("etl_scd2_lookup", spark, sf_dir)
+    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_null_safe_join_is_real_join(spark, sf_dir):
+    """EqualNullSafe keys must plan as a hash/merge equi-join, not the
+    nested-loop fallback a non-equi condition would get."""
+    plan = plan_of("join_null_safe", spark, sf_dir)
+    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_batch_inference_single_python_stage(spark, sf_dir):
+    """The scorer is ONE Arrow-batched Python stage over the scan —
+    no shuffle, no second Python hop."""
+    plan = plan_of("llm_batch_inference", spark, sf_dir)
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
