@@ -1872,3 +1872,77 @@ def llm_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2, 6).alias("logit_2"),
         pred.alias("pred_label"),
     )
+
+
+@query(
+    "llm_prefix_dedup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, substr(text, 1, 30) AS block
+        FROM documents
+    ), pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               len(list_intersect(
+                   list_distinct(str_split(x.text, ' ')),
+                   list_distinct(str_split(y.text, ' '))
+               ))::BIGINT AS n_shared,
+               len(list_distinct(str_split(x.text, ' ')))::BIGINT AS n_a
+        FROM b x JOIN b y
+          ON x.block = y.block AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / (1.0 * n_a), 6) AS containment_a
+    FROM pairs
+    WHERE n_shared * 2 >= n_a
+    """,
+)
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking dedup: candidate pairs come from an EXACT 30-char
+    prefix block (boilerplate/template detection — the fixture's
+    engineered near-dups share exactly this prefix), scored by
+    CONTAINMENT |A∩B|/|A| rather than Jaccard — the asymmetric metric
+    that catches quotes and template expansions Jaccard under-scores.
+
+    Blocking is the cheapest candidate generator in the dedup family:
+    one groupBy-free equi-join on the prefix key (shuffle carries
+    30-byte keys), no signatures, no banding — the right first pass
+    when duplicates share literal prefixes (crawl boilerplate, legal
+    headers). Pair cost is Σ|block|², bounded by block granularity;
+    the word-set intersection is one array_intersect per candidate
+    pair (the llm_dedup_ngram economy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("words"),
+        F.substring("text", 1, 30).alias("block"),
+    )
+    x = b.select(
+        F.col("block"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("words").alias("wa"),
+    )
+    y = b.select(
+        F.col("block"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("words").alias("wb"),
+    )
+    pairs = (
+        x.join(y, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).cast("long").alias(
+                "n_shared"
+            ),
+            F.size("wa").cast("long").alias("n_a"),
+        )
+    )
+    return pairs.where(F.col("n_shared") * 2 >= F.col("n_a")).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.round(F.col("n_shared") / (1.0 * F.col("n_a")), 6).alias(
+            "containment_a"
+        ),
+    )
