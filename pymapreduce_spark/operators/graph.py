@@ -397,3 +397,89 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "graph_bfs_distance",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    nn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM d) WHERE rn = 1
+    ),
+    edges AS (SELECT src, dst FROM nn UNION SELECT dst, src FROM nn),
+    bfs(node, dist) AS (
+        SELECT src, 0 FROM edges WHERE src < 10
+        UNION
+        SELECT e.dst, bfs.dist + 1
+        FROM edges e JOIN bfs ON e.src = bfs.node
+        WHERE bfs.dist < 6
+    ),
+    best AS (SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY node)
+    SELECT dist, count(*)::BIGINT AS n_nodes
+    FROM best GROUP BY dist
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the 1-NN similarity graph: hop distance
+    from the seed set {vec_id < 10} (≤ 6 hops), reported as the
+    distance histogram — the reachability/expansion profile a
+    graph-sampling or label-propagation pipeline measures first.
+
+    Frontier-relaxation on DataFrames: each round joins the current
+    best-distance table against the edge list, keeps strictly-improved
+    distances (min-aggregate), and stops when a monotone Σdist
+    aggregate stops changing — the same Pregel skeleton, eager-
+    checkpoint lineage cuts, and convergence trick as
+    connected_components, at edge-scaled parallelism. The oracle
+    recomputes distances with a bounded recursive CTE."""
+    from pymapreduce_spark.operators.llm_vector import llm_knn_self_join
+
+    nn1 = (
+        llm_knn_self_join(spark, sf_dir)
+        .where(F.col("nn_rank") == 1)
+        .select(F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"))
+    )
+    sym = (
+        nn1.union(
+            nn1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(_edge_partitions(sf_dir))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sym.select(F.col("src").alias("node"))
+        .where(F.col("node") < 10)
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _hop in range(6):
+        relaxed = (
+            sym.join(dist, sym.src == dist.node)
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        cur = dist.agg(
+            F.count("*").alias("n"), F.sum("dist").alias("s")
+        ).first()
+        key = (cur["n"], cur["s"])
+        if key == prev_sum:
+            break
+        prev_sum = key
+    return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
