@@ -1946,3 +1946,60 @@ def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_a"
         ),
     )
+
+
+@query(
+    "llm_bpe_merge_step",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(str_split(text, ' ')) AS word FROM documents
+    ), chars AS (
+        SELECT word, str_split(word, '') AS cs FROM w
+    ), pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, len(cs)),
+                   i -> cs[i] || cs[i + 1]
+               )) AS pair
+        FROM chars WHERE len(cs) >= 2
+    )
+    SELECT pair, count(*)::BIGINT AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-learning step: count every adjacent character
+    pair across the tokenized corpus and rank the top-20 merge
+    candidates — the inner loop of byte-pair-encoding training, whose
+    corpus-scale pair counting is exactly a MapReduce wordcount over
+    2-grams of characters.
+
+    Pure Catalyst: split→explode→HOF pair extraction (guarded
+    sequence, the llm_repetition_filter rule)→one map-side-combined
+    shuffle on the pair, then TakeOrdered for the candidate list. A
+    full BPE trainer iterates this step, re-segmenting with the merged
+    symbol — each iteration stays this same one-shuffle shape. Output
+    ordering is total (count desc, pair asc) for hash stability."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(word, '')) - 1),"
+                    " i -> concat(element_at(split(word, ''), i),"
+                    "             element_at(split(word, ''), i + 1)))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

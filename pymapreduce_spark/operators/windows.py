@@ -341,3 +341,78 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (median_c / 100.0).alias("rolling_median"),
     )
+
+
+@query(
+    "win_pareto",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               round(o_totalprice * 100)::BIGINT AS cents, o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT o_orderpriority, cents, o_orderkey,
+               sum(cents) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY cents DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_cents,
+               sum(cents) OVER (
+                   PARTITION BY o_orderpriority
+               )::BIGINT AS total_cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY cents DESC, o_orderkey) AS rnk
+        FROM c
+    )
+    SELECT o_orderpriority,
+           count(*) FILTER (
+               (cum_cents - cents) * 5 < total_cents * 4
+           )::BIGINT AS n_orders_to_80pct,
+           count(*)::BIGINT AS n_orders,
+           round(count(*) FILTER (
+               (cum_cents - cents) * 5 < total_cents * 4
+           ) / (1.0 * count(*)), 6) AS pareto_ratio
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: per priority class, how many
+    top orders carry 80% of the value — the concentration question
+    behind every 80/20 revenue or data-budget decision (agg_gini gives
+    the index; this gives the actionable head count).
+
+    An order counts while the share BEFORE it is under 80%, spelled
+    exact-integer ((cum−x)·5 < total·4) so no float boundary exists.
+    One descending rank window and the partition total share a single
+    shuffle; the final rollup is a conditional count — two exchanges
+    total, the ranked-statistic shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pymapreduce_spark.functions.checked import cents as cents_col
+
+    c = orders.select(
+        "o_orderpriority",
+        cents_col("o_totalprice").alias("cents"),
+        "o_orderkey",
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wo = wp.orderBy(F.desc("cents"), "o_orderkey")
+    ranked = c.select(
+        "o_orderpriority",
+        "cents",
+        F.sum("cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.sum("cents").over(wp).alias("total_cents"),
+    )
+    in_head = (
+        (F.col("cum_cents") - F.col("cents")) * 5
+        < F.col("total_cents") * 4
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.when(in_head, 1)).alias("n_orders_to_80pct"),
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.count(F.when(in_head, 1)) / (1.0 * F.count("*")), 6
+        ).alias("pareto_ratio"),
+    )
