@@ -540,3 +540,38 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k_max"),
         F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing_path"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(c_name, '[A-Z]', 'X', 'g'),
+                   '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_name,
+           'XXX-' || substr(c_name, length(c_name) - 2, 3)
+               AS last3_visible
+    FROM customer
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking for PII-safe exports: Spark's built-in mask()
+    (upper→X, lower→x, digit→n — a single JVM intrinsic, no regex per
+    class) plus a keep-last-3 partial reveal. The oracle rebuilds the
+    same masking from regexp_replace chains — proving mask() is
+    exactly the class substitution it claims. At 100 TB this is the
+    map-only projection an egress pipeline runs; pair with
+    llm_pii_mask for pattern-level (email/phone) redaction."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("masked_name"),
+        F.concat(
+            F.lit("XXX-"),
+            F.substring(
+                F.col("c_name"), F.length("c_name") - 2, 3
+            ),
+        ).alias("last3_visible"),
+    )
