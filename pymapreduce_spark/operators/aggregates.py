@@ -949,3 +949,30 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "o_orderpriority", "n", F.round(gini, 6).alias("gini")
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 400) AS any_large,
+           count(*) FILTER (value > 400)::BIGINT AS n_large
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: bool_and / bool_or / count_if — the
+    predicate-rollup surface (SLA checks, invariant monitoring) that
+    turns per-row assertions into per-group verdicts in one partial-
+    aggregable pass. All three are single-bit accumulators, the
+    cheapest aggregates that exist at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_large"),
+        F.count_if(F.col("value") > 400).alias("n_large"),
+    )

@@ -1132,3 +1132,47 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("nearest_view_id"),
         delta.alias("delta_us"),
     )
+
+
+@query(
+    "ts_calendar_features",
+    oracle="""
+    WITH f AS (
+        SELECT dayofweek(ts::TIMESTAMP)::INTEGER AS dow,
+               hour(ts::TIMESTAMP)::INTEGER AS hour_of_day,
+               (dayofweek(ts::TIMESTAMP) IN (0, 6)) AS is_weekend,
+               value
+        FROM events
+    )
+    SELECT dow, hour_of_day, is_weekend,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS cents_total
+    FROM f GROUP BY dow, hour_of_day, is_weekend
+    """,
+)
+def ts_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature engineering: day-of-week / hour-of-day /
+    weekend-flag extraction with per-cell activity totals — the
+    featurization pass behind seasonality models and training-data
+    time-balance reports. Engine gotcha handled: Spark's dayofweek is
+    1-based Sunday=1 while DuckDB's is 0-based Sunday=0, so the Spark
+    side shifts by one to the oracle's convention; both sides then
+    group on identical integers. Map-only projection + one
+    partial-aggregable shuffle over 168 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("int")
+    return (
+        ev.select(
+            dow.alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            dow.isin(0, 6).alias("is_weekend"),
+            "value",
+        )
+        .groupBy("dow", "hour_of_day", "is_weekend")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents_total"
+            ),
+        )
+    )
