@@ -133,3 +133,38 @@ def dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     in llm_dedup_exact)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select("user_id", "event_type").distinct()
+
+
+@query(
+    "set_union_evolved_schema",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderkey AS id, o_totalprice AS amount,
+               NULL::VARCHAR AS channel
+        FROM orders WHERE o_orderkey < 100
+        UNION ALL BY NAME
+        SELECT event_id AS id, value AS amount, event_type AS channel
+        FROM events WHERE event_id < 100
+    )
+    """,
+)
+def set_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: two sources whose schemas drifted (the
+    newer one added a `channel` column) combined with
+    unionByName(allowMissingColumns=True) — missing columns fill NULL,
+    matching is by NAME not position. This is the ingest reality of a
+    long-lived 100 TB table: every schema version keeps unioning
+    cleanly instead of forcing a backfill. DuckDB's UNION ALL BY NAME
+    is the oracle spelling of the same semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    old = orders.where(F.col("o_orderkey") < 100).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    new = ev.where(F.col("event_id") < 100).select(
+        F.col("event_id").alias("id"),
+        F.col("value").alias("amount"),
+        F.col("event_type").alias("channel"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)

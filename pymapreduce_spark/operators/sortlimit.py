@@ -138,3 +138,34 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "topk_paginated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def topk_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: page 3 of the global price ranking (LIMIT 20
+    OFFSET 40) — deterministic only because the ordering is total
+    (price desc, key tiebreak). Spark plans offset+limit together as
+    a single TakeOrdered over offset+limit rows, so the cost is the
+    top-60 heap per partition, never a global sort; deep pagination
+    (big OFFSET) degrades toward a full sort on ANY engine — cursor
+    (keyset) pagination is the 100 TB answer, and this op is the
+    bounded-page form that stays cheap."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
