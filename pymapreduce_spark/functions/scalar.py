@@ -575,3 +575,38 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("last3_visible"),
     )
+
+
+@query(
+    "fn_array_quantifiers",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           (len(list_filter(ws, x -> length(x) > 8)) > 0) AS any_long,
+           (len(list_filter(ws, x -> length(x) < 2)) = 0) AS all_multichar,
+           len(flatten(list_transform(ws,
+               x -> str_split(x, '-'))))::BIGINT AS n_dash_parts
+    FROM w
+    """,
+)
+def fn_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array quantifier & restructuring HOFs: exists / forall over a
+    predicate lambda and flatten over a nested transform — the
+    remaining higher-order surface beyond fn_array's
+    transform/filter/aggregate/zip_with. DuckDB lacks exists/forall,
+    so the oracle states them as filter-count identities (∃ ⇔ filtered
+    length > 0; ∀ ⇔ counterexample count = 0) — the same truth table,
+    proving the semantics rather than the keyword."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.array_distinct(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        F.exists(ws, lambda x: F.length(x) > 8).alias("any_long"),
+        F.forall(ws, lambda x: F.length(x) >= 2).alias("all_multichar"),
+        F.size(
+            F.flatten(F.transform(ws, lambda x: F.split(x, "-")))
+        ).cast("long").alias("n_dash_parts"),
+    )

@@ -2003,3 +2003,53 @@ def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "llm_shard_assign",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               (strpos('0123456789abcdef',
+                       substr(md5(doc_id::VARCHAR), 1, 1)) - 1) % 8
+                   AS shard
+        FROM documents
+    )
+    SELECT shard::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum((n_chars + 3) // 4)::BIGINT AS n_tokens
+    FROM s GROUP BY shard
+    """,
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: deterministically hash every document
+    into 8 output shards and report per-shard doc and (approximate,
+    chars/4) token counts — the write-sharding step before a corpus
+    becomes training files, where shard BALANCE decides whether data
+    loading stalls. Hash sharding (vs round-robin) is reproducible and
+    join-stable: the same doc lands in the same shard across reruns,
+    so downstream sample bookkeeping survives pipeline restarts. The
+    md5-nibble hash is the engine-portable uniform (sample_weighted's
+    construction); executing the plan is write.partitionBy(shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        (
+            F.expr(
+                "locate(substring(md5(cast(cast(doc_id AS string) AS"
+                " binary)), 1, 1), '0123456789abcdef')"
+            )
+            - 1
+        )
+        % 8
+    ).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.floor((F.col("n_chars") + 3) / 4).alias("toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+    )
