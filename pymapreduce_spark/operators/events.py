@@ -1176,3 +1176,73 @@ def ts_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ts_sessionized_revenue",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value,
+               ts::TIMESTAMP AS tsu, epoch_us(ts::TIMESTAMP) AS mu
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN mu - lag(mu) OVER w > 1800000000
+                            OR lag(mu) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sess AS (
+        SELECT user_id, event_type, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
+                   AS rev_cents
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_sessions,
+           count(*) FILTER (rev_cents > 0)::BIGINT AS buying_sessions,
+           sum(rev_cents)::BIGINT AS total_rev_cents,
+           max(rev_cents)::BIGINT AS best_session_cents
+    FROM per_session GROUP BY user_id
+    """,
+)
+def ts_sessionized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level revenue: sessionize (30-min gap), roll purchase
+    value up to sessions, then report each user's session count,
+    buying-session count, and total/best session revenue — the
+    conversion-quality profile a growth team reads next to the raw
+    funnel. Composes llm_sessionize's exact windows with a conditional
+    cents rollup: still ONE shuffle on user_id end-to-end (the windows
+    and both aggregations share the user partitioning), all exact
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mu = F.unix_micros(F.col("ts"))
+    is_new = (
+        F.coalesce((mu - F.lag(mu).over(w)) > _SESSION_GAP_US, F.lit(True))
+    ).cast("bigint")
+    rev = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0))
+    per_session = (
+        ev.withColumn("session_id", F.sum(is_new).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.sum(rev).alias("rev_cents"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("rev_cents") > 0, 1)).alias(
+            "buying_sessions"
+        ),
+        F.sum("rev_cents").alias("total_rev_cents"),
+        F.max("rev_cents").alias("best_session_cents"),
+    )

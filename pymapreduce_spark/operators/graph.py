@@ -483,3 +483,94 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = key
     return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_common_neighbors",
+    oracle="""
+    WITH d AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    nn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM d) WHERE rn = 1
+    ),
+    edges AS (SELECT src, dst FROM nn UNION SELECT dst, src FROM nn),
+    wedge AS (
+        SELECT e1.src AS a, e2.dst AS b, count(*)::BIGINT AS common
+        FROM edges e1 JOIN edges e2
+          ON e1.dst = e2.src AND e1.src < e2.dst
+        GROUP BY e1.src, e2.dst
+    ),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+            FROM edges GROUP BY src),
+    linked AS (SELECT src, dst FROM edges)
+    SELECT w.a, w.b, w.common,
+           round(w.common / (1.0 * (da.deg + db.deg - w.common)), 6)
+               AS jaccard
+    FROM wedge w
+    JOIN deg da ON da.node = w.a
+    JOIN deg db ON db.node = w.b
+    LEFT JOIN linked l ON l.src = w.a AND l.dst = w.b
+    WHERE l.src IS NULL AND w.common >= 2
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the 1-NN similarity graph:
+    non-adjacent node pairs sharing ≥ 2 neighbors, scored by
+    neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    candidate generator for 'related items' and graph densification.
+
+    Two-join wedge counting (the graph_triangles kernel): paths a→x→b
+    aggregate per (a,b), degrees come from one groupBy, existing edges
+    are removed with an anti join — every stage shuffles on node keys,
+    never materializing neighbor sets as arrays (the formulation that
+    dies on hub nodes). The union term is inclusion–exclusion from
+    exact integer degrees."""
+    from pymapreduce_spark.operators.llm_vector import llm_knn_self_join
+
+    nn1 = (
+        llm_knn_self_join(spark, sf_dir)
+        .where(F.col("nn_rank") == 1)
+        .select(F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"))
+    )
+    edges = (
+        nn1.union(
+            nn1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(_edge_partitions(sf_dir))
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+    e2 = edges.select(F.col("src").alias("x"), F.col("dst").alias("b"))
+    wedge = (
+        e1.join(e2, "x")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    adjacent = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    jac = F.col("common") / (
+        1.0 * (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+    )
+    return (
+        wedge.join(adjacent, ["a", "b"], "left_anti")
+        .where(F.col("common") >= 2)
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a", "b", "common", F.round(jac, 6).alias("jaccard")
+        )
+    )
