@@ -2053,3 +2053,58 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "llm_dedup_editdist",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, substr(text, 1, 30) AS block
+        FROM documents
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           levenshtein(x.text, y.text)::BIGINT AS edit_dist,
+           round(1.0 - levenshtein(x.text, y.text)
+                 / (1.0 * greatest(length(x.text), length(y.text))), 6)
+               AS similarity
+    FROM b x JOIN b y
+      ON x.block = y.block AND x.doc_id < y.doc_id
+    WHERE levenshtein(x.text, y.text) * 2
+          < greatest(length(x.text), length(y.text))
+    """,
+)
+def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection — the fifth dedup metric in
+    the family (exact, MinHash-Jaccard, n-gram, embedding-cosine, and
+    now Levenshtein), the right one when duplicates differ by small
+    EDITS (typo fixes, template fill-ins) that set-based metrics
+    over-penalize. Candidate pairs come from the 30-char prefix block
+    (llm_prefix_dedup's generator) because Levenshtein is O(len²) per
+    pair — NEVER run it all-pairs; blocking-then-verify is the only
+    100 TB shape for edit metrics. Both engines ship the same classic
+    DP levenshtein over identical strings, so distances are exact
+    integers and the normalized similarity divides identical
+    operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "text", F.substring("text", 1, 30).alias("block")
+    )
+    x = b.select(
+        "block", F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    y = b.select(
+        "block", F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+    )
+    dist = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        x.join(y, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(dist * 2 < mx)
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            F.round(1.0 - dist / (1.0 * mx), 6).alias("similarity"),
+        )
+    )
