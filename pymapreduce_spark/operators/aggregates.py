@@ -976,3 +976,50 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 400).alias("any_large"),
         F.count_if(F.col("value") > 400).alias("n_large"),
     )
+
+
+@query(
+    "agg_bitmask_types",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'purchase' THEN 8
+                    ELSE 16 END AS bit
+        FROM events
+    )
+    SELECT user_id,
+           bit_or(bit)::BIGINT AS types_mask,
+           bit_and(bit | 32)::BIGINT AS common_mask,
+           bit_xor(bit)::BIGINT AS parity_mask
+    FROM m GROUP BY user_id
+    """,
+)
+def agg_bitmask_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_or / bit_and / bit_xor): encode
+    each event type as a bit and fold per user — types_mask is the
+    8-byte set-of-types-seen (the roaring-bitmap idea at its
+    smallest), common_mask/parity_mask exercise the other two folds.
+    Bitwise folds are associative+commutative single-word
+    accumulators: perfectly partial-aggregable, the cheapest
+    set-summary that exists at 100 TB (compare agg_collect, which
+    materializes the set)."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .otherwise(16)
+    ).cast("long")
+    return (
+        ev.select("user_id", bit.alias("bit"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("bit").alias("types_mask"),
+            F.bit_and(F.col("bit").bitwiseOR(F.lit(32))).alias(
+                "common_mask"
+            ),
+            F.bit_xor("bit").alias("parity_mask"),
+        )
+    )

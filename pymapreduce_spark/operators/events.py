@@ -1246,3 +1246,51 @@ def ts_sessionized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").alias("total_rev_cents"),
         F.max("rev_cents").alias("best_session_cents"),
     )
+
+
+@query(
+    "ts_wow_growth",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               date_trunc('week', ts::TIMESTAMP)::TIMESTAMP AS week,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY week)
+               ::BIGINT AS prev_n,
+           round((n - lag(n) OVER (PARTITION BY event_type ORDER BY week))
+                 / (1.0 * lag(n) OVER (
+                       PARTITION BY event_type ORDER BY week)), 6)
+               AS wow_growth
+    FROM w
+    """,
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the BI staple: weekly
+    counts, the previous week via lag, and the relative delta. One
+    map-side-combined shuffle for the weekly rollup, one tiny window
+    over the weekly table (rows = weeks × types, trivially small at
+    any data scale — the window input is pre-aggregated, never raw
+    events). Exact integer counts; the growth ratio divides identical
+    integers in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).alias("week"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    win = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(win)
+    return w.select(
+        "event_type",
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev) / (1.0 * prev), 6).alias(
+            "wow_growth"
+        ),
+    )
