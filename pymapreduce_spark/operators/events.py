@@ -1294,3 +1294,50 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_growth"
         ),
     )
+
+
+@query(
+    "agg_cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', ts::TIMESTAMP)::TIMESTAMP AS week
+        FROM events
+    ), cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           ((epoch(a.week) - epoch(c.cohort_week)) // 604800)::BIGINT
+               AS weeks_since,
+           count(*)::BIGINT AS n_active
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted
+    in each subsequent week — THE product-analytics staple (every
+    retention curve and triangle chart is this table). Distinct
+    (user, week) activity → per-user cohort via one min-aggregate →
+    join back and bucket by exact integer week offsets. Both joins key
+    on user_id (one shuffle each, and the cohort side is one row per
+    user); no window at all. Week arithmetic is integer epoch-seconds
+    // 604800 — identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    weeks_since = (
+        (
+            F.unix_timestamp("week") - F.unix_timestamp("cohort_week")
+        )
+        / 604800
+    ).cast("long")
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.count("*").alias("n_active"))
+    )

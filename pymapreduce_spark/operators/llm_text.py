@@ -2108,3 +2108,52 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - dist / (1.0 * mx), 6).alias("similarity"),
         )
     )
+
+
+@query(
+    "llm_mix_rebalance",
+    oracle="""
+    WITH s AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum((n_chars + 3) // 4)::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(n_tokens)::BIGINT AS t, count(*)::BIGINT AS k FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / (1.0 * t), 6) AS actual_share,
+           round(least(1.0,
+               (t / (1.0 * k)) / (1.0 * n_tokens)), 6) AS sample_rate
+    FROM s, tot
+    """,
+)
+def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing plan: per-source token shares plus the
+    DOWN-sampling rate that moves the corpus toward a uniform target
+    mix (rate = target_share / actual_share, capped at 1 — sources
+    under target keep everything; over-represented sources are
+    sampled down). llm_domain_mix reports the mix; this computes the
+    executable plan, and sample_weighted is the draw that applies it.
+    One shuffle for the per-source rollup, scalar totals broadcast;
+    shares and rates divide exact integers in a fixed expression
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.floor((F.col("n_chars") + 3) / 4)).alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("k")
+    )
+    target = F.col("t") / (1.0 * F.col("k"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / (1.0 * F.col("t")), 6).alias(
+            "actual_share"
+        ),
+        F.round(
+            F.least(F.lit(1.0), target / (1.0 * F.col("n_tokens"))), 6
+        ).alias("sample_rate"),
+    )
