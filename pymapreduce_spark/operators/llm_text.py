@@ -2157,3 +2157,52 @@ def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), target / (1.0 * F.col("n_tokens"))), 6
         ).alias("sample_rate"),
     )
+
+
+@query(
+    "llm_stopword_candidates",
+    oracle="""
+    WITH docs_n AS (
+        SELECT count(*)::BIGINT AS n FROM documents
+    ), dfreq AS (
+        SELECT word, count(DISTINCT doc_id)::BIGINT AS df
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word
+    )
+    SELECT word, df,
+           round(df / (1.0 * n), 6) AS df_ratio
+    FROM dfreq, docs_n
+    WHERE df * 10 >= n * 9
+    """,
+)
+def llm_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: words appearing in ≥ 90% of
+    documents — the data-derived alternative to a hand-curated list
+    (this repo's _STOPWORDS constant was built exactly this way from
+    the fixture vocabulary). Document frequency via one distinct-pair
+    count and a map-side-combined shuffle on the word; the threshold
+    compares exact integers (df·10 ≥ n·9), no float cut. The output
+    feeds llm_quality_filter/tfidf — stopword lists should be derived
+    per-corpus, not imported."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    dfreq = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .where(F.col("df") * 10 >= F.col("n") * 9)
+        .select(
+            "word",
+            "df",
+            F.round(F.col("df") / (1.0 * F.col("n")), 6).alias(
+                "df_ratio"
+            ),
+        )
+    )

@@ -392,3 +392,52 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         (F.sum(cents("o_totalprice")) / 100.0).alias("total_price"),
     )
+
+
+@query(
+    "scan_merge_schema",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_with_price,
+           count(batch_tag) AS n_with_tag
+    FROM (
+        SELECT o_orderstatus, o_totalprice, NULL::VARCHAR AS batch_tag
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderstatus, o_totalprice, 'v2' AS batch_tag
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the SCAN: two parquet batches written with
+    different schemas (v2 added a batch_tag column) read back as ONE
+    table via mergeSchema=true — the reader-side half of the evolution
+    story (set_union_evolved_schema is the writer-side union). Spark
+    reconciles footers by name and null-fills the missing column;
+    per-column counts prove which rows carried which fields. At 100 TB
+    mergeSchema on every read is footer-cost — evolve the table
+    metadata instead; this op documents the read-side behavior that
+    makes old files keep working."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="evolve_")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_totalprice", F.lit("v2").alias("batch_tag")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "b=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "b=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b=1"), os.path.join(base, "b=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("batch_tag").alias("n_with_tag"),
+    )
