@@ -1341,3 +1341,43 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", weeks_since.alias("weeks_since"))
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@query(
+    "ts_cumulative_users",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id,
+               min((ts::TIMESTAMP)::DATE) AS d
+        FROM events GROUP BY user_id
+    ), per_day AS (
+        SELECT d, count(*)::BIGINT AS n_new FROM first_day GROUP BY d
+    )
+    SELECT d, n_new,
+           sum(n_new) OVER (
+               ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cum_users
+    FROM per_day
+    """,
+)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day (the growth curve): running
+    COUNT(DISTINCT) is stateful-set-sized at scale, so it is rewritten
+    as the classic first-occurrence trick — each user contributes one
+    row at their first active day, then a plain running SUM over the
+    tiny per-day table. One shuffle on user_id for the min-day, one
+    day-keyed rollup; the global window runs over rows = number of
+    DAYS, constant at any data volume. Exact integers throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    per_day = first_day.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "d", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )
