@@ -2206,3 +2206,60 @@ def llm_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_length_bands",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.50) AS p50,
+               quantile_cont(n_chars, 0.75) AS p75
+        FROM documents
+    )
+    SELECT CASE WHEN n_chars <= p25 THEN 'short'
+                WHEN n_chars <= p50 THEN 'mid_short'
+                WHEN n_chars <= p75 THEN 'mid_long'
+                ELSE 'long' END AS band,
+           count(*)::BIGINT AS n_docs,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars,
+           sum((n_chars + 3) // 4)::BIGINT AS n_tokens
+    FROM documents, q
+    GROUP BY band
+    """,
+)
+def llm_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-band bucketing for curriculum schedules: quartile
+    thresholds from ONE exact-percentile aggregate (broadcast as three
+    scalars), every document CASE-bucketed against them, and per-band
+    doc/token totals — the partitioning a curriculum loader or
+    length-grouped batching scheme consumes. The data-derived
+    thresholds (never hard-coded) make the op self-adapting to any
+    corpus; Spark's exact percentile interpolates identically to
+    DuckDB's quantile_cont, and band comparisons happen on those
+    identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.percentile("n_chars", 0.25).alias("p25"),
+        F.percentile("n_chars", 0.50).alias("p50"),
+        F.percentile("n_chars", 0.75).alias("p75"),
+    )
+    band = (
+        F.when(F.col("n_chars") <= F.col("p25"), "short")
+        .when(F.col("n_chars") <= F.col("p50"), "mid_short")
+        .when(F.col("n_chars") <= F.col("p75"), "mid_long")
+        .otherwise("long")
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(F.floor((F.col("n_chars") + 3) / 4)).alias(
+                "n_tokens"
+            ),
+        )
+    )
