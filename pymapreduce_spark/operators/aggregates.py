@@ -12,7 +12,7 @@ benchmark shape (BASELINE.md row 1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pymapreduce_spark.functions.checked import cents, dec2
@@ -933,8 +933,6 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("o_totalprice").alias("cents"),
         "o_orderkey",
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("o_orderpriority").orderBy(
         "cents", "o_orderkey"
     )
@@ -1021,5 +1019,68 @@ def agg_bitmask_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "common_mask"
             ),
             F.bit_xor("bit").alias("parity_mask"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_linestatus,
+               round(l_extendedprice * 100)::BIGINT AS price_c,
+               round(l_quantity * 100)::BIGINT AS qty_c,
+               l_orderkey, l_partkey
+        FROM lineitem
+    ), ranked AS (
+        SELECT l_linestatus, price_c, qty_c,
+               sum(qty_c) OVER (
+                   PARTITION BY l_linestatus
+                   ORDER BY price_c, l_orderkey, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_w,
+               sum(qty_c) OVER (PARTITION BY l_linestatus)::BIGINT
+                   AS total_w
+        FROM c
+    )
+    SELECT l_linestatus,
+           min(price_c) FILTER (cum_w * 2 >= total_w) / 100.0
+               AS weighted_median_price
+    FROM ranked GROUP BY l_linestatus
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per line status: the first price
+    whose cumulative weight reaches half the total — the robust center
+    when rows carry different weights (agg_percentile treats every row
+    equally; a 100-unit line should pull the median 100× harder).
+
+    Spelled exact-integer end to end: cent-scaled weights, a totally
+    ordered cumulative-weight window (price, then key tiebreaks), and
+    the half-total test as cum·2 ≥ total — no float boundary anywhere
+    until the final /100.0 display division. One shuffle for the
+    window (the partition total shares it), one rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_linestatus",
+        cents("l_extendedprice").alias("price_c"),
+        cents("l_quantity").alias("qty_c"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    wp = Window.partitionBy("l_linestatus")
+    wo = wp.orderBy("price_c", "l_orderkey", "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = c.select(
+        "l_linestatus",
+        "price_c",
+        F.sum("qty_c").over(wo).alias("cum_w"),
+        F.sum("qty_c").over(wp).alias("total_w"),
+    )
+    hit = F.col("cum_w") * 2 >= F.col("total_w")
+    return ranked.groupBy("l_linestatus").agg(
+        (F.min(F.when(hit, F.col("price_c"))) / 100.0).alias(
+            "weighted_median_price"
         )
     )

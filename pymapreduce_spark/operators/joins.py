@@ -445,3 +445,60 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(
         b, a["k"].eqNullSafe(b["k"])
     ).select(a["k"].alias("k"), "n_a", "n_b")
+
+
+@query(
+    "join_star_denormalize",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           round(l_extendedprice, 2) AS l_extendedprice,
+           o_orderpriority, c_mktsegment, n_name, r_name, p_type,
+           s_name
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_orderkey < 1000
+    """,
+)
+def join_star_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema denormalization: the fact slice widened with
+    every dimension in ONE query — the export/feature-table build that
+    feeds BI extracts and training feature stores. All six dimension
+    joins broadcast (orders-side keys pre-filtered by the fact
+    predicate through join pushdown; dims are dimension-sized by
+    definition), so the fact table never shuffles — the wide row is
+    assembled scan-side. At 100 TB this is THE query where broadcast
+    vs shuffle decides feasibility; the plan test pins the broadcast
+    count."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") < 1000
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            "o_orderpriority",
+            "c_mktsegment",
+            "n_name",
+            "r_name",
+            "p_type",
+            "s_name",
+        )
+    )

@@ -583,3 +583,11 @@ def test_batch_inference_single_python_stage(spark, sf_dir):
     plan = plan_of("llm_batch_inference", spark, sf_dir)
     assert plan.count("MapInPandas") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_star_denormalize_all_broadcast(spark, sf_dir):
+    """All six dimension joins must broadcast — the fact side never
+    shuffles for the wide-row assembly."""
+    plan = plan_of("join_star_denormalize", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "SortMergeJoin" not in plan, plan
