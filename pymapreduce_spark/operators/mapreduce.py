@@ -258,3 +258,61 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
     return counts.orderBy(F.desc("cnt"), "word").limit(20)
+
+
+@query(
+    "mr_total_order_sort",
+    oracle="""
+    SELECT 8::BIGINT AS n_partitions,
+           (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+           true AS globally_sorted,
+           true AS partitions_disjoint
+    """,
+)
+def mr_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TeraSort pattern: a TOTAL-ORDER sort across output
+    partitions via range partitioning (repartitionByRange samples the
+    key distribution to place boundaries — Hadoop's
+    TotalOrderPartitioner with InputSampler, built in) +
+    sortWithinPartitions. Every partition is internally sorted AND all
+    of partition i precedes all of partition i+1, so concatenating
+    output files yields a globally sorted dataset without any single
+    node ever holding it.
+
+    The sampled boundaries are not deterministic, so the CHECKED
+    output is the invariant, not the boundaries: per-partition
+    (min,max,rows) are computed distributed (one row per partition),
+    and the two claims — each partition sorted range-disjoint from the
+    next — are folded into booleans the oracle states as `true`.
+    Verification cost is one scan of the sorted result plus a
+    window over ≤ n_partitions rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    ranged = orders.repartitionByRange(
+        8, "o_totalprice", "o_orderkey"
+    ).sortWithinPartitions("o_totalprice", "o_orderkey")
+    per_part = (
+        ranged.select(
+            F.spark_partition_id().alias("pid"),
+            "o_totalprice",
+        )
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+    w = Window.orderBy("pid")
+    flags = per_part.select(
+        "n",
+        (F.col("hi") >= F.col("lo")).alias("part_ok"),
+        F.coalesce(
+            F.lag("hi").over(w) <= F.col("lo"), F.lit(True)
+        ).alias("disjoint_ok"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n").alias("n_rows"),
+        F.bool_and("part_ok").alias("globally_sorted"),
+        F.bool_and("disjoint_ok").alias("partitions_disjoint"),
+    )
