@@ -610,3 +610,47 @@ def fn_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.transform(ws, lambda x: F.split(x, "-")))
         ).cast("long").alias("n_dash_parts"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' ||
+                   doc_id::VARCHAR || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?lang=([a-z]+)$', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the built-in parse_url (HOST / PATH /
+    QUERY-param extraction) over deterministic synthesized URLs — the
+    crawl-metadata parsing every web-corpus pipeline needs (domain
+    grouping, path dedup, parameter stripping). The oracle rebuilds
+    the same three fields with anchored regexes, proving parse_url's
+    component semantics on well-formed URLs; parse_url itself is the
+    preferred surface because it handles ports/userinfo/fragments that
+    ad-hoc regexes miss. Map-only projection at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )
