@@ -1381,3 +1381,52 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "d", "n_new", F.sum("n_new").over(w).alias("cum_users")
     )
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ), nb AS (
+        SELECT event_type, hour, n,
+               lag(n) OVER w AS prev_n,
+               lead(n) OVER w AS next_n
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT event_type, hour, n
+    FROM nb
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the hourly series: hours strictly
+    above both neighbors — the first-pass peak picker behind alerting
+    and seasonality inspection (ts_anomaly_zscore scores magnitude;
+    this finds shape). Interior-only by construction (endpoints have
+    one neighbor), strict integer comparisons so engines cannot
+    disagree on plateaus. The window runs over the pre-aggregated
+    hourly table — rows = hours × types, constant in data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    nb = h.select(
+        "event_type",
+        "hour",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return nb.where(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    ).select("event_type", "hour", "n")
