@@ -441,3 +441,58 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_totalprice").alias("n_with_price"),
         F.count("batch_tag").alias("n_with_tag"),
     )
+
+
+@query(
+    "scan_jsonl_nested",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_total
+    FROM events
+    WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+)
+def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: events re-exported as JSON-lines with a
+    two-level structure ({meta: {type, id}, payload: {props}}), read
+    back with an EXPLICIT nested StructType schema (never inference on
+    a checked path) and flattened by dotted field access — the ingest
+    shape every API-log pipeline starts from. The aggregate over the
+    flattened columns must match the original table, proving the
+    export → nested parse → flatten round trip is lossless. Schema-
+    explicit nested reads also skip Spark's two-pass inference scan,
+    which is the at-scale requirement."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") < 2000
+    )
+    path = tempfile.mkdtemp(prefix="nested_jsonl_")
+    nested = ev.select(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.col("event_id").alias("id"),
+        ).alias("meta"),
+        F.struct(F.col("props").alias("props")).alias("payload"),
+    )
+    nested.write.mode("overwrite").json(path)
+    schema = (
+        "meta struct<type: string, id: bigint>, "
+        "payload struct<props: string>"
+    )
+    back = spark.read.schema(schema).json(path)
+    return (
+        back.select(
+            F.col("meta.type").alias("event_type"),
+            F.get_json_object(F.col("payload.props"), "$.k")
+            .cast("long")
+            .alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_total"),
+        )
+    )
