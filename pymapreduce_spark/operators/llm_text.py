@@ -2263,3 +2263,60 @@ def llm_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH wc AS (
+        SELECT word, count(*)::BIGINT AS n
+        FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk,
+               sum(n) OVER (ORDER BY n DESC, word
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_n,
+               sum(n) OVER ()::BIGINT AS total_n
+        FROM wc
+    )
+    SELECT rnk::BIGINT AS vocab_size,
+           round(cum_n / (1.0 * total_n), 6) AS coverage
+    FROM ranked WHERE rnk IN (5, 10, 20)
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of all corpus tokens
+    covered by the top-k most frequent words (k = 5, 10, 20) — the
+    tradeoff curve every tokenizer-vocab-size decision reads (BPE
+    stops merging when marginal coverage flattens). One wordcount
+    shuffle, then rank + cumulative share over the VOCAB table (rows =
+    vocabulary size, not corpus size); shares divide exact integers.
+    The totally-ordered rank (count desc, word asc) makes the curve
+    deterministic under frequency ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    wo = Window.orderBy(F.desc("n"), "word")
+    ranked = wc.select(
+        F.row_number().over(wo).cast("long").alias("vocab_size"),
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_n"),
+        F.sum("n").over(
+            Window.partitionBy()
+            .orderBy(F.lit(1))
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_n"),
+    )
+    return ranked.where(F.col("vocab_size").isin(5, 10, 20)).select(
+        "vocab_size",
+        F.round(F.col("cum_n") / (1.0 * F.col("total_n")), 6).alias(
+            "coverage"
+        ),
+    )
