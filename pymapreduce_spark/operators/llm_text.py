@@ -2320,3 +2320,68 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+@query(
+    "llm_boilerplate_share",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                   i -> concat_ws(' ',
+                        str_split(text, ' ')[i],
+                        str_split(text, ' ')[least(i + 1,
+                            len(str_split(text, ' ')))],
+                        str_split(text, ' ')[least(i + 2,
+                            len(str_split(text, ' ')))])
+               )) AS grams
+        FROM documents
+    ), exploded AS (
+        SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), df AS (
+        SELECT gram, count(*)::BIGINT AS df FROM exploded GROUP BY gram
+    )
+    SELECT e.doc_id,
+           count(*)::BIGINT AS n_grams,
+           count(*) FILTER (df.df > 1)::BIGINT AS shared_grams,
+           round(count(*) FILTER (df.df > 1) / (1.0 * count(*)), 6)
+               AS boilerplate_share
+    FROM exploded e JOIN df ON e.gram = df.gram
+    GROUP BY e.doc_id
+    """,
+)
+def llm_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    distinct 3-gram shingles that also appear in OTHER documents —
+    high share flags template/boilerplate text that dedup thresholds
+    miss (each copy differs, but the building blocks repeat). The
+    inverse (1 − share) is the document's n-gram novelty, the cheap
+    memorization-risk proxy.
+
+    Same guarded shingle extraction as llm_dedup_fuzzy, one
+    map-side-combined shuffle for shingle document-frequencies, and a
+    shuffle join back on the shingle key (vocab-sized at fixture
+    scale; at 100 TB the df side stays aggregate-sized and AQE picks
+    the strategy). Exact integer counts; the share divides identical
+    operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("grams"))
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    dfreq = sh.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("df") > 1, 1)).alias("shared_grams"),
+            F.round(
+                F.count(F.when(F.col("df") > 1, 1))
+                / (1.0 * F.count("*")),
+                6,
+            ).alias("boilerplate_share"),
+        )
+    )
