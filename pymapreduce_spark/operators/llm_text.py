@@ -2385,3 +2385,49 @@ def llm_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_share"),
         )
     )
+
+
+@query(
+    "llm_feature_hashing",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 100
+    ), hashed AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1)
+                   % 16 AS dim
+        FROM w
+    )
+    SELECT doc_id, dim::BIGINT AS dim, count(*)::BIGINT AS weight
+    FROM hashed GROUP BY doc_id, dim
+    """,
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project text onto a FIXED 16-dim sparse
+    feature space by hashing each token to a dimension — the
+    vocabulary-free featurization (HashingTF's mechanic, spelled out)
+    that needs no fitted dictionary, which is what makes it viable on
+    a 100 TB stream where the vocabulary is unbounded and unseen
+    tokens must still map somewhere. Output is the sparse (doc, dim,
+    weight) triplet form. One explode + one map-side-combined shuffle;
+    the md5-nibble hash is the engine-portable choice (production uses
+    xxhash64 % d — same plan, cheaper hash)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100
+    )
+    dim = (
+        F.expr(
+            "locate(substring(md5(cast(word AS binary)), 1, 1),"
+            " '0123456789abcdef')"
+        )
+        - 1
+    ) % 16
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .select("doc_id", dim.cast("long").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("weight"))
+    )

@@ -416,3 +416,52 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(in_head, 1)) / (1.0 * F.count("*")), 6
         ).alias("pareto_ratio"),
     )
+
+
+@query(
+    "win_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(*) FILTER (
+               e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+           )::BIGINT AS n_high_outliers,
+           round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS high_fence
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+)
+def win_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: per-series exact quartiles set
+    the 1.5×IQR high fence and rows above it are counted — the robust
+    complement to z-scores (ts_anomaly_zscore), immune to the
+    outliers it hunts. Two-pass by design: a per-group quartile
+    aggregate (group-cardinality rows, broadcast back onto the scan)
+    then one conditional count — never a per-row window carrying the
+    whole partition to rank against. Both engines interpolate
+    quantile_cont identically and the fence arithmetic runs on those
+    identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("value") > fence, 1)).alias(
+                "n_high_outliers"
+            ),
+            F.round(F.max(fence), 6).alias("high_fence"),
+        )
+        .drop("q1", "q3")
+    )
