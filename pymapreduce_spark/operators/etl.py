@@ -708,3 +708,53 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name string, metric long, passed boolean"
     )
+
+
+@query(
+    "etl_scd1_current",
+    oracle="""
+    WITH cur AS (
+        SELECT o_custkey,
+               max(struct_pack(d := o_orderdate, k := o_orderkey,
+                               p := o_orderpriority)) AS c,
+               count(*)::BIGINT AS n_history_rows
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           c.p AS current_priority,
+           c.d AS as_of_date,
+           n_history_rows
+    FROM cur
+    """,
+)
+def etl_scd1_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 SCD: the current-state dimension — each customer's
+    LATEST order priority, overwriting history (etl_scd2 keeps it;
+    etl_scd2_lookup reads it as-of; this is the overwrite variant most
+    dimensions actually use). The survivor is picked with ONE
+    partial-aggregable max(struct(date, key, value)) — no window, no
+    sort — so the current-state build is a single map-side-combined
+    shuffle at any history depth. Tie-broken by order key, explicit in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = F.max(
+        F.struct(
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("p"),
+        )
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            latest.alias("cur"),
+            F.count("*").alias("n_history_rows"),
+        )
+        .select(
+            "o_custkey",
+            F.col("cur").getField("p").alias("current_priority"),
+            F.col("cur").getField("d").alias("as_of_date"),
+            "n_history_rows",
+        )
+    )
