@@ -279,3 +279,61 @@ def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, int(got[k])) for k in sorted(got)],
         "counter string, value long",
     )
+
+
+@query(
+    "api_multi_output",
+    oracle="""
+    SELECT 'high_value' AS output_name,
+           count(*) FILTER (value >= 100)::BIGINT AS n_rows,
+           sum(round(value * 100)::BIGINT) FILTER (value >= 100)::BIGINT
+               AS cents
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'standard',
+           count(*) FILTER (value < 100)::BIGINT,
+           sum(round(value * 100)::BIGINT) FILTER (value < 100)::BIGINT
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def api_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop's MultipleOutputs idiom: ONE pass over the input routes
+    rows to two materialized outputs (high-value vs standard
+    purchases) — the split-sink every triage/quarantine pipeline needs.
+    The input is persisted so both writes share one scan (the facade
+    twin of scan_jsonl_permissive's corrupt-record routing); each
+    output is written partitioned-ready parquet and the returned
+    manifest re-reads the SINKS, so the check covers the write paths,
+    not the in-memory frames. At 100 TB prefer a single
+    partitionBy(route) write when routes share a schema — two sinks
+    only when downstream ownership differs."""
+    import tempfile
+
+    purchases = (
+        MapReduceJob.from_table(spark, sf_dir, "events")
+        .where_expr("event_type = 'purchase'")
+        .select_expr(
+            "event_id",
+            "user_id",
+            "value",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .to_df()
+        .persist()
+    )
+    base = tempfile.mkdtemp(prefix="multiout_")
+    high = purchases.where(F.col("value") >= 100)
+    std = purchases.where(F.col("value") < 100)
+    high.write.mode("overwrite").parquet(base + "/high_value")
+    std.write.mode("overwrite").parquet(base + "/standard")
+    purchases.unpersist()
+    out = []
+    for name in ("high_value", "standard"):
+        back = spark.read.parquet(f"{base}/{name}")
+        row = back.agg(
+            F.count("*").alias("n"), F.sum("cents").alias("c")
+        ).first()
+        out.append((name, int(row["n"]), int(row["c"])))
+    return spark.createDataFrame(
+        out, "output_name string, n_rows long, cents long"
+    )
