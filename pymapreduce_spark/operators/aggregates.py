@@ -1084,3 +1084,71 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_price"
         )
     )
+
+
+@query(
+    "agg_covariance_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT l_linestatus,
+               round(l_quantity * 100)::BIGINT AS x,
+               round(l_extendedprice * 100)::BIGINT AS y,
+               round(l_discount * 100)::BIGINT AS z
+        FROM lineitem
+    ), s AS (
+        SELECT l_linestatus, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(z)::BIGINT AS sz,
+               sum(x * y)::BIGINT AS sxy, sum(x * z)::BIGINT AS sxz,
+               sum(y * z)::BIGINT AS syz
+        FROM c GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n,
+           round((sxy - sx / (1.0 * n) * sy) / (n - 1.0), 4) AS cov_qty_price,
+           round((sxz - sx / (1.0 * n) * sz) / (n - 1.0), 4) AS cov_qty_disc,
+           round((syz - sy / (1.0 * n) * sz) / (n - 1.0), 4) AS cov_price_disc
+    FROM s
+    """,
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample covariances of three metrics in ONE pass: the
+    upper triangle of the covariance matrix assembled from eight exact
+    integer sufficient statistics (n, Σx, Σy, Σz, Σxy, Σxz, Σyz) —
+    agg_stats covers one pair via the engine's covar; this is the
+    multivariate form every feature-correlation sweep needs, and the
+    sufficient-statistic formulation is what makes it ONE shuffle
+    regardless of how many pairs (engines' covar_samp would re-scan
+    per pair). All products fit int64 at cent scale; the closed-form
+    divisions run on identical operands in a fixed order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_linestatus",
+        cents("l_quantity").alias("x"),
+        cents("l_extendedprice").alias("y"),
+        cents("l_discount").alias("z"),
+    )
+    s = c.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    n = F.col("n")
+
+    def cov(spq, sp, sq):
+        return F.round(
+            (F.col(spq) - F.col(sp) / (1.0 * n) * F.col(sq))
+            / (n - 1.0),
+            4,
+        )
+
+    return s.select(
+        "l_linestatus",
+        "n",
+        cov("sxy", "sx", "sy").alias("cov_qty_price"),
+        cov("sxz", "sx", "sz").alias("cov_qty_disc"),
+        cov("syz", "sy", "sz").alias("cov_price_disc"),
+    )
