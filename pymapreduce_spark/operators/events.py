@@ -1430,3 +1430,81 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n") > F.col("prev_n"))
         & (F.col("n") > F.col("next_n"))
     ).select("event_type", "hour", "n")
+
+
+@query(
+    "ts_rsi",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
+               round(value * 100)::BIGINT AS vc
+        FROM events
+    ), d AS (
+        SELECT event_id, event_type, tsu,
+               vc - lag(vc) OVER (PARTITION BY event_type
+                                  ORDER BY tsu, event_id) AS diff
+        FROM v
+    ), framed AS (
+        SELECT event_id, event_type,
+               sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w
+                   ::BIGINT AS gains,
+               sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w
+                   ::BIGINT AS losses,
+               count(*) OVER w AS n
+        FROM d WHERE diff IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           round(100.0 * gains / nullif(gains + losses, 0), 4) AS rsi14
+    FROM framed WHERE n = 14
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (simple 14-period RSI): per-series
+    up-move and down-move sums over a trailing 14-diff frame, folded
+    into 100·gains/(gains+losses) — the bounded-momentum oscillator,
+    here over cent-scaled event values. Gains/losses are EXACT integer
+    window sums (the ts_rolling_corr discipline), the ratio divides
+    identical integers, and flat frames yield NULL via nullif. Only
+    full frames emit (n = 14), so no partial-window edge semantics to
+    disagree on. One shuffle on the series key, constant frame
+    state."""
+    ev = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    vc = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (vc - F.lag(vc).over(wlag)).alias("diff"),
+    ).where(F.col("diff").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    gains = F.sum(
+        F.when(F.col("diff") > 0, F.col("diff")).otherwise(0)
+    ).over(w)
+    losses = F.sum(
+        F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0)
+    ).over(w)
+    n = F.count("*").over(w)
+    framed = d.select(
+        "event_id",
+        "event_type",
+        gains.alias("gains"),
+        losses.alias("losses"),
+        n.alias("n"),
+    )
+    return framed.where(F.col("n") == 14).select(
+        "event_id",
+        "event_type",
+        F.round(
+            100.0
+            * F.col("gains")
+            / F.nullif(F.col("gains") + F.col("losses"), F.lit(0)),
+            4,
+        ).alias("rsi14"),
+    )

@@ -2431,3 +2431,58 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count("*").alias("weight"))
     )
+
+
+@query(
+    "llm_dedup_substring",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, substr(text, 1, 30) AS block
+        FROM documents
+    )
+    SELECT x.doc_id AS contained_doc, y.doc_id AS container_doc,
+           length(x.text)::BIGINT AS contained_len,
+           length(y.text)::BIGINT AS container_len
+    FROM b x JOIN b y
+      ON x.block = y.block AND x.doc_id != y.doc_id
+    WHERE length(x.text) < length(y.text)
+      AND position(x.text IN y.text) > 0
+    """,
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring containment: documents whose FULL text appears
+    verbatim inside a longer document — the quote/excerpt/truncation
+    case where the shorter copy adds zero information and every
+    similarity metric under-fires (a 10% excerpt has tiny Jaccard but
+    is still pure duplication). Candidates come from the shared-prefix
+    block (containment of a full doc implies a shared prefix window
+    when duplicates are truncations, the common crawl case); the
+    verifier is one position() probe per pair. Strictly-shorter
+    guard keeps the pair orientation unique and excludes exact
+    equals, which llm_dedup_exact already owns."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "text", F.substring("text", 1, 30).alias("block")
+    )
+    x = b.select(
+        "block",
+        F.col("doc_id").alias("contained_doc"),
+        F.col("text").alias("tx"),
+    )
+    y = b.select(
+        "block",
+        F.col("doc_id").alias("container_doc"),
+        F.col("text").alias("ty"),
+    )
+    return (
+        x.join(y, "block")
+        .where(F.col("contained_doc") != F.col("container_doc"))
+        .where(F.length("tx") < F.length("ty"))
+        .where(F.instr(F.col("ty"), F.col("tx")) > 0)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.length("tx").cast("long").alias("contained_len"),
+            F.length("ty").cast("long").alias("container_len"),
+        )
+    )
