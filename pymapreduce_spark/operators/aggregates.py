@@ -1152,3 +1152,31 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov("sxz", "sx", "sz").alias("cov_qty_disc"),
         cov("syz", "sy", "sz").alias("cov_price_disc"),
     )
+
+
+@query(
+    "agg_tail_ratio",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(quantile_cont(value, 0.99)
+                 / quantile_cont(value, 0.50), 4) AS tail_ratio
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-heaviness index: P99/P50 per series — the single number an
+    SLO or cost review reads first (a ratio near 1 is a tight
+    distribution; 10× means the tail owns the budget). Exact
+    interpolated percentiles in one partial-aggregable pass; the
+    ratio divides the same two doubles both engines produced."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.50), 6).alias("p50"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        F.round(
+            F.percentile("value", 0.99) / F.percentile("value", 0.50),
+            4,
+        ).alias("tail_ratio"),
+    )

@@ -758,3 +758,42 @@ def etl_scd1_current(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_history_rows",
         )
     )
+
+
+@query(
+    "etl_rowcount_drift",
+    oracle="""
+    WITH d AS (
+        SELECT (ts::TIMESTAMP)::DATE AS day, count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           lag(n) OVER (ORDER BY day)::BIGINT AS prev_n,
+           (n * 10 < lag(n) OVER (ORDER BY day) * 8
+            OR n * 10 > lag(n) OVER (ORDER BY day) * 12) AS drift_alert
+    FROM d
+    """,
+)
+def etl_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume drift monitor: daily row counts vs the previous
+    day, alerting outside a ±20% band — the cheapest data-ops canary
+    (a stuck upstream shows up here before any content check fires).
+    The band test is exact-integer (n·10 vs prev·8 / prev·12), no
+    float thresholds; the window runs over the per-day summary, one
+    row per day at any volume. First day alerts NULL (no baseline),
+    honest rather than defaulted."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n").over(w)
+    return d.select(
+        "day",
+        "n",
+        prev.alias("prev_n"),
+        (
+            (F.col("n") * 10 < prev * 8)
+            | (F.col("n") * 10 > prev * 12)
+        ).alias("drift_alert"),
+    )

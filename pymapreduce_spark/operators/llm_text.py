@@ -2486,3 +2486,48 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("ty").cast("long").alias("container_len"),
         )
     )
+
+
+@query(
+    "llm_keyword_extraction",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.doc_freq + 1.0))
+                              + 1.0), 6) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rnk FROM (
+        SELECT doc_id, word, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, word) AS rnk
+        FROM scored) WHERE rnk <= 3
+    """,
+)
+def llm_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 TF-IDF terms of each
+    document — the tagging/labeling pass behind search facets and
+    corpus browsing. Composes llm_tfidf's exact weights with one
+    rank-per-document window (WindowGroupLimit keeps only 3 rows per
+    doc through the sort at scale); ties break on the word itself so
+    the keyword set is deterministic. The per-doc partition bounds
+    window state by document vocabulary, never corpus size."""
+    scored = llm_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), "word"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tfidf", "rnk")
+    )
