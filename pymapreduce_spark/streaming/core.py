@@ -620,3 +620,82 @@ def stream_unified_api(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matches"),
         )
     )
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id,
+               max(struct_pack(tsu := ts::TIMESTAMP, id := event_id,
+                               et := event_type,
+                               vc := round(value * 100)::BIGINT)) AS c
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           c.id AS last_event_id,
+           c.et AS last_event_type,
+           c.vc AS last_value_cents
+    FROM latest
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the replay stream drains through
+    foreachBatch, each micro-batch MERGED into a keyed state table
+    (latest event per user, overwrite-on-key) persisted as parquet —
+    the production upsert loop every streaming materialized view runs.
+    Each merge is union(state, batch) → one partial-aggregable
+    max-of-struct per key → atomic swap of the state directory. The
+    final state must equal the batch argmax over ALL events (the
+    oracle) — so both per-batch merge logic and cross-batch
+    composition are under test, not just a single drain. At scale the
+    state table is key-cardinality-sized and the merge shuffles only
+    state+batch, never history."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="cdc_apply_")
+    state_dir = os.path.join(base, "state")
+    pick = F.max(
+        F.struct(
+            F.col("ts").alias("tsu"),
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+    ).alias("c")
+
+    def merge(batch_df, batch_id):
+        cur = batch_df.select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            prev = batch_df.sparkSession.read.parquet(state_dir).select(
+                "user_id",
+                F.col("c.tsu").alias("ts"),
+                F.col("c.id").alias("event_id"),
+                F.col("c.et").alias("event_type"),
+                (F.col("c.vc") / 100.0).alias("value"),
+            )
+            cur = cur.unionByName(prev)
+        merged = cur.groupBy("user_id").agg(pick)
+        tmp = os.path.join(base, f"state_tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    q = (
+        s.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id",
+        F.col("c.id").alias("last_event_id"),
+        F.col("c.et").alias("last_event_type"),
+        F.col("c.vc").alias("last_value_cents"),
+    )
