@@ -1180,3 +1180,43 @@ def agg_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("tail_ratio"),
     )
+
+
+@query(
+    "agg_share_of_total",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY event_type
+    ), t AS (
+        SELECT sum(n)::BIGINT AS tn, sum(cents)::BIGINT AS tc FROM g
+    )
+    SELECT event_type, n,
+           round(n / (1.0 * tn), 6) AS event_share,
+           round(cents / (1.0 * tc), 6) AS value_share
+    FROM g, t
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total report: each group's fraction of overall event
+    count and value — the percent-of-whole column every summary table
+    carries. Aggregate-then-broadcast: the grand total is a one-row
+    cross join onto the per-group aggregate (never a window over raw
+    rows); shares divide exact integer sums."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("cents").alias("tc"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / (1.0 * F.col("tn")), 6).alias(
+            "event_share"
+        ),
+        F.round(F.col("cents") / (1.0 * F.col("tc")), 6).alias(
+            "value_share"
+        ),
+    )

@@ -133,3 +133,46 @@ def pred_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
     )
+
+
+@query(
+    "proj_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'O')::BIGINT AS open_cnt,
+               count(*) FILTER (o_orderstatus = 'F')::BIGINT AS filled_cnt,
+               count(*) FILTER (o_orderstatus = 'P')::BIGINT AS pending_cnt
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status_col, cnt
+    FROM wide
+    UNPIVOT (cnt FOR status_col IN (open_cnt, filled_cnt, pending_cnt))
+    """,
+)
+def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping with the built-in unpivot/melt (the inverse
+    of agg_pivot): a per-priority status crosstab melts back into
+    (priority, status_col, cnt) rows — the tidy form every charting
+    and ML-featurization layer wants. Spark's unpivot compiles to one
+    Expand node (rows × columns, no shuffle, no join); DuckDB's
+    UNPIVOT is the oracle spelling of the same reshape. Round-trip
+    with agg_pivot proves both reshaping directions exist."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias(
+            "open_cnt"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias(
+            "filled_cnt"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias(
+            "pending_cnt"
+        ),
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["open_cnt", "filled_cnt", "pending_cnt"],
+        "status_col",
+        "cnt",
+    )
