@@ -654,3 +654,46 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_param"
         ),
     )
+
+
+@query(
+    "fn_char_classes",
+    oracle="""
+    SELECT doc_id,
+           (length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
+               ::BIGINT AS n_lower,
+           (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               ::BIGINT AS n_digits,
+           (length(text) - length(regexp_replace(text, ' ', '', 'g')))
+               ::BIGINT AS n_spaces,
+           (length(text) - length(
+               regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::BIGINT
+               AS n_other
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per document (lowercase / digits /
+    spaces / other) — the raw features behind symbol-ratio and
+    code-vs-prose quality heuristics. Counted by the length-delta
+    idiom (strip the class, subtract) so both engines count with the
+    SAME regex semantics instead of comparing char-type predicates
+    that differ on Unicode classes; the four counts partition the
+    string, so they also self-check (sums equal length). Map-only."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+
+    def cnt(pattern: str):
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace("text", pattern, ""))
+        ).cast("long")
+
+    return docs.select(
+        "doc_id",
+        cnt("[a-z]").alias("n_lower"),
+        cnt("[0-9]").alias("n_digits"),
+        cnt(" ").alias("n_spaces"),
+        cnt("[^a-z0-9 ]").alias("n_other"),
+    )

@@ -1220,3 +1220,29 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_share"
         ),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(DISTINCT (ts::TIMESTAMP)::DATE)::BIGINT AS n_days,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in ONE
+    query — the planning case single-distinct queries never hit:
+    Catalyst rewrites via an Expand node (one row replica per distinct
+    set) so both distincts resolve in a single aggregation pipeline
+    rather than a self-join of separate queries. Worth covering
+    because naive hand-splitting into two queries scans the fact table
+    twice at 100 TB; the Expand form scans once."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(F.to_date("ts")).alias("n_days"),
+        F.count("*").alias("n_events"),
+    )

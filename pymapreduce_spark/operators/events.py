@@ -1508,3 +1508,50 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rsi14"),
     )
+
+
+@query(
+    "ts_time_to_event",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT v.user_id,
+           (p.first_purchase - v.first_view) AS us_to_convert,
+           (p.first_purchase > v.first_view) AS converted_after_view
+    FROM v JOIN p ON v.user_id = p.user_id
+    """,
+)
+def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: microseconds from each user's first view to
+    their first purchase — the survival-analysis input behind
+    conversion-latency curves (llm_event_funnel counts who converts;
+    this measures how long it takes). Two grouped mins joined on the
+    user key, exact integer microsecond deltas; a negative delta
+    (purchase before any view) is kept and flagged rather than
+    silently dropped — attribution decisions belong downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = F.unix_micros(F.col("ts"))
+
+    def first(t: str, name: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.min(mu).alias(name))
+        )
+
+    v = first("view", "first_view")
+    p = first("purchase", "first_purchase")
+    return v.join(p, "user_id").select(
+        "user_id",
+        (F.col("first_purchase") - F.col("first_view")).alias(
+            "us_to_convert"
+        ),
+        (F.col("first_purchase") > F.col("first_view")).alias(
+            "converted_after_view"
+        ),
+    )
