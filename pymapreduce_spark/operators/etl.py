@@ -797,3 +797,46 @@ def etl_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n") * 10 > prev * 12)
         ).alias("drift_alert"),
     )
+
+
+@query(
+    "etl_late_data_quarantine",
+    oracle="""
+    WITH b AS (
+        SELECT max(ts::TIMESTAMP) AS mx FROM events
+    )
+    SELECT CASE WHEN epoch_us(b.mx) - epoch_us(e.ts::TIMESTAMP)
+                     > 7 * 86400 * 1000000::BIGINT
+                THEN 'quarantine' ELSE 'accept' END AS route,
+           count(*)::BIGINT AS n_events,
+           min(e.ts::TIMESTAMP) AS oldest,
+           max(e.ts::TIMESTAMP) AS newest
+    FROM events e, b
+    GROUP BY route
+    """,
+)
+def etl_late_data_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data routing: events older than 7 days relative to the
+    batch's high-water mark go to quarantine instead of the live
+    table — the batch-side cousin of the streaming watermark (same
+    horizon policy, applied at ingest). The high-water mark is an
+    aggregate-then-broadcast scalar; the route predicate is exact
+    integer microseconds; per-route counts and time bounds give the
+    ops report. At 100 TB the quarantine route feeds a
+    reconcile-and-replay job rather than silently polluting
+    partitions that were already compacted and published."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.max("ts").alias("mx"))
+    late = (
+        F.unix_micros(F.col("mx")) - F.unix_micros(F.col("ts"))
+    ) > 7 * 86400 * 1_000_000
+    route = F.when(late, "quarantine").otherwise("accept")
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(route.alias("route"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("oldest"),
+            F.max("ts").alias("newest"),
+        )
+    )
