@@ -2531,3 +2531,81 @@ def llm_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "word", "tfidf", "rnk")
     )
+
+
+@query(
+    "llm_lsh_diagnostics",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> concat_ws(' ', words[i],
+                                  words[least(i + 1, len(words))],
+                                  words[least(i + 2, len(words))]))) AS sh
+        FROM w
+    ), sig AS (
+        SELECT doc_id, i, min(substr(md5(s || '#' || i), 1, 16)) AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS idx
+        GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // 2 AS b, string_agg(h, '|' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // 2
+    ), buckets AS (
+        SELECT b, key, count(*)::BIGINT AS c FROM bands GROUP BY b, key
+    )
+    SELECT b::BIGINT AS band_idx,
+           count(*)::BIGINT AS n_buckets,
+           max(c)::BIGINT AS max_bucket,
+           count(*) FILTER (c > 1)::BIGINT AS n_colliding_buckets,
+           sum(c * (c - 1) // 2)::BIGINT AS candidate_pairs
+    FROM buckets GROUP BY b
+    """,
+)
+def llm_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning diagnostics: per band, the bucket count, the largest
+    bucket, how many buckets collide at all, and the candidate-pair
+    bill Σ c·(c−1)/2 — the report that decides band/row parameters
+    BEFORE running fuzzy dedup at scale (one hot bucket of 10⁵ docs is
+    5×10⁹ candidate pairs; this table is where that shows up as one
+    number instead of a dead cluster). Uses cluster_near_duplicates'
+    exact salted-md5 signature and banding expressions, so the
+    diagnosis describes precisely the join llm_dedup_fuzzy will run."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    sig = F.expr(
+        """
+        transform(sequence(0, 15), i ->
+            array_min(transform(sh,
+                s -> substr(md5(concat(s, '#', cast(i AS string))), 1, 16))))
+        """
+    )
+    band_keys = F.expr(
+        "transform(sequence(0, 7), b ->"
+        " concat_ws('|', slice(sig, b * 2 + 1, 2)))"
+    )
+    sh = docs.withColumn("words", F.split("text", " ")).select(
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("sh")
+    )
+    bands = sh.withColumn("sig", sig).select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    buckets = bands.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("c")
+    )
+    return buckets.groupBy(
+        F.col("band_idx").cast("long").alias("band_idx")
+    ).agg(
+        F.count("*").alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.count(F.when(F.col("c") > 1, 1)).alias(
+            "n_colliding_buckets"
+        ),
+        F.sum(
+            F.floor(F.col("c") * (F.col("c") - 1) / 2)
+        ).alias("candidate_pairs"),
+    )
