@@ -1555,3 +1555,64 @@ def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "converted_after_view"
         ),
     )
+
+
+@query(
+    "agg_bounce_rate",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
+               epoch_us(ts::TIMESTAMP) AS mu
+        FROM events
+    ), flagged AS (
+        SELECT user_id,
+               CASE WHEN mu - lag(mu) OVER w > 1800000000
+                         OR lag(mu) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sess AS (
+        SELECT user_id,
+               sum(is_new) OVER (
+                   PARTITION BY user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+        WINDOW unused AS (PARTITION BY user_id)
+    ), per AS (
+        SELECT user_id, sid, count(*)::BIGINT AS n
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT count(*)::BIGINT AS n_sessions,
+           count(*) FILTER (n = 1)::BIGINT AS n_bounces,
+           round(count(*) FILTER (n = 1) / (1.0 * count(*)), 6)
+               AS bounce_rate
+    FROM per
+    """,
+)
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bounce rate: the share of 30-min-gap sessions
+    containing exactly ONE event — the engagement-quality headline
+    next to the session count. Reuses the sessionize windows (one
+    user-keyed shuffle), rolls sessions up once, then a single global
+    aggregate; the rate divides exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mu = F.unix_micros(F.col("ts"))
+    is_new = (
+        F.coalesce((mu - F.lag(mu).over(w)) > _SESSION_GAP_US, F.lit(True))
+    ).cast("bigint")
+    per = (
+        ev.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_bounces"),
+        F.round(
+            F.count(F.when(F.col("n") == 1, 1)) / (1.0 * F.count("*")),
+            6,
+        ).alias("bounce_rate"),
+    )
