@@ -2609,3 +2609,64 @@ def llm_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c") * (F.col("c") - 1) / 2)
         ).alias("candidate_pairs"),
     )
+
+
+@query(
+    "llm_query_doc_match",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+    ), dl AS (
+        SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl
+        FROM documents
+    ), dfr AS (
+        SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
+    ), st AS (
+        SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+        FROM dl
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(round(
+                   ln(1.0 + (st.n_docs - dfr.doc_freq + 0.5)
+                            / (dfr.doc_freq + 0.5))
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                        / (st.sum_dl / (1.0 * st.n_docs)))), 6)), 6)
+                   AS score
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfr ON tf.word = dfr.word
+        CROSS JOIN st
+        WHERE tf.word IN ('join', 'shuffle', 'parquet')
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def llm_query_doc_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EXECUTION on the BM25 index: score every document
+    against the 3-term query {join, shuffle, parquet} by summing
+    per-term BM25 weights and return the top-5 — llm_bm25 builds the
+    index, this runs the query against it, closing the retrieval loop.
+    The query-term filter lands BEFORE the tf join (only matching
+    postings move), which is exactly why inverted retrieval scales:
+    work is proportional to the query's posting lists, not the corpus.
+    Ranked on round(6) scores with a doc_id tiebreak so the top-k set
+    is deterministic in both engines."""
+    scored = (
+        llm_bm25(spark, sf_dir)
+        .where(F.col("word").isin("join", "shuffle", "parquet"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("bm25")), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "score", "rank")
+    )
