@@ -1246,3 +1246,32 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.to_date("ts")).alias("n_days"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(exp(sum(ln(value)) / count(*)), 4) AS geo_mean,
+           round(avg(value), 4) AS arith_mean
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per series (exp of the mean log) next to the
+    arithmetic mean — the right average for multiplicative quantities
+    (growth factors, latency ratios), always ≤ the arithmetic mean.
+    Positive-only by filter (ln is undefined otherwise — filtered
+    explicitly, not coerced); round(4) absorbs the cross-engine
+    summation-order ulps in the double log-sum exactly as the repo's
+    other double averages do."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.exp(F.sum(F.log("value")) / F.count("*")), 4
+        ).alias("geo_mean"),
+        F.round(F.avg("value"), 4).alias("arith_mean"),
+    )

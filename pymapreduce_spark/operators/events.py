@@ -1616,3 +1616,42 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "ts_minmax_normalize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               min(round(value * 100)::BIGINT) AS lo,
+               max(round(value * 100)::BIGINT) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((round(e.value * 100)::BIGINT - b.lo)
+                 / (1.0 * nullif(b.hi - b.lo, 0)), 6) AS value_norm
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+)
+def ts_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series min–max feature scaling to [0, 1] — the
+    normalization pass before distance-based models and before mixing
+    series of different magnitudes on one chart. Group bounds come
+    from one aggregate broadcast back onto the scan (never a per-row
+    window over the partition); the scaled value divides exact
+    cent-integers, with constant series yielding NULL via nullif
+    rather than a fabricated 0."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    b = ev.groupBy("event_type").agg(
+        F.min(vc).alias("lo"), F.max(vc).alias("hi")
+    )
+    return ev.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (vc - F.col("lo"))
+            / (1.0 * F.nullif(F.col("hi") - F.col("lo"), F.lit(0))),
+            6,
+        ).alias("value_norm"),
+    )
