@@ -1655,3 +1655,60 @@ def ts_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value_norm"),
     )
+
+
+@query(
+    "ts_weekend_lift",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               (dayofweek(ts::TIMESTAMP) IN (0, 6)) AS is_weekend,
+               count(*)::BIGINT AS n,
+               count(DISTINCT (ts::TIMESTAMP)::DATE)::BIGINT AS n_days
+        FROM events GROUP BY 1, 2
+    ), rates AS (
+        SELECT event_type, is_weekend, n / (1.0 * n_days) AS per_day
+        FROM c
+    )
+    SELECT w.event_type,
+           round(w.per_day, 4) AS weekend_per_day,
+           round(d.per_day, 4) AS weekday_per_day,
+           round(w.per_day / d.per_day, 4) AS weekend_lift
+    FROM rates w JOIN rates d
+      ON w.event_type = d.event_type
+     AND w.is_weekend AND NOT d.is_weekend
+    """,
+)
+def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend lift per event type: events-per-active-day on weekends
+    vs weekdays and their ratio — the normalized comparison (raw
+    counts mislead because there are 2 weekend days to 5). Counts and
+    active-day counts come from one grouped aggregate; the per-day
+    rates divide exact integers and the lift divides those identical
+    doubles. The weekday/weekend pairing is a self-join on the tiny
+    rate table."""
+    ev = load_table(spark, sf_dir, "events")
+    is_wk = (F.dayofweek("ts") - 1).isin(0, 6)
+    c = ev.groupBy(
+        "event_type", is_wk.alias("is_weekend")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.to_date("ts")).alias("n_days"),
+    )
+    rates = c.select(
+        "event_type",
+        "is_weekend",
+        (F.col("n") / (1.0 * F.col("n_days"))).alias("per_day"),
+    )
+    w = rates.where(F.col("is_weekend")).select(
+        "event_type", F.col("per_day").alias("wk")
+    )
+    d = rates.where(~F.col("is_weekend")).select(
+        "event_type", F.col("per_day").alias("wd")
+    )
+    return w.join(d, "event_type").select(
+        "event_type",
+        F.round("wk", 4).alias("weekend_per_day"),
+        F.round("wd", 4).alias("weekday_per_day"),
+        F.round(F.col("wk") / F.col("wd"), 4).alias("weekend_lift"),
+    )

@@ -502,3 +502,54 @@ def join_star_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
         )
     )
+
+
+@query(
+    "join_coverage_report",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT v.user_id AS vu, p.user_id AS pu
+        FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+    )
+    SELECT count(*) FILTER (vu IS NOT NULL AND pu IS NOT NULL)::BIGINT
+               AS matched,
+           count(*) FILTER (pu IS NULL)::BIGINT AS left_only,
+           count(*) FILTER (vu IS NULL)::BIGINT AS right_only,
+           round(count(*) FILTER (vu IS NOT NULL AND pu IS NOT NULL)
+                 / (1.0 * count(*)), 6) AS match_rate
+    FROM j
+    """,
+)
+def join_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-coverage audit: before trusting an inner join, ONE full
+    outer join over the two key sets reports matched / left-only /
+    right-only counts and the match rate — the diagnosis that
+    distinguishes 'the join is wrong' from 'the data never overlapped'
+    (an inner join silently conflates them). Both sides reduce to
+    DISTINCT keys first, so the outer join carries key-cardinality
+    rows; one conditional aggregate folds the Venn diagram into a
+    single row."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def keys(t: str, alias: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == t)
+            .select(F.col("user_id").alias(alias))
+            .distinct()
+        )
+
+    v, p = keys("view", "vu"), keys("purchase", "pu")
+    j = v.join(p, v.vu == p.pu, "full")
+    matched = F.count(
+        F.when(F.col("vu").isNotNull() & F.col("pu").isNotNull(), 1)
+    )
+    return j.agg(
+        matched.alias("matched"),
+        F.count(F.when(F.col("pu").isNull(), 1)).alias("left_only"),
+        F.count(F.when(F.col("vu").isNull(), 1)).alias("right_only"),
+        F.round(matched / (1.0 * F.count("*")), 6).alias("match_rate"),
+    )
