@@ -697,3 +697,33 @@ def fn_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(" ").alias("n_spaces"),
         cnt("[^a-z0-9 ]").alias("n_other"),
     )
+
+
+@query(
+    "fn_date_boundaries",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+           last_day(o_orderdate::DATE)::TIMESTAMP AS month_end,
+           quarter(o_orderdate)::INTEGER AS qtr,
+           dayofyear(o_orderdate)::INTEGER AS doy
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_date_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-boundary functions: month start/end, quarter, and
+    day-of-year — the alignment primitives every fiscal or cohort
+    report leans on (month_end in particular is the classic
+    off-by-one trap hand-rolled date math gets wrong on 28/29/30/31-
+    day months; last_day is the built-in answer). DuckDB's last_day
+    returns DATE, cast ::TIMESTAMP for the shared schema. Map-only."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 500
+    )
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )

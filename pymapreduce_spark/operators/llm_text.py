@@ -2670,3 +2670,69 @@ def llm_query_doc_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("doc_id", "score", "rank")
     )
+
+
+@query(
+    "llm_split_leakage",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN ascii(substring(md5(doc_id::VARCHAR), 1, 1)) % 10 < 8
+                    THEN 'train'
+                    WHEN ascii(substring(md5(doc_id::VARCHAR), 1, 1)) % 10 = 8
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), texts AS (
+        SELECT text,
+               count(DISTINCT split)::BIGINT AS n_splits,
+               count(*)::BIGINT AS n_copies
+        FROM assigned GROUP BY text
+    )
+    SELECT count(*)::BIGINT AS n_distinct_texts,
+           count(*) FILTER (n_splits > 1)::BIGINT AS n_leaked_texts,
+           coalesce(sum(n_copies) FILTER (n_splits > 1), 0)::BIGINT
+               AS n_leaked_docs
+    FROM texts
+    """,
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: texts whose copies land in MORE THAN ONE
+    of train/valid/test — the eval-contamination hole an id-hash split
+    leaves open whenever duplicates exist (identical text, different
+    ids, different splits). Uses llm_train_test_split's exact
+    assignment; one groupBy(text) counts distinct splits per text and
+    one global aggregate folds the audit. The fix this audit motivates
+    is splitting on a TEXT hash (or post-dedup ids) instead of raw
+    ids — run this BEFORE training, not after the benchmark looks
+    suspiciously good."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.ascii(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+            )
+        )
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "valid")
+        .otherwise("test")
+    )
+    texts = (
+        docs.select("text", split.alias("split"))
+        .groupBy("text")
+        .agg(
+            F.count_distinct("split").alias("n_splits"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    leaked = F.col("n_splits") > 1
+    return texts.agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.count(F.when(leaked, 1)).alias("n_leaked_texts"),
+        F.coalesce(
+            F.sum(F.when(leaked, F.col("n_copies"))), F.lit(0)
+        ).alias("n_leaked_docs"),
+    )
