@@ -591,3 +591,34 @@ def test_star_denormalize_all_broadcast(spark, sf_dir):
     plan = plan_of("join_star_denormalize", spark, sf_dir)
     assert plan.count("BroadcastHashJoin") >= 6, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_minmax_normalize_broadcasts_bounds(spark, sf_dir):
+    """Group bounds must broadcast back onto the scan — never a
+    per-row window over the partition."""
+    plan = plan_of("ts_minmax_normalize", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """Two DISTINCTs over different columns must plan via Expand (one
+    scan), not separate aggregations."""
+    plan = plan_of("agg_multi_distinct", spark, sf_dir)
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark, sf_dir):
+    """unpivot compiles to Expand over the aggregated wide table — no
+    join, no extra exchange beyond the crosstab's own aggregate."""
+    plan = plan_of("proj_unpivot", spark, sf_dir)
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_keyword_extraction_window_group_limit(spark, sf_dir):
+    """The per-doc top-3 must push the limit into the window sort
+    (WindowGroupLimit) so no document's full term list materializes."""
+    plan = plan_of("llm_keyword_extraction", spark, sf_dir)
+    assert "WindowGroupLimit" in plan, plan
