@@ -727,3 +727,35 @@ def fn_date_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("qtr"),
         F.dayofyear("o_orderdate").alias("doy"),
     )
+
+
+@query(
+    "fn_split_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '[ .,]+'))::BIGINT
+               AS n_tokens_multi,
+           len(str_split(text, ' '))::BIGINT AS n_tokens_space
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def fn_split_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-delimited tokenization ([ .,]+ — whitespace AND
+    punctuation as one delimiter class) next to the plain space split
+    — the difference IS the punctuation-handling gap between naive
+    and regex tokenizers, made visible as two counts per document.
+    Spark's split() takes a Java regex and DuckDB's
+    regexp_split_to_array takes RE2; the character class used here
+    sits in the dialect intersection (the llm_token_count rule)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", "[ .,]+")).cast("long").alias(
+            "n_tokens_multi"
+        ),
+        F.size(F.split("text", " ")).cast("long").alias(
+            "n_tokens_space"
+        ),
+    )

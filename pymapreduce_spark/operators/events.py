@@ -1712,3 +1712,39 @@ def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("wd", 4).alias("weekday_per_day"),
         F.round(F.col("wk") / F.col("wd"), 4).alias("weekend_lift"),
     )
+
+
+@query(
+    "ts_repurchase_gap",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS mu
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           (lead(mu) OVER w - mu) AS us_to_next_purchase,
+           (lead(mu) OVER w IS NULL) AS is_latest
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY mu, event_id)
+    """,
+)
+def ts_repurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase gap: for every purchase, the exact microseconds
+    until the same user's NEXT purchase — the inter-purchase-interval
+    distribution behind churn models and replenishment reminders. The
+    user's latest purchase carries NULL and an is_latest flag (it is
+    censored, not zero — survival analysis needs that distinction).
+    One lead() over the user-keyed purchase stream; integer
+    microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("mu")
+    )
+    w = Window.partitionBy("user_id").orderBy("mu", "event_id")
+    nxt = F.lead("mu").over(w)
+    return p.select(
+        "user_id",
+        "event_id",
+        (nxt - F.col("mu")).alias("us_to_next_purchase"),
+        nxt.isNull().alias("is_latest"),
+    )
