@@ -2736,3 +2736,51 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(leaked, F.col("n_copies"))), F.lit(0)
         ).alias("n_leaked_docs"),
     )
+
+
+@query(
+    "llm_lang_agreement",
+    oracle="""
+    WITH pred AS (
+        SELECT doc_id, lang AS lang_given,
+               (['de','en','es','fr','zh'])[
+                   (ascii(substring(md5(text), 1, 1)) % 5) + 1
+               ] AS lang_pred
+        FROM documents
+    )
+    SELECT lang_given, lang_pred, count(*)::BIGINT AS n_docs,
+           (lang_given = lang_pred) AS agree
+    FROM pred GROUP BY lang_given, lang_pred
+    """,
+)
+def llm_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs given language with
+    per-cell counts and an agreement flag — the evaluation table a
+    classifier swap gets judged by (per-language precision/recall fall
+    out of the marginals). Reuses llm_lang_id's deterministic
+    md5-bucket stub so the oracle replays the prediction; swapping in
+    a real LID model changes only the prediction column while this
+    evaluation query — one map projection plus one grouped count —
+    stays identical."""
+    import hashlib
+
+    langs = ["de", "en", "es", "fr", "zh"]
+
+    @F.pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: langs[
+                ord(hashlib.md5(t.encode("utf-8")).hexdigest()[0]) % 5
+            ]
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_given"),
+        lang_id("text").alias("lang_pred"),
+    )
+    return pred.groupBy("lang_given", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    ).withColumn(
+        "agree", F.col("lang_given") == F.col("lang_pred")
+    )
