@@ -1748,3 +1748,51 @@ def ts_repurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nxt - F.col("mu")).alias("us_to_next_purchase"),
         nxt.isNull().alias("is_latest"),
     )
+
+
+@query(
+    "win_time_in_state",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts::TIMESTAMP) AS mu
+        FROM events
+    ), d AS (
+        SELECT event_type,
+               lead(mu) OVER (PARTITION BY user_id
+                              ORDER BY mu, event_id) - mu AS dwell
+        FROM e
+    )
+    SELECT event_type,
+           count(dwell)::BIGINT AS n_intervals,
+           sum(dwell)::BIGINT AS total_dwell_us,
+           (sum(dwell) // count(dwell))::BIGINT AS avg_dwell_us
+    FROM d WHERE dwell IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def win_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state: each inter-event interval attributed to the
+    STATE the user was in (the earlier event's type), rolled up to
+    per-state dwell totals — the session-time-by-activity breakdown a
+    UX or capacity analysis reads. One lead() per user stream, exact
+    integer microseconds; each user's final event has no successor
+    and is excluded (open interval, not zero). Integer division for
+    the average keeps the output exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("mu", "event_id")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("mu"),
+    )
+    d = e.select(
+        "event_type",
+        (F.lead("mu").over(w) - F.col("mu")).alias("dwell"),
+    ).where(F.col("dwell").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count("dwell").alias("n_intervals"),
+        F.sum("dwell").alias("total_dwell_us"),
+        F.floor(F.sum("dwell") / F.count("dwell")).cast("long").alias(
+            "avg_dwell_us"
+        ),
+    )

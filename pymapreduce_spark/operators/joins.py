@@ -553,3 +553,57 @@ def join_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("vu").isNull(), 1)).alias("right_only"),
         F.round(matched / (1.0 * F.count("*")), 6).alias("match_rate"),
     )
+
+
+@query(
+    "join_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           min(l.l_shipdate) AS first_ship,
+           max(l.l_shipdate) AS last_ship,
+           (epoch(min(l.l_shipdate)) - epoch(o.o_orderdate))::BIGINT
+               // 86400 AS days_to_first_ship,
+           count(*)::BIGINT AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def join_accumulating_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Accumulating-snapshot fact: each order's lifecycle milestones —
+    placed, first shipment, last shipment, and the placed→first-ship
+    lag in whole days — the one-row-per-process-instance table a
+    fulfillment dashboard reads (vs the transaction fact's
+    one-row-per-event). One fact-fact equi-join and one grouped
+    aggregate; the milestone lag is exact integer epoch-seconds //
+    86400. At scale both sides shuffle once on the order key and the
+    per-order group is the order's line count."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 2000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    days = (
+        (
+            F.unix_timestamp(F.min("l_shipdate"))
+            - F.unix_timestamp(F.first("o_orderdate"))
+        )
+        / 86400
+    ).cast("long")
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.min("l_shipdate"))
+                    - F.unix_timestamp(F.min("o_orderdate"))
+                )
+                / 86400
+            ).cast("long").alias("days_to_first_ship"),
+            F.count("*").alias("n_lines"),
+        )
+    )
