@@ -938,3 +938,44 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").applyInPandas(
         pair_kernel, "vec_id long, cluster long, is_dup boolean"
     )
+
+
+@query(
+    "llm_embedding_norm_audit",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           bool_and(abs(nrm - 1.0) < 1e-5) AS all_unit_norm
+    FROM n GROUP BY label
+    """,
+)
+def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store data contract, audited: every similarity operator
+    in this engine assumes L2-normalized embeddings (cosine ≡ dot);
+    this op CHECKS that assumption per label instead of trusting the
+    fixture docs — min/max norms and a bool_and unit-norm verdict.
+    Run it at ingest: a single un-normalized batch silently corrupts
+    every downstream cosine ranking, and this one-scan aggregate is
+    the cheapest place to catch it. Norms use the same sequential-fold
+    dot product as the search operators, so the audit measures exactly
+    what they compute."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    nrm = F.sqrt(_dot(v, v))
+    n = emb.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.bool_and(F.abs(F.col("nrm") - 1.0) < 1e-5).alias(
+            "all_unit_norm"
+        ),
+    )
