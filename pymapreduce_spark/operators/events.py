@@ -1796,3 +1796,62 @@ def win_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_dwell_us"
         ),
     )
+
+
+@query(
+    "ts_burst_detection",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, hour, n,
+               sum(n) OVER w AS trail_sum,
+               count(*) OVER w AS trail_n
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n,
+           (trail_sum // trail_n)::BIGINT AS baseline,
+           (n * trail_n > 2 * trail_sum) AS is_burst
+    FROM base WHERE trail_n = 24
+    """,
+)
+def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours whose count exceeds 2× the trailing-24h
+    average — the rate-spike alarm (ts_peak_detection finds local
+    shape; this compares against a day-long baseline). The burst test
+    is exact-integer cross-multiplication (n·24 > 2·Σ), the baseline
+    an integer floor division, and only hours with a FULL 24-hour
+    trailing window emit — no partial-baseline semantics to diverge
+    on. Window over the hourly rollup, constant rows per series."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    base = h.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_n"),
+    ).where(F.col("trail_n") == 24)
+    return base.select(
+        "event_type",
+        "hour",
+        "n",
+        F.floor(F.col("trail_sum") / F.col("trail_n")).cast("long").alias(
+            "baseline"
+        ),
+        (
+            F.col("n") * F.col("trail_n") > 2 * F.col("trail_sum")
+        ).alias("is_burst"),
+    )

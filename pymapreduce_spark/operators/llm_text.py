@@ -2784,3 +2784,69 @@ def llm_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "agree", F.col("lang_given") == F.col("lang_pred")
     )
+
+
+@query(
+    "llm_ngram_entropy",
+    oracle="""
+    WITH w AS (
+        SELECT str_split(text, ' ') AS ws FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i + 1]
+               )) AS bigram
+        FROM w WHERE len(ws) >= 2
+    ), c AS (
+        SELECT bigram, count(*)::BIGINT AS n FROM pairs GROUP BY bigram
+    ), t AS (
+        SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vocab2 FROM c
+    )
+    SELECT t.vocab2 AS n_distinct_bigrams,
+           t.total AS n_bigrams,
+           round(sum(-(c.n / (1.0 * t.total))
+                     * ln(c.n / (1.0 * t.total))), 4) AS bigram_entropy,
+           round(ln(t.vocab2), 4) AS max_entropy
+    FROM c, t
+    GROUP BY t.vocab2, t.total
+    """,
+)
+def llm_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram entropy vs its uniform maximum — the
+    language-model-difficulty proxy (low entropy = repetitive,
+    template-heavy text that a model memorizes instead of learns;
+    entropy near ln(V²) = diverse combinations). One bigram-count
+    shuffle, then the -Σ p·ln p fold over the bigram DISTRIBUTION
+    table (vocabulary-squared rows, not corpus rows); round(4)
+    absorbs summation-order ulps exactly as the repo's other double
+    reductions do. Read next to llm_vocab_coverage when sizing
+    curation thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> concat(element_at(split(text, ' '), i), ' ',"
+                    "             element_at(split(text, ' '), i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    c = pairs.groupBy("bigram").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vocab2")
+    )
+    p = F.col("n") / (1.0 * F.col("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("vocab2", "total")
+        .agg(F.round(F.sum(-p * F.log(p)), 4).alias("bigram_entropy"))
+        .select(
+            F.col("vocab2").alias("n_distinct_bigrams"),
+            F.col("total").alias("n_bigrams"),
+            "bigram_entropy",
+            F.round(F.log(F.col("vocab2")), 4).alias("max_entropy"),
+        )
+    )
