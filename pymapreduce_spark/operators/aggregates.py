@@ -1275,3 +1275,45 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("geo_mean"),
         F.round(F.avg("value"), 4).alias("arith_mean"),
     )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(med.m, 6) AS median_value,
+           round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type, med.m
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per series — the robust scale
+    estimate (the σ that outliers cannot inflate), read next to the
+    IQR fences (win_outlier_iqr) when setting robust thresholds.
+    Inherently two-pass: the per-group median broadcasts back onto
+    the scan, then the median of absolute deviations — both exact
+    interpolated percentiles, identical in both engines, with every
+    deviation computed from the same broadcast median double."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("m")), 0.5), 6
+            ).alias("mad")
+        )
+        .select(
+            "event_type",
+            F.round("m", 6).alias("median_value"),
+            "mad",
+        )
+    )

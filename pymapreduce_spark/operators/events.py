@@ -1855,3 +1855,63 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("trail_n") > 2 * F.col("trail_sum")
         ).alias("is_burst"),
     )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, ts::TIMESTAMP AS tsu, event_id,
+               round(value * 100)::BIGINT - 2000 AS delta_c
+        FROM events
+    ), curve AS (
+        SELECT event_type, tsu, event_id,
+               sum(delta_c) OVER w AS equity
+        FROM v
+        WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), peaked AS (
+        SELECT event_type, equity,
+               max(equity) OVER w2 AS run_peak
+        FROM curve
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY tsu, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           max(run_peak - equity)::BIGINT AS max_drawdown_c,
+           max(equity)::BIGINT AS peak_equity_c,
+           min(equity)::BIGINT AS trough_equity_c
+    FROM peaked
+    GROUP BY event_type
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each series' cumulative-value curve: the
+    deepest peak-to-trough fall of the running sum of centered cent
+    deltas — the risk statistic that, unlike variance, captures ORDER
+    (the same values shuffled give a different drawdown). Running sum
+    then running max then max(gap): three windows sharing ONE
+    partition+order spec (one shuffle, one sort), all exact
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    delta = F.round(F.col("value") * 100).cast("long") - 2000
+    curve = ev.select(
+        "event_type",
+        F.sum(delta).over(run).alias("equity"),
+        "ts",
+        "event_id",
+    )
+    peaked = curve.select(
+        "event_type",
+        "equity",
+        F.max("equity").over(run).alias("run_peak"),
+    )
+    return peaked.groupBy("event_type").agg(
+        F.max(F.col("run_peak") - F.col("equity")).alias(
+            "max_drawdown_c"
+        ),
+        F.max("equity").alias("peak_equity_c"),
+        F.min("equity").alias("trough_equity_c"),
+    )
