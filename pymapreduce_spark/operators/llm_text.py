@@ -2850,3 +2850,64 @@ def llm_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("vocab2")), 4).alias("max_entropy"),
         )
     )
+
+
+@query(
+    "llm_corpus_report_card",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(str_split(text, ' '))::BIGINT AS n_words
+        FROM documents
+    ), dup AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT text)::BIGINT AS n_unique_texts
+        FROM d
+    )
+    SELECT dup.n_docs,
+           dup.n_unique_texts,
+           round((dup.n_docs - dup.n_unique_texts)
+                 / (1.0 * dup.n_docs), 6) AS dup_rate,
+           (SELECT count(DISTINCT lang) FROM d)::BIGINT AS n_langs,
+           (SELECT sum(n_words) FROM d)::BIGINT AS total_words,
+           ((SELECT sum(n_words) FROM d)::BIGINT
+               // (SELECT count(*) FROM d))::BIGINT AS words_per_doc,
+           (SELECT min(n_chars) FROM d)::BIGINT AS min_chars,
+           (SELECT max(n_chars) FROM d)::BIGINT AS max_chars
+    FROM dup
+    """,
+)
+def llm_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus report card: size, exact-duplicate rate,
+    language count, token volume, and length bounds — the header every
+    dataset datasheet opens with, and the first thing a curation run
+    prints before and after each stage. Two aggregates over one
+    logical scan (plain counts plus a distinct-text count); every
+    number is an exact integer or a ratio of exact integers, so the
+    card is bit-stable across engines and reruns."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    card = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("text").alias("n_unique_texts"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(n_words).alias("total_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return card.select(
+        "n_docs",
+        "n_unique_texts",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique_texts"))
+            / (1.0 * F.col("n_docs")),
+            6,
+        ).alias("dup_rate"),
+        "n_langs",
+        "total_words",
+        F.floor(F.col("total_words") / F.col("n_docs")).cast("long").alias(
+            "words_per_doc"
+        ),
+        "min_chars",
+        "max_chars",
+    )
