@@ -2911,3 +2911,77 @@ def llm_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_chars",
         "max_chars",
     )
+
+
+@query(
+    "llm_word_cooccurrence",
+    oracle="""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS word
+        FROM documents
+    ), df AS (
+        SELECT word, count(*)::BIGINT AS df FROM dw GROUP BY word
+    ), n AS (
+        SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents
+    ), pairs AS (
+        SELECT a.word AS word_a, b.word AS word_b,
+               count(*)::BIGINT AS df_pair
+        FROM dw a JOIN dw b
+          ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+    )
+    SELECT p.word_a, p.word_b, p.df_pair,
+           round(ln((p.df_pair * n.n_docs)
+                    / (1.0 * da.df * db.df)), 4) AS pmi
+    FROM pairs p
+    JOIN df da ON da.word = p.word_a
+    JOIN df db ON db.word = p.word_b
+    CROSS JOIN n
+    WHERE p.df_pair >= 50
+    """,
+)
+def llm_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level word co-occurrence with pointwise mutual
+    information: for frequently co-occurring pairs, PMI =
+    ln(P(a,b)/(P(a)P(b))) — the association statistic behind collocation
+    mining and the word2vec training objective (SGNS factorizes a
+    shifted PMI matrix). Per-doc DISTINCT words first, so the pair
+    join is O(doc_vocab²) per document — bounded by document length,
+    never corpus size; the marginal-frequency sides are vocabulary-
+    sized broadcasts and PMI divides exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    dfreq = dw.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    a = dw.select("doc_id", F.col("word").alias("word_a"))
+    b = dw.select("doc_id", F.col("word").alias("word_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").alias("df_pair"))
+        .where(F.col("df_pair") >= 50)
+    )
+    da = dfreq.select(
+        F.col("word").alias("word_a"), F.col("df").alias("df_a")
+    )
+    db = dfreq.select(
+        F.col("word").alias("word_b"), F.col("df").alias("df_b")
+    )
+    pmi = F.log(
+        (F.col("df_pair") * F.col("n_docs"))
+        / (1.0 * F.col("df_a") * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(da), "word_a")
+        .join(F.broadcast(db), "word_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "word_a",
+            "word_b",
+            "df_pair",
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )
