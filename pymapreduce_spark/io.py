@@ -11,7 +11,11 @@ that matches DuckDB's ``ts::TIMESTAMP`` truncation.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
+import tempfile
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -197,7 +201,16 @@ def partitioned_table(
         _ARTIFACTS_DIR, sf_tag, "part", f"{name}_by_{part_col}"
     )
     marker = os.path.join(path, "_PART_READY")
-    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    # Stamp includes a fingerprint of the partition EXPRESSION, not just
+    # the source file: a caller that redefines part_expr (say year ->
+    # year*100+month) under the same table/part_col name must invalidate
+    # the cached layout — the same staleness class the split cache's
+    # :n{n_files} component guards against.
+    try:
+        expr_fp = str(part_expr._jc)
+    except Exception:
+        expr_fp = str(part_expr)
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:e{zlib.crc32(expr_fp.encode()):08x}"
     try:
         with open(marker) as fh:
             if fh.read().strip() == stamp:
@@ -213,6 +226,45 @@ def partitioned_table(
     except Exception:  # pragma: no cover - read-only FS etc.
         return fallback
     return spark.read.parquet(path)
+
+
+def stable_scratch(sf_dir: str, name: str) -> str:
+    """Bounded scratch location for operators whose RESULT lazily reads
+    files they wrote (compaction read-back, mergeSchema, JSONL round
+    trip, CDC state): a fixed per-(sf, operator) directory under
+    ``.artifacts``, wiped at each invocation start. Repeated bench /
+    differential-suite invocations overwrite the same footprint instead
+    of leaking a fresh ``tempfile.mkdtemp`` copy of the table per call;
+    the files outlive the call so the returned DataFrame's deferred
+    scan still works. Falls back to a plain mkdtemp when the artifacts
+    dir is unwritable (read-only checkout) — correctness is unchanged,
+    only the bounded-footprint property is lost."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_ARTIFACTS_DIR, sf_tag, "scratch", name)
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return tempfile.mkdtemp(prefix=f"{name}_")
+    return path
+
+
+@contextlib.contextmanager
+def scratch_dir(prefix: str = "pmr_"):
+    """Self-cleaning temp directory for operators that must exercise a
+    real write→read-back sink path (multi-output, compaction,
+    write-audit-publish, CDC replay). Bench's median-of-3 and the
+    295-query differential suite re-invoke those operators repeatedly;
+    an unmanaged ``tempfile.mkdtemp`` per call leaks hundreds of
+    parquet copies of lineitem/orders/events into /tmp per session.
+    The result DataFrame must be fully materialized (collected or
+    re-created from local rows) before the ``with`` block exits — the
+    files are gone afterwards."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield path
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def table_row_count(sf_dir: str, name: str) -> int:

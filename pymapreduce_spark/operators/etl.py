@@ -609,8 +609,7 @@ def etl_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_file before partitionBy write → one file per bin), the same
     move a 100 TB lake's maintenance job makes; the read-back is a
     partition-pruned scan of the new layout."""
-    import tempfile
-
+    from pymapreduce_spark.io import stable_scratch
     from pymapreduce_spark.operators.etl import etl_compact_plan
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -621,7 +620,7 @@ def etl_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = li.withColumn("part_key", part_key).join(
         F.broadcast(plan.select("part_key", "target_file")), "part_key"
     )
-    out = tempfile.mkdtemp(prefix="compact_exec_")
+    out = stable_scratch(sf_dir, "compact_exec")
     (
         assigned.repartition("target_file")
         .write.mode("overwrite")
@@ -668,16 +667,15 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a manifest: consumers resolve the published marker, never a
     half-written directory. Audit cost is a scan of the (small)
     derived table, not the source."""
-    import tempfile
-
     from pymapreduce_spark.functions.checked import cents as cents_col
+    from pymapreduce_spark.io import stable_scratch
 
     orders = load_table(spark, sf_dir, "orders")
     derived = orders.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.sum(cents_col("o_totalprice")).alias("cents"),
     )
-    base = tempfile.mkdtemp(prefix="wap_")
+    base = stable_scratch(sf_dir, "wap")
     staging = os.path.join(base, "_staging")
     derived.write.mode("overwrite").parquet(staging)
 

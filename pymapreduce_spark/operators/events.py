@@ -1565,7 +1565,7 @@ def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(ts::TIMESTAMP) AS mu
         FROM events
     ), flagged AS (
-        SELECT user_id,
+        SELECT user_id, tsu, event_id,
                CASE WHEN mu - lag(mu) OVER w > 1800000000
                          OR lag(mu) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
@@ -1574,11 +1574,10 @@ def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sess AS (
         SELECT user_id,
                sum(is_new) OVER (
-                   PARTITION BY user_id
+                   PARTITION BY user_id ORDER BY tsu, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM flagged
-        WINDOW unused AS (PARTITION BY user_id)
     ), per AS (
         SELECT user_id, sid, count(*)::BIGINT AS n
         FROM sess GROUP BY user_id, sid

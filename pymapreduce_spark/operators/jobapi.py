@@ -286,13 +286,14 @@ def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'high_value' AS output_name,
            count(*) FILTER (value >= 100)::BIGINT AS n_rows,
-           sum(round(value * 100)::BIGINT) FILTER (value >= 100)::BIGINT
-               AS cents
+           coalesce(sum(round(value * 100)::BIGINT)
+                    FILTER (value >= 100), 0)::BIGINT AS cents
     FROM events WHERE event_type = 'purchase'
     UNION ALL
     SELECT 'standard',
            count(*) FILTER (value < 100)::BIGINT,
-           sum(round(value * 100)::BIGINT) FILTER (value < 100)::BIGINT
+           coalesce(sum(round(value * 100)::BIGINT)
+                    FILTER (value < 100), 0)::BIGINT
     FROM events WHERE event_type = 'purchase'
     """,
 )
@@ -307,7 +308,7 @@ def api_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the in-memory frames. At 100 TB prefer a single
     partitionBy(route) write when routes share a schema — two sinks
     only when downstream ownership differs."""
-    import tempfile
+    from pymapreduce_spark.io import scratch_dir
 
     purchases = (
         MapReduceJob.from_table(spark, sf_dir, "events")
@@ -321,19 +322,23 @@ def api_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_df()
         .persist()
     )
-    base = tempfile.mkdtemp(prefix="multiout_")
-    high = purchases.where(F.col("value") >= 100)
-    std = purchases.where(F.col("value") < 100)
-    high.write.mode("overwrite").parquet(base + "/high_value")
-    std.write.mode("overwrite").parquet(base + "/standard")
-    purchases.unpersist()
     out = []
-    for name in ("high_value", "standard"):
-        back = spark.read.parquet(f"{base}/{name}")
-        row = back.agg(
-            F.count("*").alias("n"), F.sum("cents").alias("c")
-        ).first()
-        out.append((name, int(row["n"]), int(row["c"])))
+    with scratch_dir("multiout_") as base:
+        high = purchases.where(F.col("value") >= 100)
+        std = purchases.where(F.col("value") < 100)
+        high.write.mode("overwrite").parquet(base + "/high_value")
+        std.write.mode("overwrite").parquet(base + "/standard")
+        purchases.unpersist()
+        for name in ("high_value", "standard"):
+            back = spark.read.parquet(f"{base}/{name}")
+            # An empty route (e.g. no purchase >= 100 at a skewed SF)
+            # yields sum(cents) = NULL — coalesce to 0 like the oracle
+            # instead of crashing on int(None).
+            row = back.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("cents"), F.lit(0)).alias("c"),
+            ).first()
+            out.append((name, int(row["n"]), int(row["c"])))
     return spark.createDataFrame(
         out, "output_name string, n_rows long, cents long"
     )

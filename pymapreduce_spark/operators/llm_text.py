@@ -28,6 +28,12 @@ from pymapreduce_spark.registry import query
 # fixture vocabulary — systems words, not natural language).
 _STOPWORDS = ["join", "hash", "row", "batch", "scan"]
 
+#: Per-document distinct-vocabulary cap for the co-occurrence pair
+#: join (llm_word_cooccurrence): keeps a pathological document from
+#: exploding into ~vocab² pairs while leaving every realistic document
+#: (fixture max ≪ cap) untouched.
+_COOC_MAX_DOC_VOCAB = 10_000
+
 
 @query(
     "llm_dedup_exact",
@@ -2948,15 +2954,31 @@ def llm_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted PMI matrix). Per-doc DISTINCT words first, so the pair
     join is O(doc_vocab²) per document — bounded by document length,
     never corpus size; the marginal-frequency sides are vocabulary-
-    sized broadcasts and PMI divides exact integer counts."""
+    sized broadcasts and PMI divides exact integer counts.
+
+    Hard bound: the pair join enumerates only each document's
+    ``_COOC_MAX_DOC_VOCAB`` highest-tf distinct words (ties broken by
+    word), so one pathological document with a 100k-word vocabulary
+    yields at most N²/2 ≈ 5×10⁷ pairs, never ~10¹⁰. Marginal document
+    frequencies (and PMI) still count the FULL vocabulary; fixture
+    documents sit far below the cap, so capped and uncapped outputs
+    are identical there (the DuckDB oracle is uncapped)."""
     docs = load_table(spark, sf_dir, "documents")
-    dw = docs.select(
+    words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).distinct()
+    )
+    dw = words.distinct()
     dfreq = dw.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
-    a = dw.select("doc_id", F.col("word").alias("word_a"))
-    b = dw.select("doc_id", F.col("word").alias("word_b"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "word")
+    capped = (
+        tf.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _COOC_MAX_DOC_VOCAB)
+        .select("doc_id", "word")
+    )
+    a = capped.select("doc_id", F.col("word").alias("word_a"))
+    b = capped.select("doc_id", F.col("word").alias("word_b"))
     pairs = (
         a.join(b, "doc_id")
         .where(F.col("word_a") < F.col("word_b"))

@@ -434,6 +434,12 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bucket-join path below takes over.
 _KNN_BROADCAST_MAX_ROWS = 200_000
 
+#: Peak float count one semdedup pair-kernel block may materialize
+#: (block_rows × cluster_size similarities ≈ 256 MB of float64). Above
+#: a ~sqrt(bound)-sized cluster the kernel switches from one n×n GEMM
+#: to row-blocked GEMMs with identical output.
+_SEMDEDUP_BLOCK_ELEMS = 32_000_000
+
 
 def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
     """Distributed approximate kNN self-join — the >threshold path.
@@ -924,9 +930,30 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("vec_id")
         m = np.vstack(pdf["v"].to_numpy())
-        sim = np.round(m @ m.T, 6)
-        # strictly-lower triangle: a near-dup partner with a LOWER id
-        is_dup = np.tril(sim >= 0.45, k=-1).any(axis=1)
+        n = len(pdf)
+        # Memory gate (the knn kernel's row-bound pattern): one n×n sim
+        # matrix is the quadratic hazard when the quantizer hands us a
+        # skewed cluster. Past the bound, compute the SAME strictly-
+        # lower-triangle any() in row blocks — each block materializes
+        # only block×n similarities, so peak memory is capped at
+        # ~_SEMDEDUP_BLOCK_ELEMS floats regardless of cluster size,
+        # and the output is bit-identical to the one-shot GEMM.
+        block = max(1, _SEMDEDUP_BLOCK_ELEMS // max(n, 1))
+        if n <= block:
+            sim = np.round(m @ m.T, 6)
+            # strictly-lower triangle: a partner with a LOWER id
+            is_dup = np.tril(sim >= 0.45, k=-1).any(axis=1)
+        else:
+            is_dup = np.zeros(n, dtype=bool)
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                sim = np.round(m[lo:hi] @ m.T, 6)
+                # keep only columns j < row index i (strictly lower)
+                cols = np.arange(n)[None, :]
+                rows = np.arange(lo, hi)[:, None]
+                is_dup[lo:hi] = ((sim >= 0.45) & (cols < rows)).any(
+                    axis=1
+                )
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"].to_numpy(),

@@ -34,7 +34,18 @@ import warnings
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: How many already-green names to re-sample per round (bucket 2).
+#: While the fresh backlog dominates (first five rounds) the quota stays
+#: small so new operators get driver rows quickly; once five rounds of
+#: artifacts exist the quota doubles so regressions in the large green
+#: set are re-detected sooner (round-4 verdict, task 6).
 RESAMPLE_QUOTA = 4
+_RESAMPLE_QUOTA_LATE = 8
+_LATE_ROUND_ARTIFACTS = 5
+
+
+def _resample_quota() -> int:
+    n_artifacts = len(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    return _RESAMPLE_QUOTA_LATE if n_artifacts >= _LATE_ROUND_ARTIFACTS else RESAMPLE_QUOTA
 
 #: Curated head of the fresh bucket for round 4+: §2-J streaming (the
 #: only §2 section with zero driver rows after round 3), then the
@@ -86,6 +97,80 @@ PRIORITY: tuple[str, ...] = (
     # ETL / CDC
     "etl_scd2",
     "etl_snapshot_diff",
+    # Round 5+: the LLM curation core — the operators a training-data
+    # user hits first (round-4 verdict, task 1). Ranking/scoring, the
+    # quality-gate chain, then the full dedup taxonomy and the
+    # tokenize->chunk->pack->shard training-prep chain.
+    "llm_bm25",
+    "llm_semdedup",
+    "llm_decontaminate",
+    "llm_gopher_quality",
+    "llm_repetition_filter",
+    "llm_quality_classifier",
+    "llm_curation_pipeline",
+    "llm_dedup_ngram",
+    "llm_dedup_embed",
+    "llm_dedup_substring",
+    "llm_dedup_editdist",
+    "llm_prefix_dedup",
+    "llm_dedup_incremental",
+    "llm_knn_self_join",
+    "llm_token_count",
+    "llm_chunk_documents",
+    "llm_pack_sequences",
+    "llm_shard_assign",
+    "llm_train_test_split",
+    "llm_split_leakage",
+    "llm_lsh_diagnostics",
+    # ETL / CDC suite (the rest of etl.py) + CDC streaming
+    "etl_fk_integrity",
+    "etl_data_profile",
+    "etl_dq_rules",
+    "etl_skew_report",
+    "etl_compact_plan",
+    "etl_scd2_lookup",
+    "etl_compact_execute",
+    "etl_write_audit_publish",
+    "etl_scd1_current",
+    "etl_rowcount_drift",
+    "etl_late_data_quarantine",
+    "stream_cdc_apply",
+    # Dual-engine SQL front-end + the MapReduce job API
+    "sql_frontend",
+    "sql_subquery",
+    "api_wordcount",
+    "api_pipeline",
+    "api_reduce_side_join",
+    "api_map_side_join",
+    "api_secondary_sort",
+    "api_counters",
+    "api_multi_output",
+    "mr_total_order_sort",
+    # Remaining sources / streaming
+    "scan_merge_schema",
+    "scan_jsonl_nested",
+    "stream_progress_audit",
+    "stream_unified_api",
+    # Remaining LLM corpus analytics / embedding ops
+    "llm_pii_mask",
+    "llm_fingerprint",
+    "llm_lang_id",
+    "llm_corpus_stats",
+    "llm_inverted_index",
+    "llm_topk_ngrams",
+    "llm_unigram_logprob",
+    "llm_bigram_lm",
+    "llm_domain_mix",
+    "llm_mix_rebalance",
+    "llm_batch_inference",
+    "llm_embed_quantize",
+    "llm_embed_centroid",
+    "llm_cluster_topics",
+    "llm_embedding_norm_audit",
+    "llm_multimodal_decode",
+    "llm_frame_sample",
+    "llm_audio_features",
+    "llm_sim_search_ivf",
 )
 
 
@@ -154,7 +239,7 @@ def ordered_names(registered: dict, oracles: dict | None = None) -> list[str]:
         n for n in curated if n in latest and n not in set(rechecks)
     ]
     # Oldest driver row first; name tie-break keeps it deterministic.
-    resample = sorted(green, key=lambda n: (latest[n][0], n))[:RESAMPLE_QUOTA]
+    resample = sorted(green, key=lambda n: (latest[n][0], n))[: _resample_quota()]
     fresh = [n for n in curated if n not in latest]
     rest = [n for n in green if n not in set(resample)]
     return rechecks + resample + fresh + rest

@@ -421,10 +421,10 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema on every read is footer-cost — evolve the table
     metadata instead; this op documents the read-side behavior that
     makes old files keep working."""
-    import tempfile
+    from pymapreduce_spark.io import stable_scratch
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="evolve_")
+    base = stable_scratch(sf_dir, "evolve")
     v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderstatus", "o_totalprice"
     )
@@ -464,12 +464,12 @@ def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     export → nested parse → flatten round trip is lossless. Schema-
     explicit nested reads also skip Spark's two-pass inference scan,
     which is the at-scale requirement."""
-    import tempfile
+    from pymapreduce_spark.io import stable_scratch
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") < 2000
     )
-    path = tempfile.mkdtemp(prefix="nested_jsonl_")
+    path = stable_scratch(sf_dir, "nested_jsonl")
     nested = ev.select(
         F.struct(
             F.col("event_type").alias("type"),

@@ -652,9 +652,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     state table is key-cardinality-sized and the merge shuffles only
     state+batch, never history."""
     import shutil
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="cdc_apply_")
+    from pymapreduce_spark.io import stable_scratch
+
+    base = stable_scratch(sf_dir, "cdc_apply")
     state_dir = os.path.join(base, "state")
     pick = F.max(
         F.struct(

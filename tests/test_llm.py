@@ -338,3 +338,23 @@ def test_dedup_embed_scale_guard(spark, sf_dir, monkeypatch):
     assert recall >= 0.9, f"LSH dedup recall too low: {recall:.3f}"
     for k, v in approx.items():
         assert abs(v - exact[k]) < 1e-5, (k, v, exact[k])
+
+
+def test_semdedup_blocked_gemm_matches_oneshot(spark, sf_dir, monkeypatch):
+    """A skewed cluster must not materialize an n×n similarity matrix:
+    past _SEMDEDUP_BLOCK_ELEMS the pair kernel switches to row-blocked
+    GEMMs. Force every fixture cluster over the bound and require the
+    blocked path's output to be IDENTICAL to the one-shot GEMM."""
+    from pymapreduce_spark.operators import llm_vector
+    from pymapreduce_spark.registry import QUERIES
+
+    oneshot = sorted(
+        tuple(r) for r in QUERIES["llm_semdedup"](spark, sf_dir).collect()
+    )
+    # block = max(1, 4 // n) = 1 for any real cluster → fully blocked
+    monkeypatch.setattr(llm_vector, "_SEMDEDUP_BLOCK_ELEMS", 4)
+    blocked = sorted(
+        tuple(r) for r in QUERIES["llm_semdedup"](spark, sf_dir).collect()
+    )
+    assert blocked == oneshot
+    assert any(r[2] for r in blocked)  # fixture has semantic near-dups

@@ -62,9 +62,24 @@ def test_resample_rotates_oldest_green(patched):
     patched({n: (i + 1, GREEN) for i, n in enumerate("abcdef")})
     order = ordering.ordered_names(registered, oracles=registered)
     # quota of the OLDEST green rows resampled ahead of the rest
-    quota = ordering.RESAMPLE_QUOTA
+    quota = min(ordering._resample_quota(), 6)
     assert order[:quota] == list("abcdef")[:quota]
-    assert order[quota] == "g"  # fresh name right after the resample
+    if quota < 6:
+        assert order[quota] == "g"  # fresh name right after the resample
+
+
+def test_resample_quota_rises_after_backlog_rounds(monkeypatch):
+    """Quota stays small while fresh names dominate (few artifacts),
+    then doubles once five rounds of driver evidence exist."""
+    import glob as _glob
+
+    def fake_glob(n):
+        return lambda pat: [f"CORRECTNESS_r{i:02d}.json" for i in range(1, n + 1)]
+
+    monkeypatch.setattr(ordering.glob, "glob", fake_glob(4))
+    assert ordering._resample_quota() == ordering.RESAMPLE_QUOTA
+    monkeypatch.setattr(ordering.glob, "glob", fake_glob(5))
+    assert ordering._resample_quota() == ordering._RESAMPLE_QUOTA_LATE
 
 
 def test_deterministic_without_artifacts(patched):
