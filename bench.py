@@ -115,6 +115,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for key, op in HEADLINE.items():
         # One failing query must not take down the whole benchmark —
@@ -132,6 +133,15 @@ def main() -> None:
                 fetch(fn(spark, SF_DIR))
                 runs.append(time.perf_counter() - t0)
             timings[key] = round(statistics.median(runs), 4)
+            # Per-query [min, median, max]: this host's shared-VM CPU
+            # steal swings single runs ±30-40%, so the artifact must
+            # carry the spread — a "regression" whose min overlaps last
+            # round's max is noise, not a plan change.
+            spread[key] = [
+                round(min(runs), 4),
+                round(statistics.median(runs), 4),
+                round(max(runs), 4),
+            ]
         except Exception as exc:  # noqa: BLE001
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -145,6 +155,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf_num,
     }
     if errors:

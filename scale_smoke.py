@@ -35,6 +35,7 @@ REPLICATED = {
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "events": {"event_id": 10_000_000, "user_id": 1_000_000},
     "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
 }
 
 
@@ -133,13 +134,63 @@ def llm_section(spark) -> dict:
     n_docs = labels.count()
     n_clusters = labels.select("cluster_id").distinct().count()
     secs = time.perf_counter() - t0
-    return {
+    out = {
         "fuzzy_dedup_50k": {
             "n_docs": n_docs,
             "n_clusters": n_clusters,
             "wall_s": round(secs, 2),
         }
     }
+    out.update(llm_registered_at_x10(spark))
+    return out
+
+
+def llm_registered_at_x10(spark) -> dict:
+    """Run the two heaviest REGISTERED curation ops against the 10×
+    replicas through their normal (spark, sf_dir) entry points, with
+    invariants the replication makes provable:
+
+    - semdedup: every non-original replica of a vector has an exact
+      copy with a lower id in the SAME cluster, so ≥ 9/10 of rows must
+      come back is_dup — the quadratic-in-cluster kernel is exercised
+      at 10× cluster sizes and must still agree with set arithmetic.
+    - bm25: replicas repeat the same text, so the (doc, word) row
+      count must be exactly 10× the base run's.
+    """
+    # sf-dir-shaped view over the replicas so load_table finds
+    # <dir>/<table>.parquet without copying anything.
+    sf_x = os.path.join(OUT, "sfdir_x10")
+    os.makedirs(sf_x, exist_ok=True)
+    for t in REPLICATED:
+        link = os.path.join(sf_x, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(OUT, t), link)
+
+    from pymapreduce_spark.registry import QUERIES
+
+    res: dict = {}
+    t0 = time.perf_counter()
+    sd = QUERIES["llm_semdedup"](spark, sf_x)
+    agg = sd.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+    ).first()
+    res["semdedup_20k"] = {
+        "n_vectors": agg["n"],
+        "n_dup": agg["n_dup"],
+        "dup_share_ok": bool(agg["n_dup"] >= 0.9 * agg["n"]),
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
+
+    base_rows = QUERIES["llm_bm25"](spark, BASE_SF).count()
+    t0 = time.perf_counter()
+    x_rows = QUERIES["llm_bm25"](spark, sf_x).count()
+    res["bm25_50k"] = {
+        "n_rows": x_rows,
+        "rows_10x_ok": bool(x_rows == 10 * base_rows),
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
+    return res
 
 def main() -> None:
     spark = get_spark()
