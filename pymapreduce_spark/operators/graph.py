@@ -498,7 +498,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, dst FROM (
             SELECT src, dst, row_number() OVER (
                 PARTITION BY src ORDER BY cos DESC, dst) AS rn
-            FROM d) WHERE rn = 1
+            FROM d) WHERE rn <= 3
     ),
     edges AS (SELECT src, dst FROM nn UNION SELECT dst, src FROM nn),
     wedge AS (
@@ -521,10 +521,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbor link prediction over the 1-NN similarity graph:
+    """Common-neighbor link prediction over the 3-NN similarity graph:
     non-adjacent node pairs sharing ≥ 2 neighbors, scored by
     neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
     candidate generator for 'related items' and graph densification.
+    3-NN, not 1-NN: a 1-NN graph has degree ~1-3, so NO pair shares
+    two neighbors and the operator (and its differential check) is
+    vacuously empty at every fixture scale — the same empty-result
+    class as q11's fixed-fraction HAVING. k=3 is the smallest k that
+    makes ≥ 2 shared neighbors structurally reachable.
 
     Two-join wedge counting (the graph_triangles kernel): paths a→x→b
     aggregate per (a,b), degrees come from one groupBy, existing edges
@@ -536,7 +541,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nn1 = (
         llm_knn_self_join(spark, sf_dir)
-        .where(F.col("nn_rank") == 1)
+        .where(F.col("nn_rank") <= 3)
         .select(F.col("query_id").alias("src"),
                 F.col("neighbor_id").alias("dst"))
     )

@@ -2179,18 +2179,25 @@ def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT word, df,
            round(df / (1.0 * n), 6) AS df_ratio
     FROM dfreq, docs_n
-    WHERE df * 10 >= n * 9
+    ORDER BY df DESC, word
+    LIMIT 20
     """,
 )
 def llm_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-driven stopword discovery: words appearing in ≥ 90% of
-    documents — the data-derived alternative to a hand-curated list
-    (this repo's _STOPWORDS constant was built exactly this way from
-    the fixture vocabulary). Document frequency via one distinct-pair
-    count and a map-side-combined shuffle on the word; the threshold
-    compares exact integers (df·10 ≥ n·9), no float cut. The output
-    feeds llm_quality_filter/tfidf — stopword lists should be derived
-    per-corpus, not imported."""
+    """Corpus-driven stopword discovery: the 20 most document-frequent
+    words with their df ratio — the data-derived alternative to a
+    hand-curated list (this repo's _STOPWORDS constant was built
+    exactly this way from the fixture vocabulary). A ranked shortlist,
+    not a fixed df cut: an absolute threshold (the first version used
+    df ≥ 90%) returns an EMPTY set on any corpus whose top words sit
+    below it — the fixture's most common word covers ~60% of docs —
+    and an empty result makes the differential check vacuous (the
+    q11 fixed-fraction lesson). Document frequency via one
+    distinct-pair count and a map-side-combined shuffle on the word;
+    top-20 with a full (df, word) tiebreak plans as
+    TakeOrderedAndProject — no global sort. The output feeds
+    llm_quality_filter/tfidf — stopword lists should be derived
+    per-corpus, not imported; the cut threshold belongs downstream."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").alias("n"))
     dfreq = (
@@ -2203,7 +2210,8 @@ def llm_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dfreq.crossJoin(F.broadcast(n))
-        .where(F.col("df") * 10 >= F.col("n") * 9)
+        .orderBy(F.desc("df"), "word")
+        .limit(20)
         .select(
             "word",
             "df",
