@@ -2975,10 +2975,14 @@ def llm_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    dw = words.distinct()
-    dfreq = dw.groupBy("word").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    # ONE tokenize shuffle feeds everything: tf's key set IS the
+    # distinct (doc, word) relation, so document frequencies, the
+    # capped pair input, and the marginals all derive from it without
+    # a second distinct() pass over the exploded corpus.
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
     rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "word")
     capped = (
         tf.withColumn("rk", F.row_number().over(rk))
