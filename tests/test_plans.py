@@ -622,3 +622,19 @@ def test_keyword_extraction_window_group_limit(spark, sf_dir):
     (WindowGroupLimit) so no document's full term list materializes."""
     plan = plan_of("llm_keyword_extraction", spark, sf_dir)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_stopword_candidates_take_ordered(spark, sf_dir):
+    """The top-20-by-df shortlist must plan TakeOrderedAndProject over
+    the vocab aggregate — never a global sort of the vocabulary."""
+    plan = plan_of("llm_stopword_candidates", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_common_neighbors_no_cartesian_wedges(spark, sf_dir):
+    """Wedge counting must stay a keyed hash join on the shared
+    neighbor plus grouped aggregation — never a cartesian pair
+    enumeration or array-materialized neighbor sets."""
+    plan = plan_of("graph_common_neighbors", spark, sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "collect_list" not in plan and "collect_set" not in plan, plan
