@@ -105,8 +105,14 @@ def compare_frames(
     duck_rel: duckdb.DuckDBPyConnection,
     oracle_sql: str,
     max_diff_report: int = 5,
+    min_rows: int = 1,
 ) -> None:
-    """Assert Spark result == DuckDB oracle result (driver-equivalent)."""
+    """Assert Spark result == DuckDB oracle result (driver-equivalent).
+
+    ``min_rows`` defaults to 1: an empty result matching an empty
+    oracle is a hash "pass" that checks nothing (the q11
+    fixed-fraction lesson) — callers comparing at a scale where a
+    query is legitimately empty pass ``min_rows=0`` explicitly."""
     assert_driver_canonicalizable(name, spark_df)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -138,6 +144,11 @@ def compare_frames(
     )
     assert len(s_rows) == len(d_rows), (
         f"[{name}] row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    assert len(s_rows) >= min_rows, (
+        f"[{name}] vacuously empty result ({len(s_rows)} rows < "
+        f"{min_rows}): an empty-vs-empty compare verifies nothing — "
+        f"make the query self-normalizing or exempt it at this scale"
     )
     sc = _canon_rows(s_cols, s_rows)
     dc = _canon_rows(d_cols, d_rows)

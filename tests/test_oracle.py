@@ -13,10 +13,24 @@ from pymapreduce_spark.testing import (
 )
 
 
+#: Legitimately empty at the smallest fixture only (~6k lineitem rows
+#: cannot satisfy these multi-level selective TPC-H predicates); at the
+#: driver's gate scale (sf0.01) and above, EVERY query must be
+#: non-empty — compare_frames enforces that (the q11 lesson).
+_EMPTY_OK_AT_SF0001 = {
+    "q7_volume_shipping",
+    "q11_important_stock",
+    "q20_dominant_supplier",
+    "q21_suppliers_kept_waiting",
+}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle(name: str, spark, duck, sf_dir: str) -> None:
     sdf = QUERIES[name](spark, sf_dir)
-    compare_frames(name, sdf, duck, ORACLES[name])
+    tiny = sf_dir.rstrip("/").endswith("sf0.001")
+    min_rows = 0 if (tiny and name in _EMPTY_OK_AT_SF0001) else 1
+    compare_frames(name, sdf, duck, ORACLES[name], min_rows=min_rows)
 
 
 def test_all_queries_run(spark, sf_dir: str) -> None:
@@ -27,7 +41,7 @@ def test_all_queries_run(spark, sf_dir: str) -> None:
         df = QUERIES[name](spark, sf_dir)
         assert df.columns, name
         assert_driver_canonicalizable(name, df)
-        assert df.count() >= 0, name
+        assert df.count() >= 1, f"{name}: vacuously empty rows-only op"
 
 
 def test_entry_smoke(spark) -> None:
