@@ -99,7 +99,20 @@ def cluster_near_duplicates(
     equi-join on (band, key) — shuffle on a 2-hash band key, never a
     cross join; the verify join touches only candidate pairs; components
     run on the Pregel-shaped kernel (pointer jumping, eager checkpoint,
-    monotone-sum convergence) from graph.py."""
+    monotone-sum convergence) from graph.py.
+
+    Exact-duplicate collapse runs BEFORE MinHash (the production first
+    stage of every at-scale dedup): identical texts band-collide by
+    construction, so a g-copy text group alone contributes g²/2
+    candidate pairs per band — on duplicate-heavy corpora the band
+    join goes quadratic in the copy count. Collapsing to one
+    representative per distinct text is exact, not approximate:
+    J(copy, x) = J(rep, x) for every x, and cluster ids (min doc_id
+    over the cluster) are preserved because each representative
+    carries its text group's minimum id. LSH cost then scales with
+    UNIQUE texts, never total rows (measured: 500 000-doc / 5 000-
+    unique replica corpus went 507 s → seconds; see README scale
+    section)."""
     min_jaccard = 1.0 - max_jaccard_dist
     n_bands = n_hashes // band_rows
     sig = F.expr(
@@ -115,8 +128,13 @@ def cluster_near_duplicates(
             concat_ws('|', slice(sig, b * {band_rows} + 1, {band_rows})))
         """
     )
+    keyed = docs.select("doc_id", "text", F.md5("text").alias("tkey"))
+    reps = keyed.groupBy("tkey").agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    membership = keyed.select("doc_id", "tkey")
     sh = (
-        docs.withColumn("words", F.split("text", " "))
+        reps.withColumn("words", F.split("text", " "))
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
     )
     bands = sh.withColumn("sig", sig).select(
@@ -159,12 +177,19 @@ def cluster_near_duplicates(
     from pymapreduce_spark.operators.graph import connected_components
 
     comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        F.col("node").alias("rep_id"), F.col("component").alias("cluster_id")
     )
-    labels = docs.select("doc_id").join(comp, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    # Label the representatives, then expand over the exact-copy
+    # membership: each copy inherits its representative's cluster.
+    rep_labels = (
+        reps.select(F.col("doc_id").alias("rep_id"), "tkey")
+        .join(comp, "rep_id", "left")
+        .select(
+            "tkey",
+            F.coalesce("cluster_id", F.col("rep_id")).alias("cluster_id"),
+        )
     )
+    labels = membership.join(rep_labels, "tkey")
     return labels.select(
         "doc_id",
         "cluster_id",
