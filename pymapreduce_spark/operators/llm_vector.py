@@ -898,11 +898,29 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold compares round(cos, 6) in BOTH engines so numpy's
     pairwise summation and DuckDB's sequential fold cannot disagree at
     the boundary."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    full = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    seeds = emb.where(F.col("vec_id") < 8).select(
+    seeds = full.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    # Exact-duplicate collapse BEFORE the pairwise pass (the same
+    # production stage the fuzzy-dedup pipeline runs): identical
+    # vectors share their seed assignment and every pairwise score, so
+    # one representative per distinct vector (the group-minimum id)
+    # yields provably identical labels — any non-representative copy
+    # is a duplicate of its lower-id representative, and a
+    # representative has a qualifying lower-id partner among ALL
+    # vectors iff it has one among representatives (exact copies of
+    # that partner share its score, and its own representative has an
+    # id at most as low). Per-cluster GEMM cost then scales with
+    # UNIQUE vectors, never total rows — the duplicate-heavy shape a
+    # real crawl's embedding table has.
+    emb = full.groupBy("v").agg(F.min("vec_id").alias("vec_id"))
+    membership = (
+        full.alias("f")
+        .join(emb.select("v", F.col("vec_id").alias("rep_id")), "v")
+        .select(F.col("f.vec_id").alias("vec_id"), "rep_id")
     )
     scored = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
@@ -962,8 +980,29 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
+    rep_labels = assigned.groupBy("cluster").applyInPandas(
         pair_kernel, "vec_id long, cluster long, is_dup boolean"
+    )
+    # Expand representative labels over the exact-copy membership: a
+    # copy inherits its representative's cluster and is a duplicate
+    # unless it IS the representative (then the rep-level verdict
+    # applies).
+    return (
+        membership.join(
+            rep_labels.select(
+                F.col("vec_id").alias("rep_id"),
+                "cluster",
+                F.col("is_dup").alias("rep_is_dup"),
+            ),
+            "rep_id",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("vec_id") == F.col("rep_id"), F.col("rep_is_dup"))
+            .otherwise(F.lit(True))
+            .alias("is_dup"),
+        )
     )
 
 
