@@ -273,4 +273,13 @@ def table_row_count(sf_dir: str, name: str) -> int:
     bound) where only the corpus size matters, not the data."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        # Real tables are DIRECTORIES of part files (possibly hive-
+        # partitioned); ParquetFile only opens a single file. The
+        # dataset API counts rows from footer metadata across the
+        # whole tree without reading data.
+        import pyarrow.dataset as pads
+
+        return pads.dataset(path, format="parquet").count_rows()
+    return pq.ParquetFile(path).metadata.num_rows

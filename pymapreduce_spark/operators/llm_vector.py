@@ -440,6 +440,10 @@ _KNN_BROADCAST_MAX_ROWS = 200_000
 #: to row-blocked GEMMs with identical output.
 _SEMDEDUP_BLOCK_ELEMS = 32_000_000
 
+#: Same bound for the kNN broadcast kernel's query-block × candidate
+#: similarity matrix (~256 MB of float64 per task at the cap).
+_KNN_BLOCK_ELEMS = 32_000_000
+
 
 def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
     """Distributed approximate kNN self-join — the >threshold path.
@@ -527,34 +531,54 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if table_row_count(sf_dir, "embeddings") > _KNN_BROADCAST_MAX_ROWS:
         return _knn_self_join_lsh(emb, k=5)
-    rows = emb.collect()  # aggregate-then-broadcast side data (§4.2)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    tbl = emb.toArrow()  # aggregate-then-broadcast side data (§4.2)
+    ids = np.asarray(tbl.column("vec_id").to_numpy(), dtype=np.int64)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cand_ids, cand = bc.value
+        n = len(cand_ids)
+        # Row-blocked GEMM (the semdedup kernel's memory gate): a full
+        # Arrow batch against all N candidates materializes B×N
+        # float64 similarities — ~16 GB per task at N = 200k — so the
+        # block size caps the matrix at ~_KNN_BLOCK_ELEMS floats.
+        blk = max(1, _KNN_BLOCK_ELEMS // max(n, 1))
         for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack(pdf["embedding"].values).astype(np.float64)
-            S = Q @ cand.T  # B×N cosines (vectors are L2-normalized)
-            out = {
-                "query_id": [],
-                "neighbor_id": [],
-                "nn_rank": [],
-                "cosine": [],
-            }
-            for i, qid in enumerate(pdf["vec_id"].values):
-                row = np.where(cand_ids == qid, -np.inf, S[i])
-                top = np.lexsort((cand_ids, -row))[:5]
-                out["query_id"].extend([qid] * 5)
-                out["neighbor_id"].extend(cand_ids[top])
-                out["nn_rank"].extend(range(1, 6))
-                out["cosine"].extend(np.round(row[top], 6))
-            yield pd.DataFrame(out)
+            for lo in range(0, len(pdf), blk):
+                sub = pdf.iloc[lo : lo + blk]
+                if not len(sub):
+                    continue
+                Q = np.stack(sub["embedding"].values).astype(np.float64)
+                S = Q @ cand.T  # blk×N cosines (L2-normalized inputs)
+                qids = sub["vec_id"].to_numpy(dtype=np.int64)
+                # Self-exclusion via binary search on the sorted id
+                # axis — O(log n) per query, not an N-length mask.
+                pos = np.searchsorted(cand_ids, qids)
+                hit = (pos < n) & (cand_ids[np.minimum(pos, n - 1)] == qids)
+                S[np.flatnonzero(hit), pos[hit]] = -np.inf
+                # Exact top-5 under (cos DESC, id ASC) without a full
+                # N-sort per query: the vectorized 5th-largest value
+                # bounds the candidate head (every true top-5 member
+                # is ≥ it, ties included), then the tiny head alone is
+                # lexsorted — identical output to the full sort.
+                thresh = np.partition(S, n - 5, axis=1)[:, n - 5]
+                out = {
+                    "query_id": [],
+                    "neighbor_id": [],
+                    "nn_rank": [],
+                    "cosine": [],
+                }
+                for i, qid in enumerate(qids):
+                    idx = np.flatnonzero(S[i] >= thresh[i])
+                    top = idx[np.lexsort((cand_ids[idx], -S[i, idx]))][:5]
+                    out["query_id"].extend([qid] * 5)
+                    out["neighbor_id"].extend(cand_ids[top])
+                    out["nn_rank"].extend(range(1, 6))
+                    out["cosine"].extend(np.round(S[i, top], 6))
+                yield pd.DataFrame(out)
 
     schema = (
         "query_id bigint, neighbor_id bigint, nn_rank int, cosine double"
