@@ -2329,29 +2329,30 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the top-k most frequent words (k = 5, 10, 20) — the
     tradeoff curve every tokenizer-vocab-size decision reads (BPE
     stops merging when marginal coverage flattens). One wordcount
-    shuffle, then rank + cumulative share over the VOCAB table (rows =
-    vocabulary size, not corpus size); shares divide exact integers.
-    The totally-ordered rank (count desc, word asc) makes the curve
-    deterministic under frequency ties."""
+    shuffle; then — because only ranks ≤ 20 are reported — the top-20
+    words come out via orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (each task keeps a 20-row heap; no
+    vocab-sized single-partition window, which at web scale would
+    funnel a billion-row vocabulary through one task). The corpus
+    token total is a separate scalar aggregate broadcast onto the
+    20-row result; the rank/cumsum window then runs over exactly 20
+    rows. Shares divide exact integers; the total order (count desc,
+    word asc) makes the curve deterministic under frequency ties."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+    total = wc.agg(F.sum("n").alias("total_n"))
+    top = wc.orderBy(F.desc("n"), "word").limit(20)
     wo = Window.orderBy(F.desc("n"), "word")
-    ranked = wc.select(
+    ranked = top.crossJoin(F.broadcast(total)).select(
         F.row_number().over(wo).cast("long").alias("vocab_size"),
         F.sum("n")
         .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_n"),
-        F.sum("n").over(
-            Window.partitionBy()
-            .orderBy(F.lit(1))
-            .rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total_n"),
+        "total_n",
     )
     return ranked.where(F.col("vocab_size").isin(5, 10, 20)).select(
         "vocab_size",
@@ -2695,19 +2696,22 @@ def llm_query_doc_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query-term filter lands BEFORE the tf join (only matching
     postings move), which is exactly why inverted retrieval scales:
     work is proportional to the query's posting lists, not the corpus.
-    Ranked on round(6) scores with a doc_id tiebreak so the top-k set
-    is deterministic in both engines."""
+    The top-5 is orderBy+limit — TakeOrderedAndProject, a distributed
+    5-row heap per task — NOT a rank window over every matching doc
+    (a stopword-grade query term would funnel the whole corpus
+    through one window task); the rank is then numbered over the
+    5-row result. Ranked on round(6) scores with a doc_id tiebreak so
+    the top-k set is deterministic in both engines."""
     scored = (
         llm_bm25(spark, sf_dir)
         .where(F.col("word").isin("join", "shuffle", "parquet"))
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("bm25")), 6).alias("score"))
     )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(5)
     w = Window.orderBy(F.desc("score"), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("doc_id", "score", "rank")
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).alias("rank")
     )
 
 

@@ -638,3 +638,20 @@ def test_common_neighbors_no_cartesian_wedges(spark, sf_dir):
     plan = plan_of("graph_common_neighbors", spark, sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "collect_list" not in plan and "collect_set" not in plan, plan
+
+
+def test_vocab_coverage_take_ordered_not_vocab_window(spark, sf_dir):
+    """The coverage curve reads only ranks <= 20, so the plan must be
+    TakeOrderedAndProject over the wordcount (a 20-row heap per task)
+    — never a rank window over the full vocabulary, which at web
+    scale funnels a billion-row vocab through one task."""
+    plan = plan_of("llm_vocab_coverage", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_query_doc_match_take_ordered_top5(spark, sf_dir):
+    """Retrieval returns the top-5 docs via TakeOrderedAndProject —
+    never a global rank window over every doc matching a query term
+    (a stopword-grade term would single-task the whole corpus)."""
+    plan = plan_of("llm_query_doc_match", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
