@@ -413,6 +413,11 @@ def fn_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     to stable column names."""
     li = load_table(spark, sf_dir, "lineitem")
     ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    # crosstab only materializes columns for OBSERVED values: an empty
+    # (or single-status) input would drop F/O and crash the projection
+    for missing in ("F", "O"):
+        if missing not in ct.columns:
+            ct = ct.withColumn(missing, F.lit(0).cast("long"))
     return ct.select(
         F.col("l_returnflag_l_linestatus").alias("l_returnflag"),
         F.col("F").alias("status_f"),

@@ -168,6 +168,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def read_back(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a directory this engine just wrote, with the writer's schema
+    made EXPLICIT. An empty write leaves a directory with no part files
+    (or, if zero batches ran, no directory at all) — footer inference
+    then throws UNABLE_TO_INFER_SCHEMA, so every sink→read-back would
+    crash on legitimately empty data (an empty route, day, or filter
+    result is routine at 100 TB). Explicit schema + an ensured directory
+    returns an honest empty frame instead. Works for partitioned layouts
+    too: declare partition columns in the schema and Spark casts the
+    directory values to the declared types."""
+    os.makedirs(path, exist_ok=True)
+    return spark.read.schema(schema).format(fmt).load(path)
+
+
 def partitioned_table(
     spark: SparkSession,
     sf_dir: str,
@@ -214,7 +230,7 @@ def partitioned_table(
     try:
         with open(marker) as fh:
             if fh.read().strip() == stamp:
-                return spark.read.parquet(path)
+                return read_back(spark, path, fallback.schema)
     except OSError:
         pass
     try:
@@ -225,7 +241,9 @@ def partitioned_table(
             fh.write(stamp)
     except Exception:  # pragma: no cover - read-only FS etc.
         return fallback
-    return spark.read.parquet(path)
+    # schema-explicit (read_back): an empty source writes a partitioned
+    # dir with zero part files, which footer inference cannot read
+    return read_back(spark, path, fallback.schema)
 
 
 def stable_scratch(sf_dir: str, name: str) -> str:

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.io import load_table
+from pymapreduce_spark.io import load_table, read_back
 from pymapreduce_spark.registry import query
 
 
@@ -627,7 +627,7 @@ def etl_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("target_file")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    back = read_back(spark, out, assigned.schema)
     return back.groupBy("target_file").agg(
         F.count_distinct("part_key").alias("n_partitions"),
         F.count("*").alias("n_rows"),
@@ -679,11 +679,13 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = os.path.join(base, "_staging")
     derived.write.mode("overwrite").parquet(staging)
 
-    staged = spark.read.parquet(staging)  # audit the on-disk copy
+    # audit the on-disk copy (schema-explicit: an empty staged write has
+    # no footers to infer from, and an empty audit must FAIL, not crash)
+    staged = read_back(spark, staging, derived.schema)
     audit = staged.agg(
         F.count("*").alias("groups"),
-        F.sum("n_orders").alias("rows"),
-        F.sum("cents").alias("cents"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).alias("rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
     ).first()
     passed = audit["groups"] > 0 and audit["rows"] > 0
 

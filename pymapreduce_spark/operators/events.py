@@ -1584,8 +1584,8 @@ def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*)::BIGINT AS n_sessions,
            count(*) FILTER (n = 1)::BIGINT AS n_bounces,
-           round(count(*) FILTER (n = 1) / (1.0 * count(*)), 6)
-               AS bounce_rate
+           round(count(*) FILTER (n = 1)
+                 / (1.0 * nullif(count(*), 0)), 6) AS bounce_rate
     FROM per
     """,
 )
@@ -1611,7 +1611,8 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.count(F.when(F.col("n") == 1, 1)).alias("n_bounces"),
         F.round(
-            F.count(F.when(F.col("n") == 1, 1)) / (1.0 * F.count("*")),
+            F.count(F.when(F.col("n") == 1, 1))
+            / (1.0 * F.nullif(F.count("*"), F.lit(0))),
             6,
         ).alias("bounce_rate"),
     )

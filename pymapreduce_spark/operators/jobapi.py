@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymapreduce_spark.api import MapReduceJob
-from pymapreduce_spark.io import load_table
+from pymapreduce_spark.io import load_table, read_back
 from pymapreduce_spark.registry import query
 
 
@@ -249,8 +249,8 @@ def api_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'n_errors', count(*) FILTER (
         WHERE event_type = 'error')::BIGINT FROM events
     UNION ALL
-    SELECT 'purchase_cents', sum(CASE WHEN event_type = 'purchase'
-        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT FROM events
+    SELECT 'purchase_cents', coalesce(sum(CASE WHEN event_type = 'purchase'
+        THEN round(value * 100)::BIGINT ELSE 0 END), 0)::BIGINT FROM events
     """,
 )
 def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,8 +275,13 @@ def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     job.to_df().count()  # the action the counters piggyback on
     got = obs.get
+    # a SUM observed over zero rows reports None — a counter that never
+    # incremented is 0, not a crash (mirrored by coalesce in the oracle)
     return spark.createDataFrame(
-        [(k, int(got[k])) for k in sorted(got)],
+        [
+            (k, int(got[k]) if got[k] is not None else 0)
+            for k in sorted(got)
+        ],
         "counter string, value long",
     )
 
@@ -330,7 +335,7 @@ def api_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         std.write.mode("overwrite").parquet(base + "/standard")
         purchases.unpersist()
         for name in ("high_value", "standard"):
-            back = spark.read.parquet(f"{base}/{name}")
+            back = read_back(spark, f"{base}/{name}", purchases.schema)
             # An empty route (e.g. no purchase >= 100 at a skewed SF)
             # yields sum(cents) = NULL — coalesce to 0 like the oracle
             # instead of crashing on int(None).

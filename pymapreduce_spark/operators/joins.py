@@ -520,7 +520,7 @@ def join_star_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (pu IS NULL)::BIGINT AS left_only,
            count(*) FILTER (vu IS NULL)::BIGINT AS right_only,
            round(count(*) FILTER (vu IS NOT NULL AND pu IS NOT NULL)
-                 / (1.0 * count(*)), 6) AS match_rate
+                 / (1.0 * nullif(count(*), 0)), 6) AS match_rate
     FROM j
     """,
 )
@@ -551,7 +551,9 @@ def join_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.alias("matched"),
         F.count(F.when(F.col("pu").isNull(), 1)).alias("left_only"),
         F.count(F.when(F.col("vu").isNull(), 1)).alias("right_only"),
-        F.round(matched / (1.0 * F.count("*")), 6).alias("match_rate"),
+        F.round(
+            matched / (1.0 * F.nullif(F.count("*"), F.lit(0))), 6
+        ).alias("match_rate"),
     )
 
 

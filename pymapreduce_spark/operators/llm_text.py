@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.io import load_table
+from pymapreduce_spark.io import load_table, table_row_count
 from pymapreduce_spark.registry import query
 
 # Pseudo-stopwords: the corpus' most frequent tokens (measured on the
@@ -787,6 +787,11 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the SQL form rather than equality."""
     from pyspark.ml.feature import CountVectorizer, IDF, Tokenizer
 
+    # CountVectorizer.fit on an empty corpus has no vocabulary to learn
+    if table_row_count(sf_dir, "documents") == 0:
+        return spark.createDataFrame(
+            [], "doc_id bigint, top_term string, top_weight double"
+        )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     cv_model = CountVectorizer(
@@ -2910,7 +2915,7 @@ def llm_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dup.n_docs,
            dup.n_unique_texts,
            round((dup.n_docs - dup.n_unique_texts)
-                 / (1.0 * dup.n_docs), 6) AS dup_rate,
+                 / (1.0 * nullif(dup.n_docs, 0)), 6) AS dup_rate,
            (SELECT count(DISTINCT lang) FROM d)::BIGINT AS n_langs,
            (SELECT sum(n_words) FROM d)::BIGINT AS total_words,
            ((SELECT sum(n_words) FROM d)::BIGINT
@@ -2943,14 +2948,14 @@ def llm_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique_texts",
         F.round(
             (F.col("n_docs") - F.col("n_unique_texts"))
-            / (1.0 * F.col("n_docs")),
+            / (1.0 * F.nullif(F.col("n_docs"), F.lit(0))),
             6,
         ).alias("dup_rate"),
         "n_langs",
         "total_words",
-        F.floor(F.col("total_words") / F.col("n_docs")).cast("long").alias(
-            "words_per_doc"
-        ),
+        F.floor(
+            F.col("total_words") / F.nullif(F.col("n_docs"), F.lit(0))
+        ).cast("long").alias("words_per_doc"),
         "min_chars",
         "max_chars",
     )

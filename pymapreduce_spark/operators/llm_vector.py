@@ -131,6 +131,14 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # LSH.fit requires a non-empty corpus (random projections need the
+    # vector dimension from data); an empty index has no neighbors.
+    if table_row_count(sf_dir, "embeddings") == 0:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, nn_rank int,"
+            " cosine double, in_exact_topk boolean",
+        )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         _as_double("embedding").alias("e"),
@@ -605,6 +613,14 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # KMeans.fit needs data (k centers from an empty corpus is
+    # undefined); an empty index has no neighbors to return.
+    if table_row_count(sf_dir, "embeddings") == 0:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, nn_rank int,"
+            " cosine double, in_exact_topk boolean",
+        )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",

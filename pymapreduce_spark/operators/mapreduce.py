@@ -310,9 +310,17 @@ def mr_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("hi").over(w) <= F.col("lo"), F.lit(True)
         ).alias("disjoint_ok"),
     )
+    # coalesce: over an EMPTY input the claims hold vacuously (an empty
+    # dataset is sorted) and the row total is 0, not NULL — only
+    # n_partitions still differs from the oracle's literal 8 there,
+    # honestly (range partitioning of nothing yields no partitions)
     return flags.agg(
         F.count("*").alias("n_partitions"),
-        F.sum("n").alias("n_rows"),
-        F.bool_and("part_ok").alias("globally_sorted"),
-        F.bool_and("disjoint_ok").alias("partitions_disjoint"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.bool_and("part_ok"), F.lit(True)).alias(
+            "globally_sorted"
+        ),
+        F.coalesce(F.bool_and("disjoint_ok"), F.lit(True)).alias(
+            "partitions_disjoint"
+        ),
     )

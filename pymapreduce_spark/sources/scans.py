@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pymapreduce_spark.io import load_table
+from pymapreduce_spark.io import load_table, read_back
 from pymapreduce_spark.registry import query
 
 _ARTIFACTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts")
@@ -122,7 +122,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "lineitem_by_flag")
     li = load_table(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    back = spark.read.parquet(path)
+    back = read_back(spark, path, li.schema)
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -316,7 +316,7 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = kept.unionByName(changed)
     path = _scratch(sf_dir, "orders_upserted")
     merged.write.mode("overwrite").parquet(path)
-    back = spark.read.parquet(path)
+    back = read_back(spark, path, merged.schema)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
         F.count_distinct("o_orderkey").alias("n_keys"),
@@ -385,7 +385,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "orders_orc")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(path)
-    back = spark.read.orc(path)
+    back = read_back(spark, path, orders.schema, fmt="orc")
     from pymapreduce_spark.functions.checked import cents
 
     return back.groupBy("o_orderstatus").agg(

@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.io import load_table
+from pymapreduce_spark.io import load_table, read_back
 from pymapreduce_spark.registry import query
 
 _ARTIFACTS = os.path.join(
@@ -67,10 +67,29 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _replay_schema(spark: SparkSession, sf_dir: str):
+    """Replay-dir schema derived from the SOURCE table, never inferred
+    from the written files: inference needs at least one part file, so
+    an empty source (a day with no events — routine at scale) would
+    crash the read. An explicit readStream schema is the production
+    rule anyway — inference races file arrival.
+
+    Built as a FRESH StructType: ``StructType.add`` mutates in place,
+    and the base schema object belongs to the cached events DataFrame —
+    mutating it would leak a phantom ``day`` column into every later
+    events query in the session."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base = load_table(spark, sf_dir, "events").schema
+    return StructType(
+        list(base.fields) + [StructField("day", StringType())]
+    )
+
+
 def read_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     """events as a stream (schema-explicit; no inference on a stream)."""
     path = replay_dir(spark, sf_dir)
-    schema = spark.read.parquet(path).schema
+    schema = _replay_schema(spark, sf_dir)
     reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -408,7 +427,9 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink_path)
+    # schema-explicit read-back: zero batches (empty source) leave no
+    # part files — inference would crash on a legitimately quiet stream
+    return read_back(spark, sink_path, filtered.schema)
 
 
 @query(
@@ -536,7 +557,7 @@ def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the batch count (one row per batch), the same
     O(metrics) driver-side footprint any metrics sink has."""
     path = replay_dir(spark, sf_dir)
-    schema = spark.read.parquet(path).schema
+    schema = _replay_schema(spark, sf_dir)
     s = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -665,13 +686,25 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("vc"),
         )
     ).alias("c")
+    # State schema derived by PLANNING the merge shape on the batch
+    # table (no execution): the state dir may be empty or absent when
+    # the source had no events, so reads of it are schema-explicit.
+    _state_schema = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(pick)
+        .schema
+    )
 
     def merge(batch_df, batch_id):
         cur = batch_df.select(
             "user_id", "ts", "event_id", "event_type", "value"
         )
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            prev = batch_df.sparkSession.read.parquet(state_dir).select(
+            prev = read_back(
+                batch_df.sparkSession, state_dir, _state_schema
+            ).select(
                 "user_id",
                 F.col("c.tsu").alias("ts"),
                 F.col("c.id").alias("event_id"),
@@ -694,7 +727,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state_dir).select(
+    return read_back(spark, state_dir, _state_schema).select(
         "user_id",
         F.col("c.id").alias("last_event_id"),
         F.col("c.et").alias("last_event_type"),
