@@ -391,10 +391,10 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_multimodal_decode",
     oracle="""
     SELECT doc_id,
-           n_chars AS n_bytes,
+           octet_length(text::BLOB) AS n_bytes,
            ascii(substring(text, 1, 1)) AS first_byte,
-           n_chars % 640 AS fake_width,
-           n_chars % 480 AS fake_height
+           octet_length(text::BLOB) % 640 AS fake_width,
+           octet_length(text::BLOB) % 480 AS fake_height
     FROM documents
     """,
 )

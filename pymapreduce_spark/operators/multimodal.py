@@ -40,9 +40,13 @@ RESIZE_W, RESIZE_H = 224, 224  # resize-stub target (the usual vision size)
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as an opaque binary payload column.
 
-    The fixture corpus is ASCII, so ``n_bytes == n_chars`` — which is what
-    lets the deterministic fakes below be oracle-checked in SQL against the
-    text column. A real pipeline would read true image/audio bytes here.
+    The deterministic fakes below are oracle-checked in SQL against the
+    SAME source — ``octet_length(text::BLOB)`` mirrors ``len(payload)``
+    exactly (both UTF-8 byte counts), so the check holds even on a
+    fixture where the ``n_chars`` metadata column disagrees with the
+    text (the skew-fixture audit found the oracles previously trusted
+    ``n_chars``, a second source of truth). A real pipeline would read
+    true image/audio bytes here.
     """
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -53,8 +57,9 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_frame_sample",
     oracle=f"""
     WITH f AS (
-        SELECT doc_id, text, n_chars AS n_bytes,
-               greatest(1, n_chars // {FRAME_BYTES}) AS n_frames
+        SELECT doc_id, text, octet_length(text::BLOB) AS n_bytes,
+               greatest(1, octet_length(text::BLOB) // {FRAME_BYTES})
+                   AS n_frames
         FROM documents
     ), s AS (
         SELECT *, (n_frames + {MAX_FRAMES - 1}) // {MAX_FRAMES} AS stride
