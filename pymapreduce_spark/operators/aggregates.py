@@ -504,7 +504,15 @@ def hll_mergeable_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs_err = F.abs(
         F.col("approx_distinct_users") - F.col("exact_distinct_users")
     )
-    return merged.join(F.broadcast(exact), "event_type").select(
+    # Null-SAFE join key: a NULL event_type is a legitimate group in
+    # both aggregates, and a plain equi-join would silently drop it
+    # (NULL != NULL) — the per-group sketches would vanish exactly for
+    # the dirtiest slice of the data.
+    exact = exact.withColumnRenamed("event_type", "et_exact")
+    return merged.join(
+        F.broadcast(exact),
+        merged["event_type"].eqNullSafe(exact["et_exact"]),
+    ).select(
         "event_type",
         "approx_distinct_users",
         "exact_distinct_users",

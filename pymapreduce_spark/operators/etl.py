@@ -468,7 +468,7 @@ def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT part_key, n_rows,
            (coalesce(sum(n_rows) OVER (
-                ORDER BY part_key
+                ORDER BY part_key NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
             ), 0) // 20000)::BIGINT AS target_file
     FROM p
@@ -586,7 +586,7 @@ def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), planned AS (
         SELECT part_key, n_rows,
                (coalesce(sum(n_rows) OVER (
-                    ORDER BY part_key
+                    ORDER BY part_key NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                 ), 0) // 20000)::BIGINT AS target_file
         FROM p
@@ -617,8 +617,19 @@ def etl_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_key = (
         F.year("l_shipdate") * 100 + F.month("l_shipdate")
     ).cast("long")
-    assigned = li.withColumn("part_key", part_key).join(
-        F.broadcast(plan.select("part_key", "target_file")), "part_key"
+    # Null-SAFE bin lookup: rows with a NULL ship date form a real
+    # partition in the plan; a plain equi-join would silently drop them
+    # from the rewrite — compaction must move EVERY row.
+    bins = plan.select(
+        F.col("part_key").alias("plan_key"), "target_file"
+    )
+    assigned = (
+        li.withColumn("part_key", part_key)
+        .join(
+            F.broadcast(bins),
+            F.col("part_key").eqNullSafe(F.col("plan_key")),
+        )
+        .drop("plan_key")
     )
     out = stable_scratch(sf_dir, "compact_exec")
     (
@@ -628,8 +639,11 @@ def etl_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     back = read_back(spark, out, assigned.schema)
+    # count_distinct over the bare key would SKIP the NULL-ship-date
+    # partition; wrapping it in a struct makes NULL a countable value
+    # (a struct whose field is null is itself non-null)
     return back.groupBy("target_file").agg(
-        F.count_distinct("part_key").alias("n_partitions"),
+        F.count_distinct(F.struct("part_key")).alias("n_partitions"),
         F.count("*").alias("n_rows"),
     )
 

@@ -453,7 +453,7 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT event_id, event_type, ts::TIMESTAMP AS tsu, value
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), framed AS (
         SELECT event_id, event_type, value,
                list(value) OVER (
@@ -488,8 +488,15 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, which cut the query ~15% at sf0.1 (interleaved A/B, median
     of 7). The oracle keeps
     the list_dot_product spelling; round(4) absorbs FP ulps. At 100 TB
-    the window partitions by series key — no global sort."""
-    ev = load_table(spark, sf_dir, "events")
+    the window partitions by series key — no global sort.
+
+    NULL observations are excluded from the series BEFORE windowing
+    (both engines): an EWMA is defined over observed values, and
+    leaving NULLs in would either zero-fill them (biasing the average)
+    or poison the window frame."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     num = None
     for i in range(10):

@@ -9,6 +9,8 @@ surface); every one has a declarative twin elsewhere in the registry
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,18 +66,30 @@ def api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         MapReduceJob.from_table(spark, sf_dir, "events")
         .filter(lambda row: row["event_type"] == "purchase")
         .map(
+            # a NULL value arrives as NaN — emit NULL cents (the x != x
+            # NaN test), never crash int() on it
             lambda row: {
                 "user_id": row["user_id"],
-                "cents": int(round(row["value"] * 100)),
+                "cents": (
+                    None
+                    if row["value"] is None or row["value"] != row["value"]
+                    else int(round(row["value"] * 100))
+                ),
             },
             schema="user_id long, cents long",
         )
         .reduce_by_key(
             ["user_id"],
+            # SQL semantics: sum skips NULLs; all-NULL group sums NULL
+            # (min_count=1 makes pandas agree); count(*) counts all rows
             lambda key, rows: {
                 "user_id": key[0],
                 "n_purchases": len(rows),
-                "total_cents": int(rows["cents"].sum()),
+                "total_cents": (
+                    None
+                    if pd.isna(s := rows["cents"].sum(min_count=1))
+                    else int(s)
+                ),
             },
             schema="user_id long, n_purchases long, total_cents long",
         )
@@ -215,8 +229,12 @@ def api_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx = rows["ts"].max()
         return {
             "user_id": int(key[0]),
+            # skip NULL event types exactly as the oracle's string_agg
+            # skips the NULL its CASE yields for them
             "journey": "".join(
-                t[0] for t in rows["event_type"].head(8)
+                t[0]
+                for t in rows["event_type"].head(8)
+                if isinstance(t, str)
             ),
             "n_events": int(len(rows)),
             "span_seconds": int((mx - mn).total_seconds()),

@@ -102,12 +102,18 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def pmean(v: pd.Series) -> float:
-        cents = (v * 100).round().astype("int64").sum()
+        # SQL semantics: sum skips NULLs, count(*) counts every row;
+        # an all-NULL group means NULL, never a fabricated 0 (a plain
+        # astype("int64") would crash on the NaN a NULL arrives as)
+        cents = (v * 100).round().dropna().astype("int64").sum()
+        if v.notna().sum() == 0:
+            return None
         return float(cents) / (100.0 * len(v))
 
     @F.pandas_udf("double")
     def pmedian(v: pd.Series) -> float:
-        return float(v.median())
+        m = v.median()  # pandas skips NaN, as quantile_cont skips NULL
+        return None if pd.isna(m) else float(m)
 
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
@@ -175,10 +181,13 @@ def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "event_id": purchases["event_id"],
                         "user_id": purchases["user_id"],
-                        # value is exact 2-decimal; rint recovers the int
+                        # value is exact 2-decimal; rint recovers the
+                        # int. Nullable Int64 (not int64): a NULL value
+                        # must stay NULL through Arrow, not crash the
+                        # cast — matching the oracle's ::BIGINT of NULL
                         "value_cents": (purchases["value"] * 100)
                         .round()
-                        .astype("int64"),
+                        .astype("Int64"),
                     }
                 )
 

@@ -622,24 +622,35 @@ def stream_unified_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hourly_counts(read_stream(spark, sf_dir)), "complete"
     )
     b = batch.select(
-        "hour", "event_type", F.col("n").alias("n_batch")
+        F.col("hour").alias("b_hour"),
+        F.col("event_type").alias("b_et"),
+        F.col("n").alias("n_batch"),
     )
     s = stream.select(
-        "hour", "event_type", F.col("n").alias("n_stream")
+        F.col("hour").alias("s_hour"),
+        F.col("event_type").alias("s_et"),
+        F.col("n").alias("n_stream"),
     )
-    return (
-        b.join(s, ["hour", "event_type"], "full")
-        .select(
-            "hour",
-            "event_type",
-            "n_batch",
-            "n_stream",
-            (
-                F.col("n_batch").isNotNull()
-                & F.col("n_stream").isNotNull()
-                & (F.col("n_batch") == F.col("n_stream"))
-            ).alias("matches"),
-        )
+    # Null-SAFE join keys: a NULL event_type is a real group on both
+    # sides; a plain USING join would fail to match the two NULL-group
+    # rows and report a spurious batch/stream divergence for exactly
+    # the dirty slice of the data.
+    joined = b.join(
+        s,
+        b["b_hour"].eqNullSafe(s["s_hour"])
+        & b["b_et"].eqNullSafe(s["s_et"]),
+        "full",
+    )
+    return joined.select(
+        F.coalesce("b_hour", "s_hour").alias("hour"),
+        F.coalesce("b_et", "s_et").alias("event_type"),
+        "n_batch",
+        "n_stream",
+        (
+            F.col("n_batch").isNotNull()
+            & F.col("n_stream").isNotNull()
+            & (F.col("n_batch") == F.col("n_stream"))
+        ).alias("matches"),
     )
 
 
