@@ -391,10 +391,10 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_multimodal_decode",
     oracle="""
     SELECT doc_id,
-           octet_length(text::BLOB) AS n_bytes,
-           ascii(substring(text, 1, 1)) AS first_byte,
-           octet_length(text::BLOB) % 640 AS fake_width,
-           octet_length(text::BLOB) % 480 AS fake_height
+           octet_length(encode(text)) AS n_bytes,
+           ('0x' || substring(hex(encode(text)), 1, 2))::INT AS first_byte,
+           octet_length(encode(text)) % 640 AS fake_width,
+           octet_length(encode(text)) % 480 AS fake_height
     FROM documents
     """,
 )

@@ -40,12 +40,16 @@ RESIZE_W, RESIZE_H = 224, 224  # resize-stub target (the usual vision size)
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as an opaque binary payload column.
 
-    The deterministic fakes below are oracle-checked in SQL against the
-    SAME source — ``octet_length(text::BLOB)`` mirrors ``len(payload)``
-    exactly (both UTF-8 byte counts), so the check holds even on a
-    fixture where the ``n_chars`` metadata column disagrees with the
-    text (the skew-fixture audit found the oracles previously trusted
-    ``n_chars``, a second source of truth). A real pipeline would read
+    The deterministic fakes below are oracle-checked in SQL at the BYTE
+    level against the same source: ``encode(text)`` is the UTF-8 blob
+    Spark's binary cast produces, ``octet_length`` mirrors
+    ``len(payload)``, and individual bytes are extracted from
+    ``hex(encode(text))`` two hex digits at a time — so the check holds
+    on non-ASCII corpora (where char offsets diverge from byte offsets;
+    the unicode-fixture audit caught the oracles using per-character
+    ``ascii``/``substring``) and on fixtures whose ``n_chars`` metadata
+    column disagrees with the text (the skew audit caught the oracles
+    trusting that second source of truth). A real pipeline would read
     true image/audio bytes here.
     """
     return load_table(spark, sf_dir, "documents").select(
@@ -57,15 +61,16 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_frame_sample",
     oracle=f"""
     WITH f AS (
-        SELECT doc_id, text, octet_length(text::BLOB) AS n_bytes,
-               greatest(1, octet_length(text::BLOB) // {FRAME_BYTES})
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n_bytes,
+               greatest(1, octet_length(encode(text)) // {FRAME_BYTES})
                    AS n_frames
         FROM documents
     ), s AS (
         SELECT *, (n_frames + {MAX_FRAMES - 1}) // {MAX_FRAMES} AS stride
         FROM f
     ), ex AS (
-        SELECT doc_id, text, n_bytes, stride,
+        SELECT doc_id, hx, n_bytes, stride,
                unnest(range(0, (n_frames + stride - 1) // stride)) AS samp
         FROM s
     )
@@ -74,7 +79,8 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
            samp * stride * {FRAME_BYTES} AS byte_offset,
            least({FRAME_BYTES}, n_bytes - samp * stride * {FRAME_BYTES})
                AS frame_len,
-           ascii(substring(text, samp * stride * {FRAME_BYTES} + 1, 1))
+           ('0x' || substring(hx,
+                2 * samp * stride * {FRAME_BYTES} + 1, 2))::INT
                AS first_byte,
            {RESIZE_W} AS out_w, {RESIZE_H} AS out_h
     FROM ex
@@ -131,11 +137,14 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_audio_features",
     oracle="""
-    WITH b AS (
+    WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ), b AS (
         SELECT doc_id,
-               list_transform(string_split_regex(text, ''), x -> ascii(x))
+               list_transform(range(1, len(hx) // 2 + 1),
+                   i -> ('0x' || substring(hx, 2 * i - 1, 2))::BIGINT)
                    AS amp
-        FROM documents
+        FROM h
     ), sums AS (
         SELECT doc_id,
                len(amp) AS n_samples,

@@ -15,6 +15,11 @@ texts, NULL injection into nullable columns) and found:
   observations from the series).
 - Skew: the multimodal oracles trusted the ``n_chars`` column while the
   operators measured the payload — two sources of truth.
+- Unicode: the multimodal oracles extracted per-CHARACTER codepoints
+  (``ascii``/``substring``) where the operators read payload BYTES —
+  identical on ASCII only; DuckDB's ``text::BLOB`` cast also rejects
+  non-ASCII outright, and squaring an emoji codepoint overflowed INT32.
+  The oracles are now byte-exact via ``hex(encode(text))``.
 
 Full-surface sweeps live in the round audits (too slow for CI); these
 tests pin the specific fixed operators, which is where regressions
@@ -45,6 +50,12 @@ NULL_OPS = [
 
 #: operators the skew audit caught (oracle trusted n_chars), now fixed
 SKEW_OPS = ["llm_frame_sample", "llm_multimodal_decode"]
+
+#: operators the unicode audit caught (char-level oracles), now fixed
+UNICODE_OPS = [
+    "llm_frame_sample", "llm_multimodal_decode", "llm_audio_features",
+    "llm_text_stats", "llm_tokenize_wordcount", "fn_string",
+]
 
 
 def _nullify(table: pa.Table, col: str, frac: float, rng) -> pa.Table:
@@ -127,6 +138,29 @@ def _compare(spark, sf: str, ops: list[str]) -> list[str]:
     return bad
 
 
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_unicode")
+    inserts = [
+        "数据 处理 引擎 大规模 分析", "café résumé naïve Zürich",
+        "🚀 emoji test 🎉 data 🔥", "Привет мир обработка данных",
+    ]
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "documents":
+            tx = tb["text"].to_pylist()
+            for i in range(0, len(tx), 5):
+                words = tx[i].split(" ")
+                extra = inserts[(i // 5) % len(inserts)].split(" ")
+                tx[i] = " ".join(words[:3] + extra + words[3:])
+            tb = tb.set_column(
+                tb.schema.get_field_index("text"), "text",
+                pa.array(tx, type=tb.schema.field("text").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
 def test_null_injected_fixture_matches_oracle(spark, nulls_sf):
     bad = _compare(spark, nulls_sf, NULL_OPS)
     assert not bad, "NULL-input divergence:\n" + "\n".join(bad)
@@ -135,3 +169,8 @@ def test_null_injected_fixture_matches_oracle(spark, nulls_sf):
 def test_skewed_fixture_matches_oracle(spark, skew_sf):
     bad = _compare(spark, skew_sf, SKEW_OPS)
     assert not bad, "skew-input divergence:\n" + "\n".join(bad)
+
+
+def test_unicode_fixture_matches_oracle(spark, unicode_sf):
+    bad = _compare(spark, unicode_sf, UNICODE_OPS)
+    assert not bad, "unicode-input divergence:\n" + "\n".join(bad)
