@@ -1,0 +1,163 @@
+"""Property-based differential testing (SURVEY §5.3, final leg):
+hypothesis generates random query specs — filter conjunctions, group
+keys, aggregate sets — which are compiled TWICE from the same spec:
+once to a Spark DataFrame plan, once to DuckDB SQL. Both run over the
+events fixture and must agree exactly (strict stringified compare,
+harsher than the driver's canonical hash).
+
+Spec-space design keeps every generated query inside the repo's
+cross-engine determinism rules (SURVEY §5.4): aggregates are exact
+(counts, integer-cents sums, min/max of 2-decimal doubles) — no
+rounded averages, no FP-summation-order hazards; filters use literals
+both engines parse to the identical IEEE double; group keys are exact
+integer/string derivations. Examples are derandomized so CI is stable;
+bump max_examples locally for a deeper fuzz.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["view", "click", "purchase", "error", "login"]
+
+#: (name, spark builder, sql fragment) — filters over events
+_FILTERS = [
+    (
+        "value_gt",
+        lambda v: F.col("value") > v,
+        lambda v: f"value > {v}",
+    ),
+    (
+        "value_le",
+        lambda v: F.col("value") <= v,
+        lambda v: f"value <= {v}",
+    ),
+    (
+        "type_in",
+        lambda ts: F.col("event_type").isin(ts),
+        lambda ts: "event_type IN ({})".format(
+            ", ".join(f"'{t}'" for t in ts)
+        ),
+    ),
+    (
+        "user_mod",
+        lambda kr: (F.col("user_id") % kr[0]) == kr[1],
+        lambda kr: f"user_id % {kr[0]} = {kr[1]}",
+    ),
+]
+
+#: (name, spark col builder, sql expr) — exact group keys (builders are
+#: lazy: a Column can only be constructed once a SparkContext is live)
+_KEYS = [
+    ("event_type", lambda: F.col("event_type"), "event_type"),
+    ("user_bucket", lambda: (F.col("user_id") % 10).alias("user_bucket"),
+     "user_id % 10"),
+    ("hour_of_day", lambda: F.hour("ts").alias("hour_of_day"),
+     "hour(ts::TIMESTAMP)"),
+]
+
+#: (name, spark agg builder, sql agg) — exact aggregates only (§5.4)
+_AGGS = [
+    ("n", lambda: F.count(F.lit(1)).alias("n"), "count(*)::BIGINT AS n"),
+    (
+        "cents",
+        lambda: F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        ).alias("cents"),
+        "coalesce(sum(round(value * 100)::BIGINT), 0)::BIGINT AS cents",
+    ),
+    ("vmin", lambda: F.min("value").alias("vmin"), "min(value) AS vmin"),
+    ("vmax", lambda: F.max("value").alias("vmax"), "max(value) AS vmax"),
+    (
+        "users",
+        lambda: F.count_distinct("user_id").alias("users"),
+        "count(DISTINCT user_id)::BIGINT AS users",
+    ),
+]
+
+
+@st.composite
+def query_spec(draw):
+    filters = []
+    if draw(st.booleans()):
+        v = draw(st.integers(0, 300))
+        which = draw(st.sampled_from(["value_gt", "value_le"]))
+        filters.append((which, float(v)))
+    if draw(st.booleans()):
+        ts = draw(
+            st.lists(
+                st.sampled_from(EVENT_TYPES), min_size=1, max_size=4,
+                unique=True,
+            )
+        )
+        filters.append(("type_in", ts))
+    if draw(st.booleans()):
+        k = draw(st.integers(2, 7))
+        filters.append(("user_mod", (k, draw(st.integers(0, 1)))))
+    keys = draw(
+        st.lists(
+            st.sampled_from([k[0] for k in _KEYS]),
+            min_size=0, max_size=2, unique=True,
+        )
+    )
+    aggs = draw(
+        st.lists(
+            st.sampled_from([a[0] for a in _AGGS]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    return filters, sorted(keys), sorted(aggs)
+
+
+def _run_spec(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    filters, keys, aggs = spec
+    fmap = {f[0]: f for f in _FILTERS}
+    kmap = {k[0]: k for k in _KEYS}
+    amap = {a[0]: a for a in _AGGS}
+
+    df = load_table(spark, sf_dir, "events")
+    conds_sql = []
+    for name, arg in filters:
+        _, build, sql = fmap[name]
+        df = df.where(build(arg))
+        conds_sql.append(sql(arg))
+    key_cols = [kmap[k][1]() for k in keys]
+    agg_cols = [amap[a][1]() for a in aggs]
+    sdf = (
+        df.groupBy(*key_cols).agg(*agg_cols) if keys else df.agg(*agg_cols)
+    )
+
+    sql = "SELECT "
+    sql += ", ".join(
+        [f"{kmap[k][2]} AS {k}" for k in keys] + [amap[a][2] for a in aggs]
+    )
+    sql += " FROM events"
+    if conds_sql:
+        sql += " WHERE " + " AND ".join(conds_sql)
+    if keys:
+        sql += " GROUP BY " + ", ".join(kmap[k][2] for k in keys)
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=query_spec())
+def test_random_agg_queries_match_duckdb(spark, duck, sf_dir, spec):
+    _run_spec(spark, duck, sf_dir, spec)
