@@ -358,3 +358,57 @@ def test_semdedup_blocked_gemm_matches_oneshot(spark, sf_dir, monkeypatch):
     )
     assert blocked == oneshot
     assert any(r[2] for r in blocked)  # fixture has semantic near-dups
+
+
+def test_word_cooccurrence_vocab_cap(spark, sf_dir, tmp_path, monkeypatch):
+    """The pair self-join must enumerate only each document's top-N
+    distinct words by tf: force the cap to 3 on a pathological doc with
+    a large vocabulary and check the join input stays bounded while a
+    tame doc's pairs survive intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pymapreduce_spark.operators import llm_text
+
+    # doc 1: 40 distinct words (pathological); doc 2: 3 words, of which
+    # {aa, bb} are the shared high-tf pair with doc 1
+    big = " ".join(f"w{i:02d}" for i in range(40))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(
+                [f"aa aa aa bb bb {big}", "aa aa bb bb cc"],
+                type=pa.string(),
+            ),
+            "lang": pa.array(["en", "en"], type=pa.string()),
+            "n_chars": pa.array([10, 10], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(llm_text, "_COOC_MAX_DOC_VOCAB", 3)
+
+    from pymapreduce_spark.io import load_table
+
+    words = load_table(spark, str(tmp_path), "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "word")
+    capped = (
+        tf.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= llm_text._COOC_MAX_DOC_VOCAB)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_doc = {r["doc_id"]: r["n"] for r in capped}
+    # the 42-word doc contributes at most 3 words to the pair join
+    assert per_doc == {1: 3, 2: 3}, per_doc
+
+    # end-to-end through the operator: executes under the forced cap
+    # (two docs sit below the df_pair >= 50 reporting threshold, so the
+    # result is empty — the point is the capped path runs, bounded)
+    out = llm_text.llm_word_cooccurrence(spark, str(tmp_path))
+    assert out.count() == 0
