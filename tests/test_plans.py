@@ -655,3 +655,13 @@ def test_query_doc_match_take_ordered_top5(spark, sf_dir):
     (a stopword-grade term would single-task the whole corpus)."""
     plan = plan_of("llm_query_doc_match", spark, sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hll_merge_nullsafe_join_still_broadcasts(spark, sf_dir):
+    """The sketch/exact merge joins null-SAFELY (the NULL event_type
+    group must survive) — EqualNullSafe is still a hashable key, so the
+    plan must remain a BroadcastHashJoin, never degrade to a
+    nested-loop join."""
+    plan = plan_of("agg_hll_mergeable", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
