@@ -7,8 +7,11 @@ median of 3 timed runs with results fully fetched to the driver via the
 Arrow path (toArrow; collect() fallback for types Arrow can't carry) —
 the columnar-fetch analogue of DuckDB's native result fetch, so the two
 engines pay comparable result-transfer costs. Session startup excluded.
-Prints exactly ONE JSON line:
+The LAST stdout line is the compact driver-parseable JSON:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+A preceding line (and BENCH_SPREAD.json) carries the per-query
+[min, median, max] spread, kept separate so the driver's fixed-size tail
+capture never truncates the parseable line (the round-5 failure mode).
 """
 
 from __future__ import annotations
@@ -155,11 +158,24 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
         "sf": sf_num,
     }
     if errors:
         result["errors"] = errors
+    # The driver captures a fixed-size TAIL of stdout and parses the last
+    # JSON line: round 5's single fat line (medians + spreads) outgrew that
+    # window and truncated unparseably (BENCH_r05.json parsed:null). So the
+    # per-query [min, median, max] spread goes to a sidecar file plus a
+    # separate earlier stdout line, and the compact medians-only line is
+    # printed LAST where the tail capture is guaranteed to hold it whole.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SPREAD.json"), "w") as fh:
+            json.dump({"sf": sf_num, "spread": spread}, fh)
+    except OSError:
+        pass
+    print(json.dumps({"spread": spread}))
     print(json.dumps(result))
 
 

@@ -256,11 +256,27 @@ def stable_scratch(sf_dir: str, name: str) -> str:
     the files outlive the call so the returned DataFrame's deferred
     scan still works. Falls back to a plain mkdtemp when the artifacts
     dir is unwritable (read-only checkout) — correctness is unchanged,
-    only the bounded-footprint property is lost."""
+    only the bounded-footprint property is lost.
+
+    Versioned epochs: each invocation gets a fresh ``<name>/<epoch>``
+    subdirectory and older sibling epochs are deleted EXCEPT the most
+    recent one — so a DataFrame returned by the PREVIOUS invocation of
+    the same operator stays lazily readable while the new invocation
+    runs (the interleaved A/B pattern holds exactly one result from
+    each arm), and the footprint stays bounded at ≤2 epochs instead of
+    an unmanaged mkdtemp per call."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(_ARTIFACTS_DIR, sf_tag, "scratch", name)
+    base = os.path.join(_ARTIFACTS_DIR, sf_tag, "scratch", name)
     try:
-        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        epochs = sorted(
+            (e for e in os.listdir(base) if e.isdigit()), key=int
+        )
+        nxt = (int(epochs[-1]) + 1) if epochs else 0
+        # keep the newest prior epoch readable; drop everything older
+        for stale in epochs[:-1]:
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+        path = os.path.join(base, str(nxt))
         os.makedirs(path, exist_ok=True)
     except OSError:
         return tempfile.mkdtemp(prefix=f"{name}_")

@@ -989,7 +989,11 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(F.count("*").alias("n"))
     dense = (
-        grid.crossJoin(types)
+        # broadcast the handful of distinct event types — house style
+        # for the dense-grid builders (the two sibling grid ops above);
+        # without the hint the plan leans on AQE to rescue a shuffled
+        # cartesian at scale.
+        grid.crossJoin(F.broadcast(types))
         .join(F.broadcast(counts), ["hour", "event_type"], "left")
         .select(
             "hour",

@@ -128,7 +128,15 @@ def cluster_near_duplicates(
             concat_ws('|', slice(sig, b * {band_rows} + 1, {band_rows})))
         """
     )
-    keyed = docs.select("doc_id", "text", F.md5("text").alias("tkey"))
+    # Null-safe fingerprint: md5(NULL) is NULL, and both the reps
+    # groupBy→membership join and the rep_labels join below are plain
+    # equi-joins that DROP NULL keys — a NULL-text doc would silently
+    # vanish from the output. Coalescing to a sentinel keeps every
+    # doc_id and makes all NULL texts one exact-copy group, which is
+    # also what the DuckDB oracle computes (NULL texts shingle to ['']
+    # on both engines, band-collide at J=1, and cluster together).
+    tkey = F.md5(F.coalesce(F.col("text"), F.lit("\u0000NULL")))
+    keyed = docs.select("doc_id", "text", tkey.alias("tkey"))
     reps = keyed.groupBy("tkey").agg(
         F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
     )

@@ -572,7 +572,12 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # bounds the candidate head (every true top-5 member
                 # is ≥ it, ties included), then the tiny head alone is
                 # lexsorted — identical output to the full sort.
-                thresh = np.partition(S, n - 5, axis=1)[:, n - 5]
+                # k = min(5, n): for a 1-2 row corpus np.partition(S,
+                # n-5) would raise kth-out-of-bounds, and padding the
+                # id column to 5 against shorter neighbor lists would
+                # yield ragged columns — clamp both to the corpus size.
+                k = min(5, n)
+                thresh = np.partition(S, n - k, axis=1)[:, n - k]
                 out = {
                     "query_id": [],
                     "neighbor_id": [],
@@ -580,11 +585,16 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cosine": [],
                 }
                 for i, qid in enumerate(qids):
-                    idx = np.flatnonzero(S[i] >= thresh[i])
-                    top = idx[np.lexsort((cand_ids[idx], -S[i, idx]))][:5]
-                    out["query_id"].extend([qid] * 5)
+                    # isfinite drops the -inf self-slot, which would
+                    # otherwise pass `-inf >= -inf` when the whole row
+                    # is self-excluded (n == 1 corpus).
+                    idx = np.flatnonzero(
+                        (S[i] >= thresh[i]) & np.isfinite(S[i])
+                    )
+                    top = idx[np.lexsort((cand_ids[idx], -S[i, idx]))][:k]
+                    out["query_id"].extend([qid] * len(top))
                     out["neighbor_id"].extend(cand_ids[top])
-                    out["nn_rank"].extend(range(1, 6))
+                    out["nn_rank"].extend(range(1, len(top) + 1))
                     out["cosine"].extend(np.round(S[i, top], 6))
                 yield pd.DataFrame(out)
 
@@ -960,7 +970,14 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership = (
         full.alias("f")
         .join(emb.select("v", F.col("vec_id").alias("rep_id")), "v")
-        .select(F.col("f.vec_id").alias("vec_id"), "rep_id")
+        .select(
+            F.col("f.vec_id").alias("vec_id"),
+            "rep_id",
+            # self-similarity gate for the expansion step below
+            (F.round(_dot(F.col("f.v"), F.col("f.v")), 6) >= 0.45).alias(
+                "selfdup"
+            ),
+        )
     )
     scored = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
@@ -989,59 +1006,78 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         m = np.vstack(pdf["v"].to_numpy())
         n = len(pdf)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        # Per representative, emit qmin = the SMALLEST other-rep id
+        # whose similarity qualifies (NULL if none) instead of a bare
+        # boolean. The rep's own verdict is qmin < rep_id; a copy's
+        # verdict needs qmin < copy_id — a copy can have a qualifying
+        # partner that its lower-id representative does not (any rep
+        # between the two ids), so a boolean would under-report dups
+        # exactly when self-similarity is sub-threshold (non-unit-norm
+        # vectors; see the expansion select below).
         # Memory gate (the knn kernel's row-bound pattern): one n×n sim
         # matrix is the quadratic hazard when the quantizer hands us a
-        # skewed cluster. Past the bound, compute the SAME strictly-
-        # lower-triangle any() in row blocks — each block materializes
-        # only block×n similarities, so peak memory is capped at
-        # ~_SEMDEDUP_BLOCK_ELEMS floats regardless of cluster size,
-        # and the output is bit-identical to the one-shot GEMM.
+        # skewed cluster. Past the bound, compute the SAME per-row
+        # first-qualifying-column scan in row blocks — each block
+        # materializes only block×n similarities, so peak memory is
+        # capped at ~_SEMDEDUP_BLOCK_ELEMS floats regardless of
+        # cluster size, and the output is bit-identical to the
+        # one-shot GEMM.
         block = max(1, _SEMDEDUP_BLOCK_ELEMS // max(n, 1))
-        if n <= block:
-            sim = np.round(m @ m.T, 6)
-            # strictly-lower triangle: a partner with a LOWER id
-            is_dup = np.tril(sim >= 0.45, k=-1).any(axis=1)
-        else:
-            is_dup = np.zeros(n, dtype=bool)
-            for lo in range(0, n, block):
-                hi = min(lo + block, n)
-                sim = np.round(m[lo:hi] @ m.T, 6)
-                # keep only columns j < row index i (strictly lower)
-                cols = np.arange(n)[None, :]
-                rows = np.arange(lo, hi)[:, None]
-                is_dup[lo:hi] = ((sim >= 0.45) & (cols < rows)).any(
-                    axis=1
-                )
+        qmin = np.full(n, np.nan)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sim = np.round(m[lo:hi] @ m.T, 6)
+            mask = sim >= 0.45
+            # exclude the self column (ids are unique per rep)
+            cols = np.arange(n)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            mask &= cols != rows
+            has = mask.any(axis=1)
+            # ids are ascending, so the first True column per row IS
+            # the minimum qualifying partner id.
+            first = mask.argmax(axis=1)
+            qmin[lo:hi] = np.where(has, ids[first], np.nan)
         return pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"].to_numpy(),
+                "vec_id": ids,
                 "cluster": pdf["cluster"].to_numpy(),
-                "is_dup": is_dup,
+                "qmin": qmin,
             }
         )
 
     rep_labels = assigned.groupBy("cluster").applyInPandas(
-        pair_kernel, "vec_id long, cluster long, is_dup boolean"
+        pair_kernel, "vec_id long, cluster long, qmin double"
     )
-    # Expand representative labels over the exact-copy membership: a
-    # copy inherits its representative's cluster and is a duplicate
-    # unless it IS the representative (then the rep-level verdict
-    # applies).
+    # Expand representative labels over the exact-copy membership. A
+    # member is a duplicate iff some vector with a LOWER id scores
+    # round(cos, 6) >= 0.45 against it; for member c of rep r that is
+    #   (c != r AND round(dot(v, v), 6) >= 0.45)   -- r (or an earlier
+    #                                                 copy) qualifies
+    #   OR qmin(r) < c                             -- some OTHER rep
+    #                                                 below c qualifies
+    # The self-similarity gate matters for non-unit-norm vectors: an
+    # exact copy of a low-norm embedding is NOT automatically a dup of
+    # its representative (round(v.v, 6) can sit below 0.45), matching
+    # the uncollapsed DuckDB oracle on adversarial fixtures. qmin is
+    # NULL when no other rep qualifies — coalesce so `NULL < id` can
+    # never leak a NULL verdict.
     return (
         membership.join(
             rep_labels.select(
-                F.col("vec_id").alias("rep_id"),
-                "cluster",
-                F.col("is_dup").alias("rep_is_dup"),
+                F.col("vec_id").alias("rep_id"), "cluster", "qmin"
             ),
             "rep_id",
         )
         .select(
             "vec_id",
             "cluster",
-            F.when(F.col("vec_id") == F.col("rep_id"), F.col("rep_is_dup"))
-            .otherwise(F.lit(True))
-            .alias("is_dup"),
+            (
+                ((F.col("vec_id") != F.col("rep_id")) & F.col("selfdup"))
+                | F.coalesce(
+                    F.col("qmin") < F.col("vec_id"), F.lit(False)
+                )
+            ).alias("is_dup"),
         )
     )
 

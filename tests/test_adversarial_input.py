@@ -35,7 +35,35 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-SRC = "/root/testdata/sf0.001"
+# Source fixture for the adversarial rebuilds: the smallest available
+# sibling SF of the session fixture dir (fast to rewrite per-test),
+# falling back to the session dir itself — derived from conftest.SF_DIR
+# rather than hardcoded so relocated fixtures / renamed SF tags keep
+# the suite runnable, same as every other test module.
+from conftest import SF_DIR as _SESSION_SF_DIR
+
+
+def _smallest_sibling_sf(sf_dir: str) -> str:
+    root = os.path.dirname(os.path.normpath(sf_dir))
+    try:
+        sibs = sorted(
+            (
+                float(e[2:]),
+                os.path.join(root, e),
+            )
+            for e in os.listdir(root)
+            if e.startswith("sf")
+            and os.path.isdir(os.path.join(root, e))
+            and e[2:].replace(".", "", 1).isdigit()
+        )
+    except OSError:
+        return sf_dir
+    return sibs[0][1] if sibs else sf_dir
+
+
+SRC = os.environ.get(
+    "TEST_ADVERSARIAL_SRC", _smallest_sibling_sf(_SESSION_SF_DIR)
+)
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

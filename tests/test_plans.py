@@ -665,3 +665,12 @@ def test_hll_merge_nullsafe_join_still_broadcasts(spark, sf_dir):
     plan = plan_of("agg_hll_mergeable", spark, sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_seasonal_naive_grid_broadcasts_types(spark, sf_dir):
+    """The hour×type dense grid must broadcast the tiny distinct-types
+    side (house style for all grid builders): the cross join shows up
+    as a BroadcastNestedLoopJoin, never an unhinted CartesianProduct
+    that AQE would have to rescue at scale."""
+    plan = plan_of("ts_seasonal_naive", spark, sf_dir)
+    assert "CartesianProduct" not in plan, plan
