@@ -437,28 +437,88 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_simhash")  # rows-only: xxhash64 is Spark-native
+@query(
+    "llm_simhash",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             CASE WHEN sum(CASE WHEN (((strpos('0123456789abcdef',
+                              substr(md5(w), (j // 4)::INT + 1, 1)) - 1)
+                              >> (j % 4)::INT) & 1) = 1
+                      THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS b
+      FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS j) AS idx
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN j >= 32 THEN b << (j - 32)::INT
+                      ELSE 0 END)::BIGINT AS simhash_hi,
+             sum(CASE WHEN j < 32 THEN b << j::INT
+                      ELSE 0 END)::BIGINT AS simhash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(sig.simhash_hi, 0)::BIGINT AS simhash_hi,
+           coalesce(sig.simhash_lo, 0)::BIGINT AS simhash_lo
+    FROM documents d LEFT JOIN sig USING (doc_id)
+    """,
+)
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint: per bit, sign of the sum of ±1 votes
-    from each distinct word's xxhash64 bit. Near-dup docs differ in few
-    bits (checkable by hamming distance on the bigint)."""
+    from each distinct word's hash bit; near-dup docs differ in few
+    bits, so hamming distance = popcount(hi XOR hi') + popcount(lo XOR
+    lo'). Emitted as two 32-bit halves in bigints — bit 63 of a single
+    bigint would need a signed-overflow shift that the two engines wrap
+    differently.
+
+    Hash-checked: the per-word bit source is md5 NIBBLES (hex digit
+    j//4, bit j%4) instead of xxhash64 — the same engine-portable
+    permutation trick the MinHash family uses (minhash_signature_expr),
+    so DuckDB replays the signature bit-for-bit and the driver
+    value-hashes it. Swap the nibble lambda for xxhash64 when
+    cross-engine parity isn't needed.
+
+    Scale shape: the whole signature is ONE map-only Catalyst
+    higher-order expression per document — the per-word nibble array is
+    hoisted so md5 runs once per distinct word, not once per (word,
+    bit). NULL text votes nowhere and fingerprints as (0, 0) on both
+    engines."""
     docs = load_table(spark, sf_dir, "documents")
-    sim = F.expr(
+    nibs = F.expr(
         """
-        aggregate(
-            zip_with(
-                transform(sequence(0, 63), j ->
-                    CASE WHEN aggregate(array_distinct(split(text, ' ')), 0L,
-                                (acc, w) -> acc +
-                                    CASE WHEN ((xxhash64(w) >> j) & 1) = 1
-                                         THEN 1 ELSE -1 END) > 0
-                         THEN 1L ELSE 0L END),
-                sequence(0, 63),
-                (b, j) -> shiftleft(b, j)),
-            0L, (acc, x) -> acc + x)
+        transform(array_distinct(split(text, ' ')), w ->
+            transform(sequence(0, 15), p ->
+                cast(conv(substr(md5(w), p + 1, 1), 16, 10) AS INT)))
         """
     )
-    return docs.select("doc_id", sim.alias("simhash64"))
+
+    def half(off: int):
+        return F.expr(
+            f"""
+            aggregate(
+                zip_with(
+                    transform(sequence(0, 31), j ->
+                        CASE WHEN aggregate(nibs, 0L, (acc, nb) -> acc +
+                                CASE WHEN (shiftright(
+                                        element_at(nb, cast(
+                                            (j + {off}) DIV 4 AS INT) + 1),
+                                        (j + {off}) % 4) & 1) = 1
+                                     THEN 1 ELSE -1 END) > 0
+                             THEN 1L ELSE 0L END),
+                    sequence(0, 31),
+                    (b, j) -> shiftleft(b, j)),
+                0L, (acc, x) -> acc + x)
+            """
+        )
+
+    return docs.withColumn("nibs", nibs).select(
+        "doc_id",
+        half(32).alias("simhash_hi"),
+        half(0).alias("simhash_lo"),
+    )
 
 
 @query(

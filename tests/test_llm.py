@@ -103,12 +103,19 @@ def test_simhash_locality(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     docs.createOrReplaceTempView("simhash_probe_docs")
+    # Same bit source as the shipped operator (md5 nibbles — the
+    # engine-portable permutation llm_simhash hash-checks against
+    # DuckDB), expanded to a 64-slot bit array for hamming counting.
     bits = F.expr(
         """
         transform(sequence(0, 63), j ->
             CASE WHEN aggregate(array_distinct(split(text, ' ')), 0L,
-                        (acc, w) -> acc + CASE WHEN ((xxhash64(w) >> j) & 1) = 1
-                                        THEN 1 ELSE -1 END) > 0
+                        (acc, w) -> acc + CASE WHEN (shiftright(
+                                cast(conv(substr(md5(w),
+                                    cast(j DIV 4 AS INT) + 1, 1), 16, 10)
+                                    AS INT),
+                                j % 4) & 1) = 1
+                            THEN 1 ELSE -1 END) > 0
                  THEN 1L ELSE 0L END)
         """
     )
