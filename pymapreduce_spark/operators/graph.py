@@ -30,6 +30,7 @@ def connected_components(
     edges: DataFrame,
     max_rounds: int = 64,
     num_partitions: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected connected components: ``edges(src, dst)`` →
     ``(node, component)`` where component = min node id in the group.
@@ -80,7 +81,9 @@ def connected_components(
     )
     prev_sum = None
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         # Three propagation steps per materialized round: the dominant
         # cost at small-to-mid label-table sizes is the FIXED per-round
         # overhead (checkpoint job + convergence job), so batching
@@ -117,6 +120,12 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+    if stats is not None:
+        # Diagnostics channel for scale_smoke: materialized rounds to
+        # the fixed point (each round = 3 propagation steps + 1 jump)
+        # and whether the safety bound was hit.
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         import warnings
 

@@ -157,14 +157,7 @@ def llm_registered_at_x10(spark) -> dict:
     - bm25: replicas repeat the same text, so the (doc, word) row
       count must be exactly 10× the base run's.
     """
-    # sf-dir-shaped view over the replicas so load_table finds
-    # <dir>/<table>.parquet without copying anything.
-    sf_x = os.path.join(OUT, "sfdir_x10")
-    os.makedirs(sf_x, exist_ok=True)
-    for t in REPLICATED:
-        link = os.path.join(sf_x, f"{t}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(OUT, t), link)
+    sf_x = _x10_sfdir()
 
     from pymapreduce_spark.registry import QUERIES
 
@@ -191,6 +184,76 @@ def llm_registered_at_x10(spark) -> dict:
         "wall_s": round(time.perf_counter() - t0, 2),
     }
     return res
+
+def _x10_sfdir() -> str:
+    """sf-dir-shaped symlink view over the replicas (shared by the llm
+    and graph sections) so registered (spark, sf_dir) entry points read
+    the 10× data unchanged."""
+    sf_x = os.path.join(OUT, "sfdir_x10")
+    os.makedirs(sf_x, exist_ok=True)
+    for t in REPLICATED:
+        link = os.path.join(sf_x, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(OUT, t), link)
+    return sf_x
+
+
+def graph_section(spark) -> dict:
+    """Optional section (--graph): the two iterative plans at base vs
+    10× through their registered entry points — the only expensive
+    plans scale_smoke did not already ratio-check. Reports wall-clock
+    ratio AND rounds-to-convergence for components (pointer jumping
+    should hold rounds ~flat as the graph grows: reach doubles per
+    materialized round), while pagerank is 5 fixed steps by design so
+    only its per-step cost can scale."""
+    from pymapreduce_spark.operators.graph import connected_components
+    from pymapreduce_spark.operators.llm_vector import llm_knn_self_join
+    from pymapreduce_spark.registry import QUERIES
+
+    sf_x = _x10_sfdir()
+    res: dict = {}
+
+    def cc_run(sf_dir: str) -> tuple[float, dict]:
+        nn1 = (
+            llm_knn_self_join(spark, sf_dir)
+            .where(F.col("nn_rank") == 1)
+            .select(
+                F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"),
+            )
+        )
+        st: dict = {}
+        t0 = time.perf_counter()
+        comp = connected_components(nn1, stats=st)
+        comp.groupBy("component").agg(F.count("*").alias("n")).toArrow()
+        return time.perf_counter() - t0, st
+
+    b_s, b_st = cc_run(BASE_SF)
+    x_s, x_st = cc_run(sf_x)
+    res["graph_components"] = {
+        "base_s": round(b_s, 2),
+        "x10_s": round(x_s, 2),
+        "ratio": round(x_s / b_s, 2),
+        "base_rounds": b_st.get("rounds"),
+        "x10_rounds": x_st.get("rounds"),
+        "converged": bool(b_st.get("converged") and x_st.get("converged")),
+    }
+
+    def pr_run(sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES["graph_pagerank"](spark, sf_dir).toArrow()
+        return time.perf_counter() - t0
+
+    b_s = pr_run(BASE_SF)
+    x_s = pr_run(sf_x)
+    res["graph_pagerank"] = {
+        "base_s": round(b_s, 2),
+        "x10_s": round(x_s, 2),
+        "ratio": round(x_s / b_s, 2),
+        "rounds": 5,
+    }
+    return res
+
 
 def main() -> None:
     spark = get_spark()
@@ -221,6 +284,8 @@ def main() -> None:
     }
     if "--llm" in sys.argv:
         payload["llm"] = llm_section(spark)
+    if "--graph" in sys.argv:
+        payload["graph"] = graph_section(spark)
     print(json.dumps(payload))
 
 

@@ -524,12 +524,17 @@ def test_partition_pruned_join_has_both_prune_mechanisms(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan
 
 
-def test_semdedup_broadcasts_seeds_pairs_on_cluster(spark, sf_dir):
-    """Centroid assignment must ride a broadcast of the 8 seed vectors
-    (BroadcastNestedLoopJoin over the corpus scan); the only data-scale
-    shuffles are the argmax aggregate and the per-cluster pair join."""
+def test_semdedup_assignment_is_map_only(spark, sf_dir):
+    """Centroid assignment must be a MAP-ONLY scalar expression over
+    the corpus scan (the 8 driver-collected seed vectors inlined as a
+    single least(struct(-cos, seed)) fold) — no join of any kind for
+    the assignment, and the pair kernel rides a groupBy(cluster)
+    exchange into FlatMapGroupsInPandas. The earlier shape paid a
+    BroadcastNestedLoopJoin fan-out plus a groupBy(vec_id) shuffle for
+    what is a per-row fold."""
     plan = plan_of("llm_semdedup", spark, sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
