@@ -36,7 +36,14 @@ def api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         MapReduceJob.from_table(spark, sf_dir, "documents")
         .select_expr("text")
         .flat_map(
-            lambda row: ({"word": w} for w in row["text"].split(" ")),
+            # NULL text → zero words, matching the oracle's unnest over
+            # a NULL split (never .split on None)
+            lambda row: (
+                {"word": w}
+                for w in (
+                    row["text"].split(" ") if row["text"] is not None else []
+                )
+            ),
             schema="word string",
         )
         .reduce_by_key(

@@ -378,8 +378,14 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document (no explode-then-groupBy shuffle — the min runs inside
     the array), then a 16× posexplode fan-out; map-only end to end. The
     scalar-row representation is also the driver-canonicalizable one:
-    array columns break pandas-based row sorting downstream."""
-    docs = load_table(spark, sf_dir, "documents")
+    array columns break pandas-based row sorting downstream.
+
+    A NULL-text doc has NO signature (filtered, matching the oracle's
+    unnest which emits no word rows for it) — without the filter the
+    outer transform yields 16 rows of NULL array_min per NULL doc."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id",
         F.posexplode(minhash_signature_expr(16)).alias("sig_idx", "sig_hash"),
@@ -751,8 +757,12 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def lang_id(texts: pd.Series) -> pd.Series:
+        # NULL text → NULL prediction (the oracle's md5(NULL) chain
+        # is NULL all the way through), never .encode on None
         return texts.map(
-            lambda t: langs[
+            lambda t: None
+            if t is None
+            else langs[
                 ord(hashlib.md5(t.encode("utf-8")).hexdigest()[0]) % 5
             ]
         )
@@ -855,12 +865,19 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the SQL form rather than equality."""
     from pyspark.ml.feature import CountVectorizer, IDF, Tokenizer
 
-    # CountVectorizer.fit on an empty corpus has no vocabulary to learn
-    if table_row_count(sf_dir, "documents") == 0:
+    # NULL text: ml Tokenizer's JVM UDF throws on null input, and a
+    # token-free doc has no top term anyway — filter, don't crash.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    # CountVectorizer.fit on an empty (or all-NULL-text) corpus has no
+    # vocabulary to learn
+    if docs.limit(1).count() == 0:
         return spark.createDataFrame(
             [], "doc_id bigint, top_term string, top_weight double"
         )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     cv_model = CountVectorizer(
         inputCol="words", outputCol="tf", minDF=1.0
@@ -1639,8 +1656,12 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dfr AS (
         SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
     ), st AS (
+        -- corpus stats over docs that HAVE tokens: a NULL-text doc
+        -- contributes no words on either engine, so it must not
+        -- inflate n_docs/avgdl (the Spark side derives both from the
+        -- tf table, which cannot contain token-free docs)
         SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
-        FROM dl
+        FROM dl WHERE dl IS NOT NULL
     )
     SELECT tf.doc_id, tf.word, tf.tf,
            round(
@@ -2737,8 +2758,10 @@ def llm_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dfr AS (
         SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
     ), st AS (
+        -- same NULL-text exclusion as the llm_bm25 oracle: corpus
+        -- stats over docs that have tokens
         SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
-        FROM dl
+        FROM dl WHERE dl IS NOT NULL
     ), scored AS (
         SELECT tf.doc_id,
                round(sum(round(
@@ -2884,8 +2907,11 @@ def llm_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def lang_id(texts: pd.Series) -> pd.Series:
+        # NULL text → NULL prediction, mirroring llm_lang_id
         return texts.map(
-            lambda t: langs[
+            lambda t: None
+            if t is None
+            else langs[
                 ord(hashlib.md5(t.encode("utf-8")).hexdigest()[0]) % 5
             ]
         )

@@ -412,17 +412,25 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
+            # NULL payload → NULL features, keeping the row — exactly
+            # the oracle's octet_length(encode(NULL)) = NULL chain.
+            n_bytes = payloads.map(lambda b: None if b is None else len(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes,
                     "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else None
+                        lambda b: b[0] if b is not None and len(b) else None
                     ),
-                    # STUB: deterministic fake "decoded" dimensions.
-                    "fake_width": n_bytes % 640,
-                    "fake_height": n_bytes % 480,
+                    # STUB: deterministic fake "decoded" dimensions
+                    # (object-dtype series after the NULL mapping, so
+                    # modulo goes through map, not vectorized %)
+                    "fake_width": n_bytes.map(
+                        lambda n: None if n is None else n % 640
+                    ),
+                    "fake_height": n_bytes.map(
+                        lambda n: None if n is None else n % 480
+                    ),
                 }
             )
 

@@ -52,8 +52,13 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting that second source of truth). A real pipeline would read
     true image/audio bytes here.
     """
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    # NULL text → no payload row: the frame/audio stubs emit zero
+    # output for a missing asset (their oracles filter identically);
+    # the decode op keeps NULL rows and does its own select.
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
 
 
@@ -66,6 +71,7 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                greatest(1, octet_length(encode(text)) // {FRAME_BYTES})
                    AS n_frames
         FROM documents
+        WHERE text IS NOT NULL  -- a NULL video has no frames
     ), s AS (
         SELECT *, (n_frames + {MAX_FRAMES - 1}) // {MAX_FRAMES} AS stride
         FROM f
@@ -139,6 +145,7 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        WHERE text IS NOT NULL  -- a NULL clip has no samples
     ), b AS (
         SELECT doc_id,
                list_transform(range(1, len(hx) // 2 + 1),

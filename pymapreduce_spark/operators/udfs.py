@@ -215,6 +215,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, word string")
     class WordPos:
         def eval(self, text: str):
+            if text is None:  # NULL text → zero rows, like the
+                return  # oracle's unnest over a NULL split
             for i, w in enumerate(text.split(" "), start=1):
                 yield i, w
 

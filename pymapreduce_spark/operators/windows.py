@@ -335,7 +335,15 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = (
         F.element_at(frame, (n / 2).cast("int")) + mid_hi
     ) / 2.0
-    median_c = F.when(n % 2 == 1, odd.cast("double")).otherwise(even)
+    # NULL values are skipped by collect_list (and by DuckDB's window
+    # median), so a frame can be EMPTY — element_at(frame, 0) throws
+    # INVALID_INDEX_OF_ZERO. Guard first; the branch is only evaluated
+    # when taken, so the n == 0 case never touches element_at.
+    median_c = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd.cast("double"))
+        .otherwise(even)
+    )
     return ev.select(
         "event_id",
         "event_type",

@@ -96,13 +96,18 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scan_text",
-    oracle="SELECT text FROM documents",
+    oracle="SELECT coalesce(text, '') AS text FROM documents",
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw line input — MapReduce's native format; one line per document
-    text (fixture texts contain no newlines)."""
+    text (fixture texts contain no newlines). The line format cannot
+    represent NULL — a NULL text round-trips as the empty line, made
+    explicit with coalesce on BOTH sides so the lossy conversion is a
+    documented contract, not an engine accident."""
     path = _scratch(sf_dir, "documents_text")
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.coalesce("text", F.lit("")).alias("text")
+    )
     docs.write.mode("overwrite").text(path)
     return spark.read.text(path).select(F.col("value").alias("text"))
 

@@ -202,3 +202,96 @@ def test_skewed_fixture_matches_oracle(spark, skew_sf):
 def test_unicode_fixture_matches_oracle(spark, unicode_sf):
     bad = _compare(spark, unicode_sf, UNICODE_OPS)
     assert not bad, "unicode-input divergence:\n" + "\n".join(bad)
+
+
+#: operators the round-6 COMBINED-axis audit caught (skew + NULLs +
+#: unicode in one rebuild, including NULL text inside skewed groups of
+#: non-ASCII text — an interaction no per-axis fixture produces, since
+#: the per-axis NULL plan never nullified documents.text), now fixed:
+#: .split()/.encode()/len() on None in Python UDF paths, MLlib
+#: Tokenizer on NULL input, element_at(frame, 0) on an all-NULL window
+#: frame, corpus stats (n_docs/avgdl) counting token-free docs on one
+#: engine only, and the text sink's NULL→'' lossy round trip.
+COMBINED_OPS = [
+    "api_wordcount", "udtf_python", "llm_lang_id", "llm_lang_agreement",
+    "llm_bm25", "llm_query_doc_match", "llm_minhash_sig", "scan_text",
+    "win_rolling_median", "llm_multimodal_decode", "llm_frame_sample",
+    "llm_audio_features",
+    # interaction coverage beyond the original catches: exact-copy +
+    # low-norm embeddings exercise the semdedup self-similarity gate
+    "llm_semdedup",
+]
+
+#: fixed ops with no SQL oracle: no-crash is the pinned contract
+COMBINED_ROWS_ONLY = ["llm_tfidf_ml"]
+
+
+@pytest.fixture(scope="module")
+def combined_sf(tmp_path_factory) -> str:
+    """All three axes in ONE rebuild, with interactions: the skewed
+    document text is unicode-rich AND NULLed inside the skewed
+    pattern; events get a giant user group containing NULL event_type
+    rows; embeddings get unit-norm exact-copy skew plus LOW-NORM exact
+    copies (self-cosine below the semdedup threshold)."""
+    rng = np.random.RandomState(20260814)
+    base = tmp_path_factory.mktemp("sf_combined")
+    null_plans = {
+        "events": [("value", 0.10), ("event_type", 0.05)],
+        "documents": [("lang", 0.10)],
+        "customer": [("c_acctbal", 0.10), ("c_mktsegment", 0.05)],
+        "part": [("p_size", 0.05)],
+        "orders": [("o_orderpriority", 0.05)],
+        "lineitem": [("l_shipdate", 0.02), ("l_discount", 0.05)],
+    }
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "documents":
+            tx = tb["text"].to_pylist()
+            tx[0] = "数据 引擎 🚀 café " + tx[0] + " Привет 🎉"
+            for i in range(0, len(tx), 3):
+                tx[i] = tx[0]
+            for i in range(0, len(tx), 21):
+                tx[i] = None
+            for i in range(5, len(tx), 23):
+                tx[i] = None
+            tb = tb.set_column(
+                tb.schema.get_field_index("text"), "text",
+                pa.array(tx, type=pa.string()),
+            )
+        if t == "events":
+            uid = tb["user_id"].to_pylist()
+            for i in range(0, len(uid), 3):
+                uid[i] = uid[0]
+            tb = tb.set_column(
+                tb.schema.get_field_index("user_id"), "user_id",
+                pa.array(uid, type=pa.int64()),
+            )
+        if t == "embeddings":
+            emb = tb["embedding"].to_pylist()
+            low = [x * 0.1 for x in emb[1]]
+            emb[1] = low
+            for i in range(11, len(emb), 17):
+                emb[i] = list(low)
+            for i in range(3, len(emb), 3):
+                emb[i] = list(emb[0])
+            tb = tb.set_column(
+                tb.schema.get_field_index("embedding"), "embedding",
+                pa.array(emb, type=tb.schema.field("embedding").type),
+            )
+        for col, frac in null_plans.get(t, []):
+            tb = _nullify(tb, col, frac, rng)
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_combined_fixture_matches_oracle(spark, combined_sf):
+    bad = _compare(spark, combined_sf, COMBINED_OPS)
+    assert not bad, "combined-axis divergence:\n" + "\n".join(bad)
+
+
+def test_combined_fixture_rows_only_execute(spark, combined_sf):
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    for name in COMBINED_ROWS_ONLY:
+        queries[name](spark, combined_sf).collect()
