@@ -67,3 +67,28 @@ def test_split_cache_keeps_pushdown(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_comment" not in read_schema
+
+
+def test_stable_scratch_previous_epoch_stays_readable(spark, sf_dir):
+    """Versioned scratch epochs: a DataFrame returned by the PREVIOUS
+    invocation of an operator must stay lazily readable while the next
+    invocation runs (the interleaved A/B pattern), and the footprint
+    stays bounded at <= 2 epochs."""
+    import os
+
+    from pymapreduce_spark.io import stable_scratch
+    from pymapreduce_spark.registry import QUERIES
+
+    first = QUERIES["etl_compact_execute"](spark, sf_dir)
+    rows_before = first.collect()
+    # second invocation wipes epochs older than the newest prior one
+    QUERIES["etl_compact_execute"](spark, sf_dir).collect()
+    # the frame returned by invocation 1 must still produce its rows
+    assert first.collect() == rows_before
+    # footprint bound: at most 2 epoch dirs exist afterwards
+    newest = stable_scratch(sf_dir, "epoch_probe")
+    base = os.path.dirname(newest)
+    stable_scratch(sf_dir, "epoch_probe")
+    stable_scratch(sf_dir, "epoch_probe")
+    epochs = [e for e in os.listdir(base) if e.isdigit()]
+    assert len(epochs) <= 2, epochs
