@@ -251,7 +251,23 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(out, "complete")
 
 
-@query("stream_watermark")  # rows-only: emission set depends on watermark
+@query(
+    "stream_watermark",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS window_start,
+               (date_trunc('hour', ts::TIMESTAMP)
+                   + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2
+    ), wm AS (
+        SELECT max(ts::TIMESTAMP) - INTERVAL 2 HOUR AS w FROM events
+    )
+    SELECT window_start, window_end, n_events,
+           n_events AS batch_n_events, TRUE AS matches_batch
+    FROM b, wm WHERE window_end <= wm.w
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregate in APPEND mode: only windows
     finalized w.r.t. the 2-hour watermark are emitted; the tail of the
@@ -259,9 +275,15 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     crafted two-file scenario in tests/test_streaming.py (a file-source
     replay can't make the fixture itself late).
 
-    Self-evidencing: every emitted (finalized) window joins its
-    batch-computed count — ``matches_batch`` must be true on every row,
-    proving append mode emitted complete windows and nothing else."""
+    HASH-CHECKED (previously the one rows-only §2 row): in availableNow
+    mode Spark processes every file and then runs a final commit in
+    which the watermark advances past the last batch's max event time,
+    so the append-mode emission set is exactly the deterministic
+    batch-predictable set {windows: end <= max(ts) - 2h} — which is
+    what the oracle computes (verified identical and run-stable at all
+    three SFs). The self-evidencing ``matches_batch`` column stays:
+    the oracle proves WHICH windows were emitted, matches_batch proves
+    each was emitted COMPLETE."""
     s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
     agg = (
         s.withWatermark("ts", "2 hours")
