@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.io import load_table, read_back
+from pymapreduce_spark.io import load_table, read_back, table_path
 from pymapreduce_spark.registry import query
 
 _ARTIFACTS = os.path.join(
@@ -43,7 +43,24 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     # out). A v1 marker means the on-disk copy may carry NTZ timestamps,
     # which withWatermark rejects — regenerate.
     marker = os.path.join(path, "_REPLAY_READY_v2")
-    if not os.path.exists(marker):
+    # The marker carries the SOURCE file's identity (size + mtime_ns —
+    # the io split/partition-cache stamp): sf_tag is just a basename,
+    # so two different fixture dirs named `sf` would otherwise share
+    # one replay copy and the second would stream the first's events
+    # (caught by the combined-axis adversarial audit, whose rebuilt
+    # fixture silently replayed a prior rebuild's stream).
+    try:
+        st = os.stat(table_path(sf_dir, "events"))
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "nosource"
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read().strip() == stamp
+    except OSError:
+        pass
+    if not fresh:
         ev = load_table(spark, sf_dir, "events").withColumn(
             "day", F.date_format("ts", "yyyy-MM-dd")
         )
@@ -63,7 +80,7 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
             for f in os.listdir(full):
                 os.utime(os.path.join(full, f), (base + i, base + i))
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(stamp)
     return path
 
 
@@ -427,11 +444,19 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary sink via foreachBatch: each micro-batch of filtered
     events is appended to a parquet sink (idempotent by batch id — the
-    exactly-once pattern); the sink's final contents are the result."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    sink_path = os.path.join(
-        _ARTIFACTS, sf_tag, f"stream_sink_{next(_counter)}"
-    )
+    exactly-once pattern); the sink's final contents are the result.
+
+    The sink and its checkpoint live in a fresh stable_scratch EPOCH
+    per invocation: the previous in-process counter collided across
+    processes (counter restarts at 0), so a rerun appended onto the
+    prior run's parquet and reused its checkpoint — the combined-axis
+    audit saw stale rows from an earlier fixture leak into the result.
+    Epoch dirs give a clean sink + checkpoint every invocation while
+    keeping the footprint bounded and the prior result readable."""
+    from pymapreduce_spark.io import stable_scratch
+
+    epoch = stable_scratch(sf_dir, "stream_sink")
+    sink_path = os.path.join(epoch, "data")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink_path)
