@@ -408,13 +408,15 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn_d
         FROM e
     )
+    -- + 0.0 normalizes IEEE zero sign: Spark's aggregate buffers
+    -- normalize -0.0 to +0.0, DuckDB's do not (house convention)
     SELECT event_type, bucket,
-           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
-           round(max(value), 4) AS high,
-           round(min(value), 4) AS low,
-           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) + 0.0 AS open,
+           round(max(value), 4) + 0.0 AS high,
+           round(min(value), 4) + 0.0 AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) + 0.0 AS close,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           round(sum(value), 4) + 0.0 AS total_value
     FROM b
     GROUP BY event_type, bucket
     """,
@@ -438,12 +440,14 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "value")
         .groupBy("event_type", "bucket")
         .agg(
-            F.round(F.min("o").getField("value"), 4).alias("open"),
-            F.round(F.max("value"), 4).alias("high"),
-            F.round(F.min("value"), 4).alias("low"),
-            F.round(F.max("o").getField("value"), 4).alias("close"),
+            (F.round(F.min("o").getField("value"), 4) + 0.0).alias("open"),
+            (F.round(F.max("value"), 4) + 0.0).alias("high"),
+            (F.round(F.min("value"), 4) + 0.0).alias("low"),
+            (F.round(F.max("o").getField("value"), 4) + 0.0).alias(
+                "close"
+            ),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.round(F.sum("value"), 4) + 0.0).alias("total_value"),
         )
     )
 
@@ -463,14 +467,16 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS vals
         FROM e
     )
-    SELECT event_id, event_type, round(value, 4) AS value,
+    -- + 0.0 normalizes IEEE zero sign (Spark normalizes -0.0; house
+    -- convention for raw-double output columns)
+    SELECT event_id, event_type, round(value, 4) + 0.0 AS value,
            round(
                list_dot_product(
                    vals,
                    list_transform(range(1, len(vals) + 1),
                                   i -> 0.2 * pow(0.8, i - 1))
                ) / (1 - pow(0.8, len(vals))), 4
-           ) AS ewma10
+           ) + 0.0 AS ewma10
     FROM framed
     """,
 )
@@ -511,8 +517,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "event_type",
-        F.round("value", 4).alias("value"),
-        F.round(num / den, 4).alias("ewma10"),
+        # + 0.0 pins the IEEE zero sign (house convention; do not
+        # rely on the exchange normalizing -0.0)
+        (F.round("value", 4) + 0.0).alias("value"),
+        (F.round(num / den, 4) + 0.0).alias("ewma10"),
     )
 
 
@@ -808,6 +816,12 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the agg_stats lesson). Both engines therefore feed
     bit-identical integers into the same double expression; round(4)
     is presentation. Zero-variance frames yield NULL via nullif.
+
+    Input envelope (documented, enforced loudly): the int64 moment
+    n·Σv² stays exact for |value| up to ~$20M over the 20-row frame;
+    beyond it Spark raises ANSI ARITHMETIC_OVERFLOW rather than
+    silently losing precision — the designed failure for
+    out-of-contract magnitudes (FIXTURES.md bounds value at ~560).
     Scale: one shuffle on the series key, bounded 20-row frame state,
     no global sort — the standard 100 TB window layout."""
     ev = load_table(spark, sf_dir, "events")

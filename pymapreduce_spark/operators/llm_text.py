@@ -812,16 +812,20 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Hoist the words array: referencing split(text) inside the lambda
     # would re-split the text for EVERY shingle element (measured ~10×
-    # slower at sf0.1).
-    shingles = F.array_distinct(
-        F.expr(
-            """
-            transform(sequence(1, size(words) - 2), i ->
-                concat_ws(' ', element_at(words, i),
-                               element_at(words, i + 1),
-                               element_at(words, i + 2)))
-            """
-        )
+    # slower at sf0.1). Sub-3-word docs get EMPTY shingle sets (the
+    # oracle's range(1, len-1) is empty) — without the guard
+    # sequence(1, -1) DESCENDS and element_at(words, 2) throws on a
+    # 1-element array (caught by the degenerate-input audit).
+    shingles = F.expr(
+        """
+        CASE WHEN size(words) < 3 THEN array()
+             ELSE array_distinct(
+                transform(sequence(1, size(words) - 2), i ->
+                    concat_ws(' ', element_at(words, i),
+                                   element_at(words, i + 1),
+                                   element_at(words, i + 2))))
+        END
+        """
     )
     s = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id",
@@ -841,8 +845,13 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingle arrays are distinct, so |a ∪ b| = |a| + |b| − |a ∩ b| —
     # one array_intersect per candidate pair instead of intersect +
     # union (array_union would re-hash both arrays), identical output.
+    # Zero-denominator guard: two empty-shingle docs sharing a block
+    # (degenerate texts) would divide 0/0 — ANSI throws where DuckDB
+    # yields NULL; emit NULL explicitly so the >= filter drops the
+    # pair on both engines.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    denom = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(denom > 0, inter / denom)
     return (
         a.join(
             c,
@@ -1209,9 +1218,13 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split("text", " ")).alias("n_tokens_ws"),
         F.size(bpe).alias("n_tokens_bpe"),
-        F.round(F.col("n_chars").cast("double") / F.size(bpe), 4).alias(
-            "chars_per_token"
-        ),
+        # token-free text (empty string) → NULL ratio: DuckDB's x/0
+        # is NULL while ANSI Spark throws DIVIDE_BY_ZERO — guard the
+        # denominator explicitly (degenerate-input audit)
+        F.when(
+            F.size(bpe) > 0,
+            F.round(F.col("n_chars").cast("double") / F.size(bpe), 4),
+        ).alias("chars_per_token"),
     )
 
 
@@ -1426,9 +1439,18 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sub-2-word documents are defined to have dup_bigram_frac = 0 (no
     bigrams → nothing duplicated); the transform indices are clamped
     (greatest/least, as in llm_dedup_fuzzy) because sequence(1, 0)
-    descends and element_at(words, 0) throws."""
+    descends and element_at(words, 0) throws.
+
+    The expensive per-doc bigram stat lives in its OWN map-only
+    subtree joined back on doc_id, never in the projection feeding the
+    explode: Catalyst collapses a Project into the post-Generate
+    stage, so the bigram array (O(words) strings) would be rebuilt
+    once PER EXPLODED WORD ROW — O(words²) per document, which OOMed
+    the executor on a single 20 000-word document in the
+    degenerate-input audit. Two parallel scans of the text column are
+    the 100 TB-safe trade."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    stats = docs.select(
         "doc_id", F.split("text", " ").alias("words")
     ).select(
         "doc_id",
@@ -1445,14 +1467,19 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("n_distinct_bigrams"),
-        F.explode("words").alias("word"),
     )
-    counts = base.groupBy(
-        "doc_id", "n_words", "n_bigrams", "n_distinct_bigrams", "word"
-    ).agg(F.count("*").alias("n"))
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "word")
-    top = counts.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(stats, "doc_id")
     )
     top_share = F.col("n").cast("double") / F.col("n_words")
     dup_frac = F.when(F.col("n_bigrams") < 1, F.lit(0.0)).otherwise(
@@ -2459,18 +2486,21 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_boilerplate_share",
     oracle="""
-    WITH sh AS (
+    WITH w AS (
+        -- hoist the split: inlining str_split inside the lambda
+        -- re-splits the text per gram, O(words^2) per document —
+        -- a 20k-word doc hangs the oracle (the Spark side hoists too)
+        SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
-                   range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                   range(1, greatest(len(words) - 2, 1) + 1),
                    i -> concat_ws(' ',
-                        str_split(text, ' ')[i],
-                        str_split(text, ' ')[least(i + 1,
-                            len(str_split(text, ' ')))],
-                        str_split(text, ' ')[least(i + 2,
-                            len(str_split(text, ' ')))])
+                        words[i],
+                        words[least(i + 1, len(words))],
+                        words[least(i + 2, len(words))])
                )) AS grams
-        FROM documents
+        FROM w
     ), exploded AS (
         SELECT doc_id, unnest(grams) AS gram FROM sh
     ), df AS (

@@ -392,7 +392,12 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
-           ('0x' || substring(hex(encode(text)), 1, 2))::INT AS first_byte,
+           -- zero-byte payload has no first byte: unguarded, the
+           -- dangling '0x'::INT cast errors (the Spark side emits
+           -- NULL for an empty payload)
+           CASE WHEN octet_length(encode(text)) >= 1
+                THEN ('0x' || substring(hex(encode(text)), 1, 2))::INT
+           END AS first_byte,
            octet_length(encode(text)) % 640 AS fake_width,
            octet_length(encode(text)) % 480 AS fake_height
     FROM documents

@@ -54,7 +54,9 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # NULL text → no payload row: the frame/audio stubs emit zero
     # output for a missing asset (their oracles filter identically);
-    # the decode op keeps NULL rows and does its own select.
+    # the decode op keeps NULL rows and does its own select. The
+    # frame sampler additionally drops zero-byte payloads at its own
+    # select (audio keeps them: a 0-sample clip is a NULL-stats row).
     return (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -71,7 +73,11 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                greatest(1, octet_length(encode(text)) // {FRAME_BYTES})
                    AS n_frames
         FROM documents
-        WHERE text IS NOT NULL  -- a NULL video has no frames
+        -- a NULL or zero-byte video has no frames (greatest(1, 0)
+        -- would otherwise force one frame whose first_byte cast
+        -- ('0x')::INT errors on one engine and indexes b'' on the
+        -- other)
+        WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
     ), s AS (
         SELECT *, (n_frames + {MAX_FRAMES - 1}) // {MAX_FRAMES} AS stride
         FROM f
@@ -137,7 +143,11 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, frame_idx bigint, byte_offset bigint, "
         "frame_len bigint, first_byte int, out_w int, out_h int"
     )
-    return _payloads(spark, sf_dir).mapInPandas(sample, schema)
+    return (
+        _payloads(spark, sf_dir)
+        .where(F.length("payload") > 0)
+        .mapInPandas(sample, schema)
+    )
 
 
 @query(
@@ -190,6 +200,13 @@ def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for payload in pdf["payload"]:
                 a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n = len(a)
+                if n == 0:
+                    # zero-byte clip: no samples → NULL stats (the
+                    # oracle's empty-list aggregates are NULL and the
+                    # division is NULL); a.max() on an empty array
+                    # would raise, mean would divide by zero
+                    out.append((0, None, None, None, 0))
+                    continue
                 s1 = int(a.sum())
                 s2 = int((a * a).sum())
                 mean = s1 / n

@@ -28,6 +28,21 @@ from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
 
+def _cents_half_away(values: pd.Series) -> pd.Series:
+    """value×100 rounded HALF AWAY FROM ZERO — the convention Spark's
+    round() and DuckDB's round() share. pandas/numpy .round() is
+    half-to-EVEN, so any value landing exactly on a half-cent (e.g.
+    0.005) silently splits the engines by one cent (caught by the
+    degenerate-input audit). NaN (a NULL value) propagates."""
+    import numpy as np
+
+    cents = values * 100
+    return pd.Series(
+        np.copysign(np.floor(np.abs(cents) + 0.5), cents),
+        index=values.index,
+    )
+
+
 @query(
     "udf_python",
     oracle="""
@@ -105,7 +120,7 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SQL semantics: sum skips NULLs, count(*) counts every row;
         # an all-NULL group means NULL, never a fabricated 0 (a plain
         # astype("int64") would crash on the NaN a NULL arrives as)
-        cents = (v * 100).round().dropna().astype("int64").sum()
+        cents = _cents_half_away(v).dropna().astype("int64").sum()
         if v.notna().sum() == 0:
             return None
         return float(cents) / (100.0 * len(v))
@@ -181,13 +196,14 @@ def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "event_id": purchases["event_id"],
                         "user_id": purchases["user_id"],
-                        # value is exact 2-decimal; rint recovers the
-                        # int. Nullable Int64 (not int64): a NULL value
-                        # must stay NULL through Arrow, not crash the
-                        # cast — matching the oracle's ::BIGINT of NULL
-                        "value_cents": (purchases["value"] * 100)
-                        .round()
-                        .astype("Int64"),
+                        # half-away cents (the Spark/DuckDB round
+                        # convention — see _cents_half_away). Nullable
+                        # Int64 (not int64): a NULL value must stay
+                        # NULL through Arrow, not crash the cast —
+                        # matching the oracle's ::BIGINT of NULL
+                        "value_cents": _cents_half_away(
+                            purchases["value"]
+                        ).astype("Int64"),
                     }
                 )
 
@@ -257,8 +273,12 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def to_cents(batches):
         for batch in batches:
             cents = pc.cast(
+                # half_towards_infinity = half away from zero, the
+                # Spark/DuckDB round() convention; Arrow's default
+                # half_to_even splits the engines on half-cent values
                 pc.round(
-                    pc.multiply(batch.column("value"), pa.scalar(100.0))
+                    pc.multiply(batch.column("value"), pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
                 ),
                 pa.int64(),
             )

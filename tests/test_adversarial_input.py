@@ -295,3 +295,57 @@ def test_combined_fixture_rows_only_execute(spark, combined_sf):
     queries = entry.queries()
     for name in COMBINED_ROWS_ONLY:
         queries[name](spark, combined_sf).collect()
+
+
+#: operators the round-6 DEGENERATE-input audit caught (empty-string /
+#: whitespace-only / single-char / 20k-word documents, plus extreme
+#: but in-envelope event values incl. -0.0 and the 0.005 half-cent
+#: tie), now fixed: O(words²) bigram recompute past an explode (JVM
+#: OOM on ONE 20k-word doc), unclamped shingle indices + 0/0 Jaccard
+#: under ANSI, divide-by-zero on token-free text, '0x'::INT on empty
+#: payloads, empty-clip audio stats, pandas/Arrow half-to-even cents
+#: vs the engines' half-away round(), and IEEE -0.0 surviving DuckDB
+#: aggregates where Spark normalizes it.
+DEGENERATE_OPS = [
+    "llm_repetition_filter", "llm_dedup_ngram", "llm_token_count",
+    "llm_boilerplate_share", "llm_multimodal_decode", "llm_frame_sample",
+    "llm_audio_features", "udaf_pandas_agg", "udf_map_arrow",
+    "udf_map_partitions", "ts_ewma", "ts_resample_ohlc",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_degenerate")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "documents":
+            tx = tb["text"].to_pylist()
+            tx[2] = ""
+            tx[7] = " "
+            tx[12] = "   "
+            tx[17] = "x"
+            tx[22] = "a " * 20000 + "b"
+            tx[27] = "same same same same"
+            tb = tb.set_column(
+                tb.schema.get_field_index("text"), "text",
+                pa.array(tx, type=pa.string()),
+            )
+        if t == "events":
+            v = tb["value"].to_pylist()
+            v[0] = 1.0e6
+            v[1] = -1.0e6
+            v[2] = 1.0e-09
+            v[3] = -0.0
+            v[4] = 0.005  # exact half-cent: the round-half tie
+            tb = tb.set_column(
+                tb.schema.get_field_index("value"), "value",
+                pa.array(v, type=pa.float64()),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_degenerate_fixture_matches_oracle(spark, degenerate_sf):
+    bad = _compare(spark, degenerate_sf, DEGENERATE_OPS)
+    assert not bad, "degenerate-input divergence:\n" + "\n".join(bad)
