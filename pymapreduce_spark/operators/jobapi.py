@@ -234,6 +234,17 @@ def api_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     def journey_reducer(key, rows):
         mn = rows["ts"].min()
         mx = rows["ts"].max()
+        # subtract as datetime.datetime: pandas Timestamp subtraction
+        # materializes a ns-resolution Timedelta whose int64 bound is
+        # ±292 years — a user whose events span farther (timestamp
+        # outliers; ts-extreme audit) overflows, while datetime's
+        # µs-resolution timedelta does not. NaT-guard for safety.
+        if pd.isna(mn) or pd.isna(mx):
+            span = None
+        else:
+            span = int(
+                (mx.to_pydatetime() - mn.to_pydatetime()).total_seconds()
+            )
         return {
             "user_id": int(key[0]),
             # skip NULL event types exactly as the oracle's string_agg
@@ -244,7 +255,7 @@ def api_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if isinstance(t, str)
             ),
             "n_events": int(len(rows)),
-            "span_seconds": int((mx - mn).total_seconds()),
+            "span_seconds": span,
         }
 
     return (

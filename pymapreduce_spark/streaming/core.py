@@ -193,8 +193,14 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding",
     oracle="""
     WITH hits AS (
+        -- FLOOR alignment via a non-negative modulus: `//` truncates
+        -- toward zero for negative operands, which mis-aligns every
+        -- pre-1970 (negative-epoch) event's window start by one slide
+        -- (Spark's F.window floors; caught by the ts-extreme audit)
         SELECT make_timestamp(
-                   (epoch_us(ts::TIMESTAMP) // 900000000) * 900000000
+                   epoch_us(ts::TIMESTAMP)
+                   - ((epoch_us(ts::TIMESTAMP) % 900000000) + 900000000)
+                     % 900000000
                    - j * 900000000) AS window_start,
                event_type
         FROM events, (SELECT unnest(range(0, 4)) AS j)
@@ -276,7 +282,12 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                (date_trunc('hour', ts::TIMESTAMP)
                    + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,
                count(*)::BIGINT AS n_events
-        FROM events GROUP BY 1, 2
+        FROM events
+        -- Spark's watermark starts at epoch 0, so pre-1970 events are
+        -- born late and dropped by every watermarked stateful op
+        -- (ts-extreme audit); the batch twin must drop them too
+        WHERE ts::TIMESTAMP >= TIMESTAMP '1970-01-01 00:00:00'
+        GROUP BY 1, 2
     ), wm AS (
         SELECT max(ts::TIMESTAMP) - INTERVAL 2 HOUR AS w FROM events
     )
@@ -336,6 +347,10 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*) AS n_unique
     FROM events
+    -- pre-1970 events are late vs Spark's initial epoch-0 watermark
+    -- and are dropped by dropDuplicatesWithinWatermark (ts-extreme
+    -- audit); the batch twin drops them too
+    WHERE ts::TIMESTAMP >= TIMESTAMP '1970-01-01 00:00:00'
     GROUP BY event_type
     """,
 )

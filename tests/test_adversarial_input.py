@@ -349,3 +349,49 @@ def degenerate_sf(tmp_path_factory) -> str:
 def test_degenerate_fixture_matches_oracle(spark, degenerate_sf):
     bad = _compare(spark, degenerate_sf, DEGENERATE_OPS)
     assert not bad, "degenerate-input divergence:\n" + "\n".join(bad)
+
+
+#: operators the round-6 TIMESTAMP-extreme audit caught (pre-1970
+#: events, century-distant outliers, 30 events sharing one
+#: microsecond), now fixed: Spark's watermark starts at epoch 0 so
+#: pre-1970 events are born late and dropped by every watermarked
+#: stateful op (their batch oracles now drop them too); the sliding
+#: oracle's `//` truncated toward zero on negative epochs and
+#: mis-aligned pre-epoch window starts by one slide (now a floor
+#: alignment via non-negative modulus); pandas Timestamp subtraction
+#: overflows its ±292-year ns Timedelta on a user's 300-year event
+#: span (now datetime subtraction).
+TS_EXTREME_OPS = [
+    "stream_sliding", "stream_dedup", "stream_watermark",
+    "api_secondary_sort",
+    # tie-break determinism coverage: 30 equal-microsecond events
+    "ts_resample_ohlc", "win_rolling_median", "llm_sessionize",
+]
+
+
+@pytest.fixture(scope="module")
+def ts_extreme_sf(tmp_path_factory) -> str:
+    import datetime
+
+    base = tmp_path_factory.mktemp("sf_tsx")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            ts = tb["ts"].to_pylist()
+            ts[0] = datetime.datetime(1969, 12, 31, 23, 30, 0)
+            ts[1] = datetime.datetime(1900, 6, 15, 12, 34, 56, 789012)
+            ts[2] = datetime.datetime(2200, 1, 1, 0, 0, 0)
+            tie = datetime.datetime(2024, 1, 3, 7, 7, 7, 123456)
+            for i in range(10, 40):
+                ts[i] = tie
+            tb = tb.set_column(
+                tb.schema.get_field_index("ts"), "ts",
+                pa.array(ts, type=tb.schema.field("ts").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_ts_extreme_fixture_matches_oracle(spark, ts_extreme_sf):
+    bad = _compare(spark, ts_extreme_sf, TS_EXTREME_OPS)
+    assert not bad, "ts-extreme divergence:\n" + "\n".join(bad)
