@@ -229,10 +229,14 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_json",
     oracle="""
+    -- malformed-JSON tolerance: DuckDB's json functions ERROR on
+    -- invalid JSON and ::INT errors on non-numeric tokens, while
+    -- Spark's get_json_object/from_json yield NULL — json_valid +
+    -- TRY_CAST align the engines (malformed-JSON audit)
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           json_extract(props, '$.k')::INT AS k_int,
-           json_extract(props, '$.k')::INT * 2 AS k_doubled
+           CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
+           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) AS k_int,
+           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) * 2 AS k_doubled
     FROM events
     """,
 )
@@ -251,7 +255,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_json_agg",
     oracle="""
-    SELECT json_extract(props, '$.k')::INT AS k,
+    SELECT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) AS k,
            count(*) AS n_events,
            sum(round(value * 100)::BIGINT) / 100.0 AS total_value
     FROM events
@@ -266,7 +270,9 @@ def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.withColumn(
-            "k", F.get_json_object("props", "$.k").cast("int")
+            # try_cast: a non-numeric $.k is NULL, matching the
+            # oracle's TRY_CAST — a plain cast throws under ANSI
+            "k", F.get_json_object("props", "$.k").try_cast("int")
         )
         .groupBy("k")
         .agg(
@@ -513,10 +519,12 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_total,
-           min(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
-           max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max,
-           count(*) FILTER (json_extract(props, '$.missing') IS NULL)
+           sum(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_total,
+           min(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_min,
+           max(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_max,
+           count(*) FILTER (
+               CASE WHEN json_valid(props)
+                    THEN json_extract(props, '$.missing') END IS NULL)
                ::BIGINT AS n_missing_path
     FROM events
     GROUP BY event_type
@@ -533,7 +541,10 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe proving NULL semantics match JSON semantics (DuckDB's native
     JSON extraction is the oracle)."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: malformed props → NULL variant (plain parse_json
+    # throws; malformed-JSON audit), downstream try_variant_get then
+    # yields NULLs that match the oracle's json_valid guards
+    v = F.try_parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "bigint")
     missing = F.try_variant_get(v, "$.missing", "bigint")
     return ev.select(

@@ -453,7 +453,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_total
+           sum(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_total
     FROM events
     WHERE event_id < 2000
     GROUP BY event_type
@@ -491,8 +491,9 @@ def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.select(
             F.col("meta.type").alias("event_type"),
+            # try_cast: malformed/non-numeric props survive as NULL
             F.get_json_object(F.col("payload.props"), "$.k")
-            .cast("long")
+            .try_cast("long")
             .alias("k"),
         )
         .groupBy("event_type")

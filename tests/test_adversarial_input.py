@@ -395,3 +395,45 @@ def ts_extreme_sf(tmp_path_factory) -> str:
 def test_ts_extreme_fixture_matches_oracle(spark, ts_extreme_sf):
     bad = _compare(spark, ts_extreme_sf, TS_EXTREME_OPS)
     assert not bad, "ts-extreme divergence:\n" + "\n".join(bad)
+
+
+#: operators the round-6 MALFORMED-JSON audit caught (broken /
+#: truncated / empty / NULL / wrong-typed / array-shaped props), now
+#: fixed: DuckDB json functions ERROR on invalid JSON and plain ::INT
+#: errors on non-numeric tokens where Spark yields NULL — oracles now
+#: guard with json_valid + TRY_CAST; Spark side uses try_cast (ANSI
+#: CAST_INVALID_INPUT otherwise) and try_parse_json (parse_json
+#: throws). Raw-token extraction of out-of-int64 numerics and
+#: booleans is engine-defined (both engines re-serialize differently)
+#: and deliberately NOT part of the contract.
+JSON_OPS = ["fn_json", "fn_json_agg", "fn_variant", "scan_jsonl_nested"]
+
+
+@pytest.fixture(scope="module")
+def json_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_json")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            p = tb["props"].to_pylist()
+            p[0] = "not json at all"
+            p[1] = '{"k": '
+            p[2] = ""
+            p[3] = None
+            p[4] = '{"k": "string-not-int"}'
+            p[5] = '{"K": 5}'
+            p[6] = '{"k": null}'
+            p[7] = '[1, 2, 3]'
+            p[8] = '{"m": 7}'
+            p[9] = '{"k": {"nested": {"deep": 1}}}'
+            tb = tb.set_column(
+                tb.schema.get_field_index("props"), "props",
+                pa.array(p, type=pa.string()),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_malformed_json_fixture_matches_oracle(spark, json_sf):
+    bad = _compare(spark, json_sf, JSON_OPS)
+    assert not bad, "malformed-JSON divergence:\n" + "\n".join(bad)
