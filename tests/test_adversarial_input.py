@@ -437,3 +437,50 @@ def json_sf(tmp_path_factory) -> str:
 def test_malformed_json_fixture_matches_oracle(spark, json_sf):
     bad = _compare(spark, json_sf, JSON_OPS)
     assert not bad, "malformed-JSON divergence:\n" + "\n".join(bad)
+
+
+#: round-6 ORPHAN-FK audit: broken referential integrity (lineitem →
+#: missing orders/parts, orders → missing customers) went 301/301 on
+#: first contact — inner joins drop orphans, outer joins NULL-extend
+#: them, semi/anti and the decorrelated TPC-H shapes agree, and
+#: etl_fk_integrity REPORTS the violations identically on both
+#: engines. This pin keeps the representative ops green.
+FK_OPS = [
+    "join_inner_equi", "join_left", "join_full", "join_anti",
+    "etl_fk_integrity", "q13_customer_distribution",
+    "q22_sales_opportunity", "join_coverage_report",
+]
+
+
+@pytest.fixture(scope="module")
+def orphan_fk_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_fk")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "lineitem":
+            ok = tb["l_orderkey"].to_pylist()
+            pk = tb["l_partkey"].to_pylist()
+            for i in range(0, len(ok), 50):
+                ok[i] = 99_000_000 + i
+            for i in range(7, len(pk), 60):
+                pk[i] = 98_000_000 + i
+            tb = tb.set_column(
+                tb.schema.get_field_index("l_orderkey"), "l_orderkey",
+                pa.array(ok, type=pa.int64()))
+            tb = tb.set_column(
+                tb.schema.get_field_index("l_partkey"), "l_partkey",
+                pa.array(pk, type=pa.int64()))
+        if t == "orders":
+            ck = tb["o_custkey"].to_pylist()
+            for i in range(3, len(ck), 40):
+                ck[i] = 97_000_000 + i
+            tb = tb.set_column(
+                tb.schema.get_field_index("o_custkey"), "o_custkey",
+                pa.array(ck, type=pa.int64()))
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_orphan_fk_fixture_matches_oracle(spark, orphan_fk_sf):
+    bad = _compare(spark, orphan_fk_sf, FK_OPS)
+    assert not bad, "orphan-FK divergence:\n" + "\n".join(bad)
