@@ -161,3 +161,147 @@ def _run_spec(spark, duck, sf_dir, spec):
 @given(spec=query_spec())
 def test_random_agg_queries_match_duckdb(spark, duck, sf_dir, spec):
     _run_spec(spark, duck, sf_dir, spec)
+
+
+# ---- documents-table twin: the text-analytics spec space ----------
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+_DOC_FILTERS = [
+    (
+        "chars_gt",
+        lambda v: F.col("n_chars") > v,
+        lambda v: f"n_chars > {v}",
+    ),
+    (
+        "chars_le",
+        lambda v: F.col("n_chars") <= v,
+        lambda v: f"n_chars <= {v}",
+    ),
+    (
+        "lang_in",
+        lambda ls: F.col("lang").isin(ls),
+        lambda ls: "lang IN ({})".format(
+            ", ".join(f"'{x}'" for x in ls)
+        ),
+    ),
+    (
+        "doc_mod",
+        lambda kr: (F.col("doc_id") % kr[0]) == kr[1],
+        lambda kr: f"doc_id % {kr[0]} = {kr[1]}",
+    ),
+]
+
+_DOC_KEYS = [
+    ("lang", lambda: F.col("lang"), "lang"),
+    ("source", lambda: F.col("source"), "source"),
+    # exact integer length band — identical derivation both engines
+    # (n_chars is non-negative, so DIV == floor-div == DuckDB //)
+    ("len_band", lambda: F.expr("n_chars DIV 100").alias("len_band"),
+     "n_chars // 100"),
+]
+
+_DOC_AGGS = [
+    ("n", lambda: F.count(F.lit(1)).alias("n"), "count(*)::BIGINT AS n"),
+    (
+        "chars",
+        lambda: F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+        "coalesce(sum(n_chars), 0)::BIGINT AS chars",
+    ),
+    (
+        "words",
+        # whitespace word count via the same split on both engines
+        lambda: F.coalesce(
+            F.sum(F.size(F.split("text", " ")).cast("long")), F.lit(0)
+        ).alias("words"),
+        "coalesce(sum(len(str_split(text, ' '))), 0)::BIGINT AS words",
+    ),
+    (
+        "id_min",
+        lambda: F.min("doc_id").alias("id_min"),
+        "min(doc_id) AS id_min",
+    ),
+    (
+        "langs",
+        lambda: F.count_distinct("lang").alias("langs"),
+        "count(DISTINCT lang)::BIGINT AS langs",
+    ),
+]
+
+
+@st.composite
+def doc_query_spec(draw):
+    filters = []
+    if draw(st.booleans()):
+        v = draw(st.integers(0, 600))
+        which = draw(st.sampled_from(["chars_gt", "chars_le"]))
+        filters.append((which, v))
+    if draw(st.booleans()):
+        ls = draw(
+            st.lists(st.sampled_from(LANGS), min_size=1, max_size=3,
+                     unique=True)
+        )
+        filters.append(("lang_in", ls))
+    if draw(st.booleans()):
+        k = draw(st.integers(2, 7))
+        filters.append(("doc_mod", (k, draw(st.integers(0, 1)))))
+    keys = draw(
+        st.lists(st.sampled_from([k[0] for k in _DOC_KEYS]),
+                 min_size=0, max_size=2, unique=True)
+    )
+    aggs = draw(
+        st.lists(st.sampled_from([a[0] for a in _DOC_AGGS]),
+                 min_size=1, max_size=3, unique=True)
+    )
+    return filters, sorted(keys), sorted(aggs)
+
+
+def _run_doc_spec(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    filters, keys, aggs = spec
+    fmap = {f[0]: f for f in _DOC_FILTERS}
+    kmap = {k[0]: k for k in _DOC_KEYS}
+    amap = {a[0]: a for a in _DOC_AGGS}
+
+    df = load_table(spark, sf_dir, "documents")
+    conds_sql = []
+    for name, arg in filters:
+        _, build, sql = fmap[name]
+        df = df.where(build(arg))
+        conds_sql.append(sql(arg))
+    key_cols = [kmap[k][1]() for k in keys]
+    agg_cols = [amap[a][1]() for a in aggs]
+    sdf = (
+        df.groupBy(*key_cols).agg(*agg_cols) if keys else df.agg(*agg_cols)
+    )
+
+    sql = "SELECT "
+    sql += ", ".join(
+        [f"{kmap[k][2]} AS {k}" for k in keys] + [amap[a][2] for a in aggs]
+    )
+    sql += " FROM documents"
+    if conds_sql:
+        sql += " WHERE " + " AND ".join(conds_sql)
+    if keys:
+        sql += " GROUP BY " + ", ".join(kmap[k][2] for k in keys)
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=doc_query_spec())
+def test_random_doc_queries_match_duckdb(spark, duck, sf_dir, spec):
+    _run_doc_spec(spark, duck, sf_dir, spec)
