@@ -183,6 +183,36 @@ def llm_registered_at_x10(spark) -> dict:
         "rows_10x_ok": bool(x_rows == 10 * base_rows),
         "wall_s": round(time.perf_counter() - t0, 2),
     }
+
+    # The tokenize→chunk→pack training-data chain at 10×: replicated
+    # docs must chunk to exactly 10× the base row count (chunking is
+    # per-doc, map-only), and sequence packing must keep every pack
+    # under its token budget at the larger scale.
+    base_chunks = QUERIES["llm_chunk_documents"](spark, BASE_SF).count()
+    t0 = time.perf_counter()
+    x_chunks = QUERIES["llm_chunk_documents"](spark, sf_x).count()
+    # bound: each (source, pack_id)'s total stays < budget (2048) +
+    # max doc tokens in that source — the documented streaming-pack
+    # guarantee (llm_pack_sequences docstring)
+    packs = QUERIES["llm_pack_sequences"](spark, sf_x)
+    over = (
+        packs.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .join(
+            packs.groupBy("source").agg(
+                F.max("n_tokens").alias("mx")
+            ),
+            "source",
+        )
+        .where(F.col("tot") >= 2048 + F.col("mx"))
+        .count()
+    )
+    res["curation_chain_50k"] = {
+        "n_chunks": x_chunks,
+        "chunks_10x_ok": bool(x_chunks == 10 * base_chunks),
+        "packs_over_budget": over,
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
     return res
 
 def _x10_sfdir() -> str:
