@@ -303,19 +303,69 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_spark")  # rows-only: xxhash64/crc32 not in DuckDB
+@query(
+    "fn_hash_spark",
+    # xxhash64/crc32/murmur3 have no DuckDB twins, so the check is
+    # split: (a) known-answer rows — the Spark hash of each fixed probe
+    # string must equal the recorded constant (seed-fixed determinism,
+    # pinned cross-version), and (b) a fixture-coupled injectivity
+    # audit — distinct xxhash64 values over customer names must equal
+    # distinct names (collision-free at any test scale: p ≈ n²/2⁶⁵).
+    oracle="""
+    SELECT t.probe, t.xxh64, t.crc32, t.murmur3,
+           inj.xxh64_injective_on_names
+    FROM (VALUES
+        ('', -7444071767201028348, 0, 142593372),
+        ('a', -8582455328737087284, 3904355907, 1485273170),
+        ('hello world', 7620854247404556961, 222957957, -1528836094),
+        ('café ☕ 数据', 8242977634428290703, 2351207781, 1995245951),
+        ('The quick brown fox jumps over the lazy dog',
+         -6152153990451020481, 1095738169, 466024576),
+        ('0123456789012345678901234567890123456789012345678901234567890123456789012345678901234567890123456789',
+         6379203369694145893, 2986101692, -788384601)
+    ) AS t(probe, xxh64, crc32, murmur3)
+    CROSS JOIN (SELECT true AS xxh64_injective_on_names) AS inj
+    """,
+)
 def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native stable hashes: xxhash64 (the workhorse for dedup
     bucketing and salting at 100 TB), crc32, and Murmur3 `hash`.
-    Determinism is seed-fixed; the test asserts distinctness + stability
-    across runs rather than an oracle value."""
-    customer = load_table(spark, sf_dir, "customer")
-    return customer.select(
-        "c_custkey",
-        F.xxhash64("c_name").alias("name_xxh64"),
-        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
-        F.hash("c_name").alias("name_murmur3"),
+
+    Hash-checked two ways since DuckDB cannot recompute these: fixed
+    probe strings (incl. empty, unicode, 100-char) against known-answer
+    constants — any seed / algorithm / encoding drift fails the value
+    hash — plus an injectivity flag over the fixture's customer names
+    (count-distinct of hashes == count-distinct of names; NULL names
+    excluded because xxhash64(NULL) yields the seed, not NULL, which
+    would skew the distinct counts one-sided)."""
+    probes = spark.createDataFrame(
+        [
+            ("",),
+            ("a",),
+            ("hello world",),
+            ("café ☕ 数据",),
+            ("The quick brown fox jumps over the lazy dog",),
+            ("0123456789" * 10,),
+        ],
+        "probe string",
     )
+    hashed = probes.select(
+        "probe",
+        F.xxhash64("probe").alias("xxh64"),
+        F.crc32(F.col("probe").cast("binary")).alias("crc32"),
+        F.hash("probe").alias("murmur3"),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    inj = (
+        customer.where(F.col("c_name").isNotNull())
+        .agg(
+            (
+                F.count_distinct(F.xxhash64("c_name"))
+                == F.count_distinct("c_name")
+            ).alias("xxh64_injective_on_names")
+        )
+    )
+    return hashed.crossJoin(F.broadcast(inj))
 
 
 @query(

@@ -78,6 +78,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def fixture_stamp(path: str) -> str:
+    """Identity stamp for a fixture file, used to key every derived-data
+    cache (split layout, partitioned copy, streaming replay, scratch
+    JSONL, semdedup probe memo). ``size:mtime_ns`` alone is spoofable by
+    an mtime-preserving restore (``cp -p`` / ``tar -x`` / LFS checkout)
+    that happens to match the old size — so the stamp also folds in the
+    inode and a CRC of the file's head+tail 64 KiB (the parquet footer
+    lives in the tail, so schema/row-group changes always land there;
+    data edits almost always move the size). Raises OSError when the
+    path is unreadable — callers decide their own fallback."""
+    st = os.stat(path)
+    crc = 0
+    if os.path.isfile(path):
+        with open(path, "rb") as fh:
+            crc = zlib.crc32(fh.read(65536))
+            if st.st_size > 131072:
+                fh.seek(-65536, os.SEEK_END)
+            crc = zlib.crc32(fh.read(65536), crc)
+    return f"{st.st_size}:{st.st_mtime_ns}:i{st.st_ino}:c{crc:08x}"
+
+
 def _fix_events(df: DataFrame) -> DataFrame:
     """Convert the ns-as-long ``ts`` column to a proper µs timestamp.
 
@@ -114,14 +135,15 @@ def _split_layout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(_ARTIFACTS_DIR, sf_tag, "split", name)
     marker = os.path.join(path, "_SPLIT_READY")
-    # The marker is keyed to the raw file's identity (size + mtime_ns)
-    # AND the target layout (n_files): a regenerated fixture at the
-    # same path OR a re-tuned split sizing invalidates the cached copy
-    # instead of silently serving stale data (the events ts re-encoding
-    # already forced the same versioning on the streaming replay dir).
+    # The marker is keyed to the raw file's identity (fixture_stamp:
+    # size + mtime + inode + head/tail CRC) AND the target layout
+    # (n_files): a regenerated fixture at the same path OR a re-tuned
+    # split sizing invalidates the cached copy instead of silently
+    # serving stale data (the events ts re-encoding already forced the
+    # same versioning on the streaming replay dir).
     n_files = max(2, min(_SPLIT_MAX_FILES, eff_size // _SPLIT_TARGET_BYTES))
     try:
-        stamp = f"{size}:{os.stat(raw).st_mtime_ns}:n{n_files}"
+        stamp = f"{fixture_stamp(raw)}:n{n_files}"
     except OSError:
         return None
     try:
@@ -194,7 +216,7 @@ def partitioned_table(
     """Hive-partitioned copy of a fixture table (directory per
     ``part_col`` value, computed by ``part_expr``), materialized once
     under ``.artifacts/<sf>/part/`` and keyed to the raw file's identity
-    (size + mtime_ns) exactly like the split cache — a regenerated
+    (:func:`fixture_stamp`) exactly like the split cache — a regenerated
     fixture invalidates the copy instead of serving stale data.
 
     This is the layout a 100 TB lake already has (date-partitioned
@@ -209,7 +231,7 @@ def partitioned_table(
         part_col, part_expr
     )
     try:
-        st = os.stat(raw)
+        src_stamp = fixture_stamp(raw)
     except OSError:
         return fallback
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -226,7 +248,7 @@ def partitioned_table(
         expr_fp = str(part_expr._jc)
     except Exception:
         expr_fp = str(part_expr)
-    stamp = f"{st.st_size}:{st.st_mtime_ns}:e{zlib.crc32(expr_fp.encode()):08x}"
+    stamp = f"{src_stamp}:e{zlib.crc32(expr_fp.encode()):08x}"
     try:
         with open(marker) as fh:
             if fh.read().strip() == stamp:

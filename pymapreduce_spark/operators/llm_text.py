@@ -864,18 +864,57 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_tfidf_ml")  # rows-only: ml.feature pipeline, not SQL
+@query(
+    "llm_tfidf_ml",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), tf AS (
+        SELECT doc_id, word, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+              FROM docs)
+        GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
+    ), n AS (
+        SELECT count(*) AS n_docs FROM docs
+    ), w AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0)) AS weight
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word AS top_term, round(weight, 6) AS top_weight
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY weight DESC, word
+          ) AS rn FROM w)
+    WHERE rn = 1
+    """,
+)
 def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF via the pyspark.ml pipeline (Tokenizer → CountVectorizer →
+    """TF-IDF via the pyspark.ml feature pipeline (CountVectorizer →
     IDF), emitting each document's top-weighted term. The ml variant of
-    llm_tfidf (which is the pure-SQL dataflow form); ml's idf =
-    ln((N+1)/(df+1)) without the +1 shift, so weights differ by design —
-    tests assert stability and majority agreement of per-doc top terms
-    with the SQL form rather than equality."""
-    from pyspark.ml.feature import CountVectorizer, IDF, Tokenizer
+    llm_tfidf (the pure-SQL dataflow form); ml's idf = ln((N+1)/(df+1))
+    without llm_tfidf's +1 shift, so weights differ by design.
 
-    # NULL text: ml Tokenizer's JVM UDF throws on null input, and a
-    # token-free doc has no top term anyway — filter, don't crash.
+    Scoring is the production "fit once, broadcast the model" shape:
+    CountVectorizer learns the vocabulary and IDF fits the per-term
+    weights (the genuinely-ML steps), then the fitted idf table is
+    broadcast and applied RELATIONALLY — tf counts join the idf map, no
+    per-row dense vocab-sized vectors ever materialize (a
+    vector_to_array + posexplode scoring path is |docs|×|vocab| rows,
+    which is quadratic death at 100 TB; the idf join is linear).
+    Tokenization is pinned to the engine-portable single-space split
+    (matching llm_tfidf) rather than ml Tokenizer, whose \\s regex +
+    Java split trailing-empty semantics cannot be replayed bit-exactly
+    cross-engine. The per-doc argmax is deterministic (max weight, then
+    lexicographically smallest term) instead of fitted-vocab-position
+    order, which is tie-unstable — that determinism is what makes this
+    op hash-checkable: the DuckDB oracle replays the learned weights
+    exactly, so a drifting CountVectorizer/IDF fit fails the value hash
+    instead of hiding in a rows-only pass."""
+    from pyspark.ml.feature import CountVectorizer, IDF
+
+    # NULL text: a token-free doc has no top term — filter, don't crash.
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -887,24 +926,42 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, top_term string, top_weight double"
         )
-    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    # vocabSize must exceed the corpus vocabulary: CountVectorizer
+    # silently truncates to the top-frequency vocabSize terms, which
+    # would drop rare terms from the idf table while the oracle keeps
+    # them. 2^20 is ~340× the sf0.1 vocabulary.
     cv_model = CountVectorizer(
-        inputCol="words", outputCol="tf", minDF=1.0
-    ).fit(toks)
-    tf = cv_model.transform(toks)
-    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
-    weighted = idf_model.transform(tf)
-    from pyspark.ml.functions import vector_to_array
-
-    vocab_arr = F.array(*[F.lit(w) for w in cv_model.vocabulary])
-    dense = weighted.withColumn("arr", vector_to_array(F.col("tfidf")))
-    # argmax as a pure expression: 1-based position of the max weight
-    # (first occurrence — deterministic given the fitted vocab order).
-    idx = F.expr("array_position(arr, array_max(arr))").cast("int")
-    return dense.select(
-        "doc_id",
-        F.element_at(vocab_arr, idx).alias("top_term"),
-        F.round(F.array_max(F.col("arr")), 6).alias("top_weight"),
+        inputCol="words", outputCol="tfv", minDF=1.0, vocabSize=1 << 20
+    ).fit(words)
+    idf_model = IDF(inputCol="tfv", outputCol="tfidf").fit(
+        cv_model.transform(words)
+    )
+    idf_table = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "word": cv_model.vocabulary,
+                "idf": idf_model.idf.toArray().tolist(),
+            }
+        )
+    )
+    tf = (
+        words.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    weighted = tf.join(F.broadcast(idf_table), "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("weight")
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "word")
+    return (
+        weighted.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.round("weight", 6).alias("top_weight"),
+        )
     )
 
 

@@ -33,14 +33,28 @@ def _cents_half_away(values: pd.Series) -> pd.Series:
     round() and DuckDB's round() share. pandas/numpy .round() is
     half-to-EVEN, so any value landing exactly on a half-cent (e.g.
     0.005) silently splits the engines by one cent (caught by the
-    degenerate-input audit). NaN (a NULL value) propagates."""
-    import numpy as np
+    degenerate-input audit). NaN (a NULL value) propagates.
 
-    cents = values * 100
-    return pd.Series(
-        np.copysign(np.floor(np.abs(cents) + 0.5), cents),
-        index=values.index,
-    )
+    Rounds via the shortest decimal repr exactly like Spark
+    (BigDecimal.valueOf + HALF_UP): the earlier floor(abs+0.5) idiom
+    double-rounds — for cents one ulp below a half (0.49999999999999994)
+    the +0.5 lands on exactly 1.0 in IEEE754 and floors to 1 where both
+    engines' round() yields 0 (r6 advisor finding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    one = Decimal("1")
+
+    def rnd(x) -> float:
+        if x is None:
+            return float("nan")
+        x = float(x)
+        if x != x or x in (float("inf"), float("-inf")):
+            return x
+        return float(
+            Decimal(repr(x * 100.0)).quantize(one, rounding=ROUND_HALF_UP)
+        )
+
+    return values.map(rnd)
 
 
 @query(

@@ -329,18 +329,48 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_jsonl_permissive")  # rows-only: corrupt-record handling
+@query(
+    "scan_jsonl_permissive",
+    # The scratch JSONL is derived: one good line per document (≤ 20)
+    # plus exactly 3 corrupt lines appended — so the counts are
+    # SQL-expressible from the originating table. A permissive reader
+    # that silently drops (or misroutes) records fails the value hash.
+    oracle="""
+    SELECT least(count(*), 20)::BIGINT AS n_good,
+           3::BIGINT AS n_corrupt
+    FROM documents
+    """,
+)
 def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-input tolerance: a JSONL file with deliberately corrupt
     lines read in PERMISSIVE mode — bad lines land in _corrupt_record
     instead of failing the job (the only sane posture for 100 TB of
-    scraped JSON). Returns good/corrupt counts; asserted in tests."""
+    scraped JSON). Returns good/corrupt counts; asserted in tests and
+    against the derived-count oracle."""
     import os as _os
 
     path = _scratch(sf_dir, "permissive_jsonl")
     _os.makedirs(path, exist_ok=True)
     fpath = _os.path.join(path, "data.jsonl")
-    if not _os.path.exists(fpath):
+    # Stamp the scratch file with the source fixture's identity — a
+    # fixture rebuilt in place (adversarial axes, regenerated testdata)
+    # must regenerate the derived JSONL or the counts go stale against
+    # the oracle's live count(*).
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        from pymapreduce_spark.io import fixture_stamp
+
+        stamp = fixture_stamp(src)
+    except OSError:
+        stamp = "no-source"
+    marker = fpath + ".stamp"
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read().strip() == stamp
+    except OSError:
+        pass
+    if not (fresh and _os.path.exists(fpath)):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang"
         ).limit(20).collect()
@@ -350,6 +380,8 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write("{broken json\n")
             fh.write('{"doc_id": "not_a_number", "lang": 7}\n')
             fh.write("[1,2,3\n")
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

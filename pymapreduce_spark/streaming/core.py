@@ -43,15 +43,17 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     # out). A v1 marker means the on-disk copy may carry NTZ timestamps,
     # which withWatermark rejects — regenerate.
     marker = os.path.join(path, "_REPLAY_READY_v2")
-    # The marker carries the SOURCE file's identity (size + mtime_ns —
-    # the io split/partition-cache stamp): sf_tag is just a basename,
-    # so two different fixture dirs named `sf` would otherwise share
-    # one replay copy and the second would stream the first's events
+    # The marker carries the SOURCE file's identity (io.fixture_stamp —
+    # size/mtime/inode/content-CRC): sf_tag is just a basename, so two
+    # different fixture dirs named `sf` would otherwise share one
+    # replay copy and the second would stream the first's events
     # (caught by the combined-axis adversarial audit, whose rebuilt
-    # fixture silently replayed a prior rebuild's stream).
+    # fixture silently replayed a prior rebuild's stream). The content
+    # CRC also defeats mtime-preserving restores (cp -p / tar -x).
+    from pymapreduce_spark.io import fixture_stamp
+
     try:
-        st = os.stat(table_path(sf_dir, "events"))
-        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+        stamp = fixture_stamp(table_path(sf_dir, "events"))
     except OSError:
         stamp = "nosource"
     fresh = False

@@ -484,3 +484,46 @@ def orphan_fk_sf(tmp_path_factory) -> str:
 def test_orphan_fk_fixture_matches_oracle(spark, orphan_fk_sf):
     bad = _compare(spark, orphan_fk_sf, FK_OPS)
     assert not bad, "orphan-FK divergence:\n" + "\n".join(bad)
+
+
+#: round-7 NULL-EMBEDDING axis (r6 advisor finding): NULL vectors in
+#: the embeddings table hit three distinct semdedup paths — a NULL
+#: SEED's cosine must sort LAST in the Spark least() fold exactly as
+#: the oracle's ORDER BY cos DESC NULLS LAST does (Spark struct
+#: comparison otherwise sorts a NULL field FIRST and the NULL seed
+#: wins every assignment), the pair kernel's np.vstack must not see
+#: None rows, and exact copies of a NULL vector must yield is_dup =
+#: false (not NULL) through the null-safe membership join + coalesced
+#: selfdup conjunct.
+NULL_EMBED_OPS = ["llm_semdedup"]
+
+
+@pytest.fixture(scope="module")
+def null_embed_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_null_embed")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "embeddings":
+            emb = tb["embedding"].to_pylist()
+            # a NULL SEED (vec_id < 8) — the least()-fold ordering case
+            emb[2] = None
+            # NULL rows in the corpus, incl. adjacent "exact copies" of
+            # the NULL vector (one groupBy(v) group in the collapse arm)
+            for i in range(50, len(emb), 37):
+                emb[i] = None
+            # exact-copy mass so the adaptive gate picks the COLLAPSE
+            # arm (distinct vectors < 98% of rows) and the null-safe
+            # membership join is actually on the executed path
+            for i in range(9, len(emb), 3):
+                emb[i] = list(emb[0])
+            tb = tb.set_column(
+                tb.schema.get_field_index("embedding"), "embedding",
+                pa.array(emb, type=tb.schema.field("embedding").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_null_embedding_fixture_matches_oracle(spark, null_embed_sf):
+    bad = _compare(spark, null_embed_sf, NULL_EMBED_OPS)
+    assert not bad, "NULL-embedding divergence:\n" + "\n".join(bad)

@@ -79,12 +79,18 @@ def test_stable_scratch_previous_epoch_stays_readable(spark, sf_dir):
     from pymapreduce_spark.io import stable_scratch
     from pymapreduce_spark.registry import QUERIES
 
+    def canon(rows):
+        # order-insensitive: an unordered parquet scan's row order is
+        # not stable across collects (file listing / partition count),
+        # and the retention property under test is about READABILITY
+        return sorted(map(tuple, rows))
+
     first = QUERIES["etl_compact_execute"](spark, sf_dir)
-    rows_before = first.collect()
+    rows_before = canon(first.collect())
     # second invocation wipes epochs older than the newest prior one
     QUERIES["etl_compact_execute"](spark, sf_dir).collect()
     # the frame returned by invocation 1 must still produce its rows
-    assert first.collect() == rows_before
+    assert canon(first.collect()) == rows_before
     # footprint bound: at most 2 epoch dirs exist afterwards
     newest = stable_scratch(sf_dir, "epoch_probe")
     base = os.path.dirname(newest)

@@ -142,18 +142,23 @@ def test_ngram_dedup_recovers_engineered_pairs_at_sf01(spark):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
-    """IVF (nprobe=8/16) recall@5 vs brute force must be ≥ 0.9."""
+    """IVF (nprobe=12/16) recall@5 vs brute force must be ≥ 0.9."""
+    from pymapreduce_spark.operators.llm_vector import sim_search_ivf_rich
+
     exact = {
         (r.query_id, r.neighbor_id)
         for r in QUERIES["llm_sim_search"](spark, sf_dir).collect()
     }
-    ivf_rows = QUERIES["llm_sim_search_ivf"](spark, sf_dir).collect()
+    ivf_rows = sim_search_ivf_rich(spark, sf_dir).collect()
     ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
     # the self-evidencing column must agree with the exact set
     for r in ivf_rows:
         assert r.in_exact_topk == ((r.query_id, r.neighbor_id) in exact), r
+    # the registered hash-checked summary must read (5, true) per query
+    for r in QUERIES["llm_sim_search_ivf"](spark, sf_dir).collect():
+        assert r.n_results == 5 and r.recall_ok, r
 
 
 def test_tfidf_ml_agrees_with_sql_form(spark, sf_dir):
