@@ -77,6 +77,7 @@ def cluster_near_duplicates(
     max_jaccard_dist: float = 0.5,
     n_hashes: int = 16,
     band_rows: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Core fuzzy-dedup pipeline over a (doc_id, text) DataFrame:
     MinHash-LSH banded candidate pairs → exact-Jaccard verification →
@@ -184,7 +185,7 @@ def cluster_near_duplicates(
     # (dominant) singleton majority joins back in one left join.
     from pymapreduce_spark.operators.graph import connected_components
 
-    comp = connected_components(pairs).select(
+    comp = connected_components(pairs, stats=stats).select(
         F.col("node").alias("rep_id"), F.col("component").alias("cluster_id")
     )
     # Label the representatives, then expand over the exact-copy
