@@ -162,12 +162,6 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
-    # The driver captures a fixed-size TAIL of stdout and parses the last
-    # JSON line: round 5's single fat line (medians + spreads) outgrew that
-    # window and truncated unparseably (BENCH_r05.json parsed:null). So the
-    # per-query [min, median, max] spread goes to a sidecar file plus a
-    # separate earlier stdout line, and the compact medians-only line is
-    # printed LAST where the tail capture is guaranteed to hold it whole.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -175,8 +169,21 @@ def main() -> None:
             json.dump({"sf": sf_num, "spread": spread}, fh)
     except OSError:
         pass
-    print(json.dumps({"spread": spread}))
-    print(json.dumps(result))
+    for line in stdout_lines(result, spread):
+        print(line)
+
+
+def stdout_lines(result: dict, spread: dict) -> list[str]:
+    """The bench's stdout contract, unit-tested in tests/test_api.py.
+
+    The driver captures a fixed-size TAIL of stdout and parses the last
+    JSON line: round 5's single fat line (medians + spreads) outgrew
+    that window and truncated unparseably (BENCH_r05.json parsed:null).
+    So the per-query [min, median, max] spread goes to a sidecar file
+    plus a separate EARLIER stdout line, and the compact medians-only
+    line is printed LAST where the tail capture is guaranteed to hold
+    it whole."""
+    return [json.dumps({"spread": spread}), json.dumps(result)]
 
 
 if __name__ == "__main__":

@@ -241,5 +241,14 @@ def ordered_names(registered: dict, oracles: dict | None = None) -> list[str]:
     # Oldest driver row first; name tie-break keeps it deterministic.
     resample = sorted(green, key=lambda n: (latest[n][0], n))[: _resample_quota()]
     fresh = [n for n in curated if n not in latest]
+    # Oracle-less names NEVER outrank oracled ones in the fresh bucket:
+    # the artifact record (r1–r6) shows the driver has no working
+    # rows-only path — every oracle-less name it ever windowed came
+    # back `err: no_oracle`, burning the slot. Stable partition, so the
+    # curated order is preserved within each half.
+    if oracles is not None:
+        fresh = [n for n in fresh if n in oracles] + [
+            n for n in fresh if n not in oracles
+        ]
     rest = [n for n in green if n not in set(resample)]
     return rechecks + resample + fresh + rest

@@ -119,3 +119,29 @@ def test_cli_list_and_unknown(capsys):
     assert main(["run", "no_such_query"]) == 2
     err = capsys.readouterr().err
     assert "unknown query" in err
+
+
+def test_bench_stdout_contract():
+    """The driver tail-captures bench stdout and parses the LAST JSON
+    line; it must be the compact medians-only payload and stay well
+    under the capture window even at full 60-query width (r5's artifact
+    was lost to one fat line — pin the invariant, not the memory)."""
+    import json
+
+    from bench import HEADLINE, stdout_lines
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": 12.3456,
+        "unit": "sec",
+        "queries": {k: 12.3456 for k in HEADLINE},
+        "sf": 0.1,
+    }
+    spread = {k: [9.1234, 12.3456, 99.5678] for k in HEADLINE}
+    lines = stdout_lines(result, spread)
+    last = json.loads(lines[-1])
+    assert last["metric"] == "headline_total_sec"
+    assert last["queries"] == result["queries"]
+    assert len(lines[-1]) < 4096, f"compact line too fat: {len(lines[-1])}B"
+    # the spread line precedes it and parses on its own
+    assert json.loads(lines[0])["spread"] == spread

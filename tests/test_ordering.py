@@ -101,6 +101,35 @@ def test_unknown_priority_name_warns_not_raises(patched):
     assert order == ["only_this"]
 
 
+def test_oracle_less_fresh_names_never_outrank_oracled(patched):
+    """The driver has no working rows-only path (every oracle-less name
+    it ever windowed burned its slot as `err: no_oracle`, r1–r6), so an
+    oracle-less fresh name must sort after EVERY oracled fresh name —
+    it cannot consume a window slot while oracled work awaits proof."""
+    registered = {n: None for n in ["rows_only_op", "a", "b", "c"]}
+    patched({})
+    oracles = {"a": "SELECT 1", "b": "SELECT 1", "c": "SELECT 1"}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(registered, oracles=oracles)
+    assert order.index("rows_only_op") > max(
+        order.index(n) for n in ("a", "b", "c")
+    )
+
+
+def test_registry_has_no_oracle_less_queries():
+    """Every registered query carries a DuckDB oracle. The only driver
+    evidence an oracle-less query can ever produce is a burned
+    `err: no_oracle` slot — registering one is a defect, full stop.
+    (If a future op is GENUINELY not SQL-expressible, give it a
+    self-evidencing summary oracle like llm_sim_search_ivf's recall
+    frame instead of exempting it here.)"""
+    import __spark_entry__ as e
+
+    missing = [n for n in e.queries() if n not in e.oracle_sql()]
+    assert not missing, f"oracle-less queries registered: {missing}"
+
+
 def test_registry_window_is_driver_shaped():
     """The real registry's first 50 names must contain every known
     non-green driver row (rechecks cannot be pushed out of the window
