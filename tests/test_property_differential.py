@@ -305,3 +305,316 @@ def _run_doc_spec(spark, duck, sf_dir, spec):
 @given(spec=doc_query_spec())
 def test_random_doc_queries_match_duckdb(spark, duck, sf_dir, spec):
     _run_doc_spec(spark, duck, sf_dir, spec)
+
+
+# ---- generic runner for the round-7 spec spaces --------------------
+
+
+def _diff_spec(spark, duck, spec, space, base_df):
+    """Compile one (filters, keys, aggs) spec to a Spark plan AND a
+    DuckDB statement from the same table mappings, run both, strict
+    stringified compare (the same harshness as the driver-sim)."""
+    filters, keys, aggs = spec
+    fmap = {f[0]: f for f in space["filters"]}
+    kmap = {k[0]: k for k in space["keys"]}
+    amap = {a[0]: a for a in space["aggs"]}
+
+    df = base_df
+    conds_sql = []
+    for name, arg in filters:
+        _, build, sql = fmap[name]
+        df = df.where(build(arg))
+        conds_sql.append(sql(arg))
+    key_cols = [kmap[k][1]() for k in keys]
+    agg_cols = [amap[a][1]() for a in aggs]
+    sdf = (
+        df.groupBy(*key_cols).agg(*agg_cols) if keys else df.agg(*agg_cols)
+    )
+
+    sql = "SELECT " + ", ".join(
+        [f"{kmap[k][2]} AS {k}" for k in keys] + [amap[a][2] for a in aggs]
+    )
+    sql += f" FROM {space['from_sql']}"
+    if conds_sql:
+        sql += " WHERE " + " AND ".join(conds_sql)
+    if keys:
+        sql += " GROUP BY " + ", ".join(kmap[k][2] for k in keys)
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+def _spec_strategy(space):
+    """Spec strategy over a space: optional draw per filter family,
+    0-2 group keys, 1-3 aggregates (all unique, sorted → stable ids)."""
+
+    @st.composite
+    def spec(draw):
+        filters = []
+        for fam in space["filter_families"]:
+            if draw(st.booleans()):
+                name = draw(st.sampled_from(fam["names"]))
+                filters.append((name, draw(fam["arg"])))
+        keys = draw(
+            st.lists(st.sampled_from([k[0] for k in space["keys"]]),
+                     min_size=0, max_size=2, unique=True)
+        )
+        aggs = draw(
+            st.lists(st.sampled_from([a[0] for a in space["aggs"]]),
+                     min_size=1, max_size=3, unique=True)
+        )
+        return filters, sorted(keys), sorted(aggs)
+
+    return spec()
+
+
+# ---- embeddings: array columns + higher-order functions ------------
+#
+# Spec-space determinism notes: element/threshold comparisons are exact
+# (identical float32 bits promote to the identical double on both
+# engines); every aggregate is an exact integer derivation (counts,
+# HOF-filter sizes) — no FP summation anywhere. Spark arrays and DuckDB
+# lists are both 1-indexed, so element_at(embedding, i) == embedding[i].
+
+_EMB_SPACE = {
+    "from_sql": "embeddings",
+    "filters": [
+        (
+            "vec_mod",
+            lambda kr: (F.col("vec_id") % kr[0]) == kr[1],
+            lambda kr: f"vec_id % {kr[0]} = {kr[1]}",
+        ),
+        (
+            "label_in",
+            lambda ls: F.col("label").isin(ls),
+            lambda ls: "label IN ({})".format(
+                ", ".join(str(x) for x in ls)
+            ),
+        ),
+        (
+            "first_elem_gt",
+            lambda v: F.element_at("embedding", 1) > v,
+            lambda v: f"embedding[1] > {v!r}",
+        ),
+        (
+            "elem_i_pos",
+            lambda i: F.element_at("embedding", i) > 0.0,
+            lambda i: f"embedding[{i}] > 0.0",
+        ),
+    ],
+    "filter_families": [
+        {
+            "names": ["vec_mod"],
+            "arg": st.tuples(st.integers(2, 7), st.integers(0, 1)),
+        },
+        {
+            "names": ["label_in"],
+            "arg": st.lists(st.integers(0, 9), min_size=1, max_size=4,
+                            unique=True),
+        },
+        {
+            "names": ["first_elem_gt", "elem_i_pos"],
+            # both interpretations are valid draws: first_elem_gt gets a
+            # small float-exact threshold, elem_i_pos an index — the
+            # strategy yields an int 1..32 usable as either (as a
+            # threshold it is never met by unit-norm-ish floats, which
+            # exercises the empty-result path)
+            "arg": st.integers(1, 32),
+        },
+    ],
+    "keys": [
+        ("label", lambda: F.col("label"), "label"),
+        ("vec_band", lambda: F.expr("vec_id DIV 100").alias("vec_band"),
+         "vec_id // 100"),
+    ],
+    "aggs": [
+        ("n", lambda: F.count(F.lit(1)).alias("n"),
+         "count(*)::BIGINT AS n"),
+        (
+            # total dimensionality: exact integer HOF-free array op
+            "dims",
+            lambda: F.coalesce(
+                F.sum(F.size("embedding").cast("long")), F.lit(0)
+            ).alias("dims"),
+            "coalesce(sum(len(embedding)), 0)::BIGINT AS dims",
+        ),
+        (
+            # HOF lambda filter: count of strictly-positive elements
+            "n_pos",
+            lambda: F.coalesce(
+                F.sum(
+                    F.size(
+                        F.filter("embedding", lambda x: x > F.lit(0.0))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_pos"),
+            "coalesce(sum(len(list_filter(embedding, x -> x > 0.0))), 0)"
+            "::BIGINT AS n_pos",
+        ),
+        (
+            # HOF transform→filter chain: elements whose square > 0.01
+            "n_big",
+            lambda: F.coalesce(
+                F.sum(
+                    F.size(
+                        F.filter(
+                            F.transform("embedding", lambda x: x * x),
+                            lambda s: s > F.lit(0.01),
+                        )
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_big"),
+            "coalesce(sum(len(list_filter(list_transform(embedding, "
+            "x -> x * x), s -> s > 0.01))), 0)::BIGINT AS n_big",
+        ),
+        (
+            "id_min",
+            lambda: F.min("vec_id").alias("id_min"),
+            "min(vec_id) AS id_min",
+        ),
+        (
+            "labels",
+            lambda: F.count_distinct("label").alias("labels"),
+            "count(DISTINCT label)::BIGINT AS labels",
+        ),
+    ],
+}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=_spec_strategy(_EMB_SPACE))
+def test_random_embedding_queries_match_duckdb(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    _diff_spec(
+        spark, duck, spec, _EMB_SPACE,
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+# ---- orders ⋈ lineitem: the join spec space ------------------------
+#
+# Every spec runs over the equi-join (the first differential coverage
+# of a JOIN in the property suite — the per-table spaces can never
+# catch a join-shape defect). Aggregates stay exact: counts, integer
+# cents, count-distinct over join keys.
+
+_JOIN_SPACE = {
+    "from_sql": "orders JOIN lineitem ON l_orderkey = o_orderkey",
+    "filters": [
+        (
+            "status_in",
+            lambda ss: F.col("o_orderstatus").isin(ss),
+            lambda ss: "o_orderstatus IN ({})".format(
+                ", ".join(f"'{s}'" for s in ss)
+            ),
+        ),
+        (
+            "qty_gt",
+            lambda v: F.col("l_quantity") > v,
+            lambda v: f"l_quantity > {v}",
+        ),
+        (
+            "qty_le",
+            lambda v: F.col("l_quantity") <= v,
+            lambda v: f"l_quantity <= {v}",
+        ),
+        (
+            "ship_year_ge",
+            lambda y: F.year("l_shipdate") >= y,
+            lambda y: f"year(l_shipdate) >= {y}",
+        ),
+        (
+            "flag_in",
+            lambda fs: F.col("l_returnflag").isin(fs),
+            lambda fs: "l_returnflag IN ({})".format(
+                ", ".join(f"'{s}'" for s in fs)
+            ),
+        ),
+    ],
+    "filter_families": [
+        {
+            "names": ["status_in"],
+            "arg": st.lists(st.sampled_from(["P", "O", "F"]),
+                            min_size=1, max_size=2, unique=True),
+        },
+        {
+            "names": ["qty_gt", "qty_le"],
+            "arg": st.integers(0, 50),
+        },
+        {"names": ["ship_year_ge"], "arg": st.integers(1995, 2002)},
+        {
+            "names": ["flag_in"],
+            "arg": st.lists(st.sampled_from(["A", "N", "R"]),
+                            min_size=1, max_size=2, unique=True),
+        },
+    ],
+    "keys": [
+        ("l_returnflag", lambda: F.col("l_returnflag"), "l_returnflag"),
+        ("o_orderpriority", lambda: F.col("o_orderpriority"),
+         "o_orderpriority"),
+        ("l_linestatus", lambda: F.col("l_linestatus"), "l_linestatus"),
+    ],
+    "aggs": [
+        ("n", lambda: F.count(F.lit(1)).alias("n"),
+         "count(*)::BIGINT AS n"),
+        (
+            "price_cents",
+            lambda: F.coalesce(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ),
+                F.lit(0),
+            ).alias("price_cents"),
+            "coalesce(sum(round(l_extendedprice * 100)::BIGINT), 0)"
+            "::BIGINT AS price_cents",
+        ),
+        (
+            "qty_total",
+            lambda: F.coalesce(
+                F.sum(F.col("l_quantity").cast("long")), F.lit(0)
+            ).alias("qty_total"),
+            "coalesce(sum(l_quantity::BIGINT), 0)::BIGINT AS qty_total",
+        ),
+        (
+            "orders",
+            lambda: F.count_distinct("o_orderkey").alias("orders"),
+            "count(DISTINCT o_orderkey)::BIGINT AS orders",
+        ),
+        (
+            "key_min",
+            lambda: F.min("l_orderkey").alias("key_min"),
+            "min(l_orderkey) AS key_min",
+        ),
+    ],
+}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=_spec_strategy(_JOIN_SPACE))
+def test_random_join_queries_match_duckdb(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    base = load_table(spark, sf_dir, "orders").join(
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    _diff_spec(spark, duck, spec, _JOIN_SPACE, base)
