@@ -297,6 +297,31 @@ def test_combined_fixture_rows_only_execute(spark, combined_sf):
         queries[name](spark, combined_sf).collect()
 
 
+#: round-7 sweep: every llm/ts/graph op that had never earned a driver
+#: CORRECTNESS row as of round 6 (the backlog where the next defect
+#: cluster would hide — the r6 combined axis found 13 defects in ops
+#: the per-axis fixtures passed). All 34 were audited green on the
+#: combined fixture first; this pins them against regression.
+COMBINED_BACKLOG_OPS = [
+    "llm_event_pattern", "llm_simhash", "llm_tfidf_ml",
+    "llm_bpe_merge_step", "llm_stopword_candidates", "llm_length_bands",
+    "llm_vocab_coverage", "llm_boilerplate_share", "llm_feature_hashing",
+    "llm_keyword_extraction", "llm_query_doc_match", "llm_lang_agreement",
+    "llm_ngram_entropy", "llm_corpus_report_card", "llm_word_cooccurrence",
+    "ts_interpolate_linear", "ts_anomaly_zscore", "ts_rolling_corr",
+    "ts_seasonal_naive", "ts_calendar_features", "ts_sessionized_revenue",
+    "ts_wow_growth", "ts_cumulative_users", "ts_peak_detection", "ts_rsi",
+    "ts_time_to_event", "ts_minmax_normalize", "ts_weekend_lift",
+    "ts_repurchase_gap", "ts_burst_detection", "ts_max_drawdown",
+    "graph_triangles", "graph_bfs_distance", "graph_common_neighbors",
+]
+
+
+def test_combined_fixture_backlog_ops_match_oracle(spark, combined_sf):
+    bad = _compare(spark, combined_sf, COMBINED_BACKLOG_OPS)
+    assert not bad, "combined-axis backlog divergence:\n" + "\n".join(bad)
+
+
 #: operators the round-6 DEGENERATE-input audit caught (empty-string /
 #: whitespace-only / single-char / 20k-word documents, plus extreme
 #: but in-envelope event values incl. -0.0 and the 0.005 half-cent
