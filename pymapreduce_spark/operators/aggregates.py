@@ -250,7 +250,9 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(stddev_samp(l_extendedprice), 4) AS std_price,
            round(var_pop(l_quantity), 4) AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice)
+                 / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice)),
+                 4) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
            round(skewness(l_extendedprice) * (count(*) - 2)
                  / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_price,
@@ -267,14 +269,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (G1, bias-corrected kurtosis). The oracle converts G1 → g1
     (× (n−2)/√(n(n−1))) and uses kurtosis_pop, so the values agree at
     every group size — at sf0.01 the difference hid below round(4),
-    at sf0.001 it surfaced (caught by the cross-SF oracle sweep)."""
+    at sf0.001 it surfaced (caught by the cross-SF oracle sweep).
+
+    Correlation is covar_pop / (σx·σy) via try_divide rather than
+    builtin corr: a zero-variance column (the total-tie axis makes
+    l_quantity constant) sends corr's internal m2 division to 0/0,
+    which ANSI Spark turns into a DIVIDE_BY_ZERO crash — Spark's
+    skewness/kurtosis handle the same case gracefully (NULL), corr
+    does not. try_divide yields NULL, matching DuckDB; the oracle
+    mirrors the identical formula so both engines associate the same
+    FP operations."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
         F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-            "corr_qty_price"
-        ),
+        F.round(
+            F.try_divide(
+                F.covar_pop("l_quantity", "l_extendedprice"),
+                F.stddev_pop("l_quantity")
+                * F.stddev_pop("l_extendedprice"),
+            ),
+            4,
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
             "covar_qty_price"
         ),
@@ -287,19 +303,29 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
     SELECT o_orderstatus,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order
+           max(struct_pack(p := o_totalprice, k := o_orderkey))['k']
+               AS priciest_order,
+           min(struct_pack(p := o_totalprice, k := o_orderkey))['k']
+               AS cheapest_order
     FROM orders
     GROUP BY o_orderstatus
     """,
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """argmax/argmin (max_by/min_by). Totalprice values are continuous
-    doubles, so argmax ties don't arise in the fixture."""
+    """argmax/argmin (max_by/min_by) with a TOTAL ordering key: the
+    price is tie-broken by the unique orderkey (max side keeps the
+    largest key, min side the smallest). Bare max_by(key, price) is
+    engine-nondeterministic the moment two orders share a price —
+    latent on the continuous-double fixture, exposed the instant the
+    total-tie axis made o_totalprice constant. DuckDB's arg_max
+    rejects struct ordering keys, so the oracle uses the equivalent
+    max-of-struct with the key as the trailing field (lexicographic
+    struct comparison == the tie-broken argmax on both engines)."""
     orders = load_table(spark, sf_dir, "orders")
+    ordkey = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return orders.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", ordkey).alias("priciest_order"),
+        F.min_by("o_orderkey", ordkey).alias("cheapest_order"),
     )
 
 
@@ -823,8 +849,23 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_linestatus",
         F.col("n").alias("n_rows"),
-        F.round((n * sxy - sx * sy).cast("double") / det.cast("double"), 6).alias("slope"),
-        F.round((sy * sxx - sx * sxy).cast("double") / det.cast("double") / 100.0, 6).alias("intercept"),
+        # try_divide, not `/`: ANSI Spark throws DIVIDE_BY_ZERO even for
+        # DOUBLE division (det = 0 when x is constant within a group —
+        # the total-tie axis), while DuckDB yields NULL; try_divide's
+        # NULL matches the oracle exactly.
+        F.round(
+            F.try_divide(
+                (n * sxy - sx * sy).cast("double"), det.cast("double")
+            ),
+            6,
+        ).alias("slope"),
+        F.round(
+            F.try_divide(
+                (sy * sxx - sx * sxy).cast("double"), det.cast("double")
+            )
+            / 100.0,
+            6,
+        ).alias("intercept"),
     )
 
 

@@ -552,3 +552,69 @@ def null_embed_sf(tmp_path_factory) -> str:
 def test_null_embedding_fixture_matches_oracle(spark, null_embed_sf):
     bad = _compare(spark, null_embed_sf, NULL_EMBED_OPS)
     assert not bad, "NULL-embedding divergence:\n" + "\n".join(bad)
+
+
+#: round-7 TOTAL-TIE axis: constant measure columns + hour-quantized
+#: event times violate the "ordering keys are effectively unique"
+#: politeness assumption everywhere at once. Caught: ANSI Spark throws
+#: DIVIDE_BY_ZERO even on DOUBLE division (corr's internal m2 ratio,
+#: agg_regression's normal-equation determinant — both 0/0 on a
+#: zero-variance group) where DuckDB yields NULL, and bare
+#: max_by/min_by picks an engine-arbitrary row among tied ordering
+#: values (fixed with a total struct ordering key).
+TIE_OPS = ["agg_stats", "agg_regression", "agg_minmax_by"]
+
+
+@pytest.fixture(scope="module")
+def ties_sf(tmp_path_factory) -> str:
+    import pyarrow.compute as pc
+
+    base = tmp_path_factory.mktemp("sf_ties")
+
+    def const_col(tb, col, value):
+        t = tb.schema.field(col).type
+        return tb.set_column(
+            tb.schema.get_field_index(col), col,
+            pa.array([value] * len(tb), type=t),
+        )
+
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            tb = const_col(tb, "value", 50.0)
+            ts = tb["ts"]
+            if pa.types.is_integer(ts.type):
+                hour = 3_600_000_000_000
+                q = pc.multiply(
+                    pc.divide(ts.combine_chunks(), hour), hour
+                )
+                tb = tb.set_column(
+                    tb.schema.get_field_index("ts"), "ts",
+                    q.cast(ts.type),
+                )
+            else:
+                import pandas as pd  # noqa: F401
+                s = ts.to_pandas().dt.floor("h")
+                tb = tb.set_column(
+                    tb.schema.get_field_index("ts"), "ts",
+                    pa.Array.from_pandas(s, type=ts.type),
+                )
+        if t == "lineitem":
+            tb = const_col(tb, "l_quantity", 25.0)
+            tb = const_col(tb, "l_extendedprice", 1000.0)
+            tb = const_col(tb, "l_discount", 0.05)
+        if t == "orders":
+            tb = const_col(tb, "o_totalprice", 100000.0)
+        if t == "embeddings":
+            tb = const_col(tb, "label", 5)
+        if t == "customer":
+            tb = const_col(tb, "c_acctbal", 1000.0)
+        if t == "part":
+            tb = const_col(tb, "p_size", 25)
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_total_tie_fixture_matches_oracle(spark, ties_sf):
+    bad = _compare(spark, ties_sf, TIE_OPS)
+    assert not bad, "total-tie divergence:\n" + "\n".join(bad)
