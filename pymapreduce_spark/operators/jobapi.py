@@ -123,7 +123,14 @@ def api_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove the facade expresses the reference's join idiom verbatim.
     (Spark executes it as one shuffle on the key — same exchange count
     as the declarative join, minus broadcast opportunities: on 100 TB
-    prefer the DataFrame join and let AQE pick the strategy.)"""
+    prefer the DataFrame join and let AQE pick the strategy.)
+
+    Join-semantics note: the reducer emits one row PER dimension row in
+    the key group (the textbook repartition join fans out on duplicate
+    keys exactly like SQL), with a final reduce_agg merging same-named
+    rows — ``names.iloc[0]`` here would pick an engine-arbitrary
+    survivor the moment a nationkey is duplicated (a CDC feed applied
+    twice), which is how the dup-key adversarial axis caught it."""
     sup = MapReduceJob.from_table(spark, sf_dir, "supplier").map(
         lambda r: {
             "key": int(r["s_nationkey"]),
@@ -145,19 +152,25 @@ def api_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = MapReduceJob.from_df(sup.to_df().unionByName(nat.to_df()))
 
     def join_reducer(key, rows):
-        names = rows.loc[rows["tag"] == "n", "name"]
         sups = rows[rows["tag"] == "s"]
-        return {
-            "n_name": names.iloc[0],
-            "n_suppliers": int(len(sups)),
-            "total_bal": int(sups["bal_cents"].sum()) / 100.0,
-        }
+        n_sup = int(len(sups))
+        bal = int(sups["bal_cents"].sum())
+        for name in rows.loc[rows["tag"] == "n", "name"]:
+            yield {"n_name": name, "n_suppliers": n_sup, "bal_cents": bal}
 
-    return tagged.reduce_by_key(
-        ["key"],
-        join_reducer,
-        schema="n_name string, n_suppliers long, total_bal double",
-    ).to_df()
+    return (
+        tagged.reduce_by_key(
+            ["key"],
+            join_reducer,
+            schema="n_name string, n_suppliers long, bal_cents long",
+        )
+        .reduce_agg(
+            ["n_name"],
+            F.sum("n_suppliers").alias("n_suppliers"),
+            (F.sum("bal_cents") / 100.0).alias("total_bal"),
+        )
+        .to_df()
+    )
 
 
 @query(
@@ -177,24 +190,40 @@ def api_map_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-closure variant of the facade's declarative `join_cached`
     (which Catalyst would plan as a BroadcastHashJoin); the dict lookup
     here crosses the Arrow boundary, so on 100 TB prefer join_cached —
-    the pattern parity, not the lookup, is the point."""
+    the pattern parity, not the lookup, is the point.
+
+    Join-semantics note: the broadcast maps key → LIST of names and the
+    mapper flat-maps one row per match — a ``{key: name}`` dict keeps
+    whichever duplicate it saw last (engine-arbitrary under dup dim
+    keys, caught by the dup-key axis), and a bare ``dict[key]`` lookup
+    crashes on an orphan FK where the SQL inner join drops the row."""
     nation = (
         load_table(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name")
         .collect()  # 25-row dim: aggregate-then-broadcast side data
     )
-    bc = spark.sparkContext.broadcast(
-        {int(r.n_nationkey): r.n_name for r in nation}
-    )
+    lookup: dict[int, list] = {}
+    for r in nation:
+        if r.n_nationkey is not None:
+            lookup.setdefault(int(r.n_nationkey), []).append(r.n_name)
+    bc = spark.sparkContext.broadcast(lookup)
+
+    def emit(r):
+        k = r["s_nationkey"]
+        if k is None or k != k:  # NULL key: inner join drops the row
+            return []
+        bal = r["s_acctbal"]
+        cents = (
+            None if bal is None or bal != bal else int(round(bal * 100))
+        )
+        return [
+            {"n_name": nm, "bal_cents": cents}
+            for nm in bc.value.get(int(k), [])
+        ]
+
     return (
         MapReduceJob.from_table(spark, sf_dir, "supplier")
-        .map(
-            lambda r: {
-                "n_name": bc.value[int(r["s_nationkey"])],
-                "bal_cents": int(round(r["s_acctbal"] * 100)),
-            },
-            schema="n_name string, bal_cents long",
-        )
+        .flat_map(emit, schema="n_name string, bal_cents long")
         .reduce_agg(
             ["n_name"],
             F.count("*").alias("n_suppliers"),

@@ -618,3 +618,69 @@ def ties_sf(tmp_path_factory) -> str:
 def test_total_tie_fixture_matches_oracle(spark, ties_sf):
     bad = _compare(spark, ties_sf, TIE_OPS)
     assert not bad, "total-tie divergence:\n" + "\n".join(bad)
+
+
+#: round-7 DUPLICATE-KEY axis: dimension tables get a slice of rows
+#: re-appended with the SAME primary keys but different attributes
+#: (a CDC feed applied twice / late-arriving dim update). Caught: the
+#: facade's reduce-side join picked names.iloc[0] — an engine-arbitrary
+#: survivor among duplicate nation rows — and the map-side join's
+#: broadcast {key: name} dict kept whichever duplicate it saw last,
+#: where the SQL join fans out over all of them.
+DUPKEY_OPS = ["api_reduce_side_join", "api_map_side_join"]
+
+
+@pytest.fixture(scope="module")
+def dupkeys_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_dupkeys")
+
+    def dup_slice(tb, every, mutate):
+        rows = tb.to_pylist()
+        extra = []
+        for i in range(0, len(rows), every):
+            r = dict(rows[i])
+            mutate(r)
+            extra.append(r)
+        return pa.Table.from_pylist(rows + extra, schema=tb.schema)
+
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "region":
+            tb = dup_slice(
+                tb, len(tb),
+                lambda r: r.update(r_name=(r["r_name"] or "") + "_DUP"),
+            )
+        if t == "nation":
+            tb = dup_slice(
+                tb, max(1, len(tb) // 3),
+                lambda r: r.update(
+                    n_regionkey=(r["n_regionkey"] + 1) % 5,
+                    n_name=(r["n_name"] or "") + "_DUP",
+                ),
+            )
+        if t == "supplier":
+            tb = dup_slice(
+                tb, 20,
+                lambda r: r.update(
+                    s_acctbal=(r["s_acctbal"] or 0.0) + 1000.0
+                ),
+            )
+        if t == "customer":
+            tb = dup_slice(
+                tb, 20,
+                lambda r: r.update(c_mktsegment="DUPLICATE"),
+            )
+        if t == "part":
+            tb = dup_slice(
+                tb, 20,
+                lambda r: r.update(
+                    p_retailprice=(r["p_retailprice"] or 0.0) / 2
+                ),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_dupkey_fixture_matches_oracle(spark, dupkeys_sf):
+    bad = _compare(spark, dupkeys_sf, DUPKEY_OPS)
+    assert not bad, "dup-key divergence:\n" + "\n".join(bad)
