@@ -357,15 +357,22 @@ def minhash_signature_expr(n_hashes: int = 16):
 @query(
     "llm_minhash_sig",
     oracle="""
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
+    -- per-ROW signature (synthetic rid), not GROUP BY doc_id: pooling
+    -- by doc_id would merge the words of two rows colliding on doc_id
+    -- (dup-fact-key axis) where the op signs each row independently
+    WITH d AS (
+      SELECT doc_id, text, row_number() OVER () AS rid FROM documents
+      WHERE text IS NOT NULL
+    ), words AS (
+      SELECT rid, doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM d
     )
-    SELECT doc_id,
+    SELECT any_value(doc_id) AS doc_id,
            i AS sig_idx,
            min(substr(md5(w || '#' || i), 1, 16)) AS sig_hash
     FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS idx
-    GROUP BY doc_id, i
+    GROUP BY rid, i
     """,
 )
 def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,19 +403,26 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_fingerprint",
     oracle="""
-    WITH h AS (
-      SELECT doc_id, t.i AS i,
+    -- windowed + distinct per synthetic ROW id: PARTITION BY doc_id
+    -- would blend the gram streams of two rows colliding on doc_id and
+    -- DISTINCT would merge their fingerprint sets (dup-fact-key axis);
+    -- the op fingerprints each row independently
+    WITH d AS (
+      SELECT doc_id, text, n_chars, row_number() OVER () AS rid
+      FROM documents WHERE n_chars >= 11
+    ), h AS (
+      SELECT rid, doc_id, t.i AS i,
              substr(md5(substr(text, t.i::INT, 8)), 1, 8) AS hk
-      FROM documents CROSS JOIN LATERAL (
+      FROM d CROSS JOIN LATERAL (
          SELECT unnest(range(1, (n_chars - 6)::BIGINT)) AS i) AS t
-      WHERE n_chars >= 11
     ), w AS (
-      SELECT doc_id, i,
-             min(hk) OVER (PARTITION BY doc_id ORDER BY i
+      SELECT rid, doc_id, i,
+             min(hk) OVER (PARTITION BY rid ORDER BY i
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
       FROM h
     )
-    SELECT DISTINCT doc_id, fp FROM w WHERE i >= 4
+    SELECT doc_id, fp
+    FROM (SELECT DISTINCT rid, doc_id, fp FROM w WHERE i >= 4)
     """,
 )
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,30 +461,36 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_simhash",
     oracle="""
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
+    -- grouped by a synthetic per-ROW id, not doc_id: the op is map-only
+    -- per row, and pooling words by doc_id would silently merge two
+    -- rows that COLLIDE on doc_id with different texts (the dup-fact-
+    -- key axis); identical on unique-id fixtures
+    WITH d AS (
+      SELECT doc_id, text, row_number() OVER () AS rid FROM documents
+    ), words AS (
+      SELECT rid, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM d
     ), bits AS (
-      SELECT doc_id, j,
+      SELECT rid, j,
              CASE WHEN sum(CASE WHEN (((strpos('0123456789abcdef',
                               substr(md5(w), (j // 4)::INT + 1, 1)) - 1)
                               >> (j % 4)::INT) & 1) = 1
                       THEN 1 ELSE -1 END) > 0
                   THEN 1::BIGINT ELSE 0::BIGINT END AS b
       FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS j) AS idx
-      GROUP BY doc_id, j
+      GROUP BY rid, j
     ), sig AS (
-      SELECT doc_id,
+      SELECT rid,
              sum(CASE WHEN j >= 32 THEN b << (j - 32)::INT
                       ELSE 0 END)::BIGINT AS simhash_hi,
              sum(CASE WHEN j < 32 THEN b << j::INT
                       ELSE 0 END)::BIGINT AS simhash_lo
-      FROM bits GROUP BY doc_id
+      FROM bits GROUP BY rid
     )
     SELECT d.doc_id,
            coalesce(sig.simhash_hi, 0)::BIGINT AS simhash_hi,
            coalesce(sig.simhash_lo, 0)::BIGINT AS simhash_lo
-    FROM documents d LEFT JOIN sig USING (doc_id)
+    FROM d LEFT JOIN sig USING (rid)
     """,
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,22 +1467,27 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_repetition_filter",
     oracle="""
+    -- keyed on a synthetic per-ROW id: doc_id-keyed grouping/joins
+    -- would pool word counts across rows colliding on doc_id and fan
+    -- the stats join out 2x2 (dup-fact-key axis); each row is scored
+    -- independently, exactly like the op
     WITH w AS (
-        SELECT doc_id, len(str_split(text, ' ')) AS n_words,
+        SELECT doc_id, row_number() OVER () AS rid,
+               len(str_split(text, ' ')) AS n_words,
                str_split(text, ' ') AS words
         FROM documents
     ), c AS (
-        SELECT doc_id, word, count(*) AS n
-        FROM (SELECT doc_id, unnest(words) AS word FROM w)
-        GROUP BY doc_id, word
+        SELECT rid, word, count(*) AS n
+        FROM (SELECT rid, unnest(words) AS word FROM w)
+        GROUP BY rid, word
     ), top AS (
-        SELECT doc_id, n AS top_count
-        FROM (SELECT doc_id, n, row_number() OVER (
-                  PARTITION BY doc_id ORDER BY n DESC, word) AS rn
+        SELECT rid, n AS top_count
+        FROM (SELECT rid, n, row_number() OVER (
+                  PARTITION BY rid ORDER BY n DESC, word) AS rn
               FROM c)
         WHERE rn = 1
     ), big AS (
-        SELECT doc_id,
+        SELECT rid,
                len(words) - 1 AS n_bigrams,
                len(list_distinct(list_transform(range(1, len(words)),
                    i -> concat_ws(' ', words[i], words[i+1]))))
@@ -1474,8 +1499,8 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN big.n_bigrams < 1 THEN 0.0
                     ELSE 1.0 - big.n_distinct_bigrams::DOUBLE / big.n_bigrams
                END AS dup_frac
-        FROM w JOIN top ON w.doc_id = top.doc_id
-               JOIN big ON w.doc_id = big.doc_id
+        FROM w JOIN top ON w.rid = top.rid
+               JOIN big ON w.rid = big.rid
     )
     SELECT doc_id,
            round(top_share, 6) AS top_word_share,
@@ -1506,12 +1531,20 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     once PER EXPLODED WORD ROW — O(words²) per document, which OOMed
     the executor on a single 20 000-word document in the
     degenerate-input audit. Two parallel scans of the text column are
-    the 100 TB-safe trade."""
-    docs = load_table(spark, sf_dir, "documents")
+    the 100 TB-safe trade.
+
+    The two subtrees group/join on a synthetic per-ROW id, not doc_id:
+    two rows colliding on doc_id (dup-fact-key axis) must each get
+    their own score, not pooled word counts and a 2×2 join fan-out.
+    monotonically_increasing_id is stable here because both branches
+    recompute the identical deterministic file scan."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
     stats = docs.select(
-        "doc_id", F.split("text", " ").alias("words")
+        "rid", F.split("text", " ").alias("words")
     ).select(
-        "doc_id",
+        "rid",
         F.size("words").alias("n_words"),
         (F.size("words") - 1).alias("n_bigrams"),
         F.size(
@@ -1528,16 +1561,16 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = (
         docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("word")
+            "rid", "doc_id", F.explode(F.split("text", " ")).alias("word")
         )
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("n"))
+        .groupBy("rid", "word")
+        .agg(F.count("*").alias("n"), F.first("doc_id").alias("doc_id"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "word")
+    w = Window.partitionBy("rid").orderBy(F.desc("n"), "word")
     top = (
         counts.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .join(stats, "doc_id")
+        .join(stats, "rid")
     )
     top_share = F.col("n").cast("double") / F.col("n_words")
     dup_frac = F.when(F.col("n_bigrams") < 1, F.lit(0.0)).otherwise(
@@ -1731,13 +1764,19 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_bm25",
     oracle="""
-    WITH w AS (
-        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    -- the retrieval unit is the document ROW (synthetic rid), not
+    -- doc_id: two rows colliding on doc_id (dup-fact-key axis) are two
+    -- index entries — doc_id-keyed CTEs would pool their term counts
+    -- and fan the length join out 2x2
+    WITH d AS (
+        SELECT doc_id, text, row_number() OVER () AS rid FROM documents
+    ), w AS (
+        SELECT rid, doc_id, unnest(str_split(text, ' ')) AS word FROM d
     ), tf AS (
-        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+        SELECT rid, any_value(doc_id) AS doc_id, word, count(*) AS tf
+        FROM w GROUP BY rid, word
     ), dl AS (
-        SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl
-        FROM documents
+        SELECT rid, len(str_split(text, ' '))::BIGINT AS dl FROM d
     ), dfr AS (
         SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
     ), st AS (
@@ -1758,7 +1797,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                6
            ) AS bm25
     FROM tf
-    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dl ON tf.rid = dl.rid
     JOIN dfr ON tf.word = dfr.word
     CROSS JOIN st
     """,
@@ -1785,17 +1824,25 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays (checkpoint becomes a real materialization or caching layer);
     AQE demotes the doc_freq broadcast to a shuffle join when vocab
     outgrows the threshold."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
     wordsc = F.split("text", " ")
     words = docs.select(
+        "rid",
         "doc_id",
         F.size(wordsc).cast("long").alias("dl"),
         F.explode(wordsc).alias("word"),
     )
-    tf = words.groupBy("doc_id", "dl", "word").agg(
+    # the retrieval unit is the document ROW: grouping by doc_id would
+    # pool term counts across rows colliding on doc_id (dup-fact-key
+    # axis). rid/doc_id/dl are functionally dependent group keys, so
+    # the shuffle cardinality is unchanged; the checkpoint freezes the
+    # rid assignment for all three consumers.
+    tf = words.groupBy("rid", "doc_id", "dl", "word").agg(
         F.count("*").alias("tf")
     ).localCheckpoint(eager=True)
-    dls = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    dls = tf.groupBy("rid").agg(F.first("dl").alias("dl"))
     st = dls.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -2836,13 +2883,20 @@ def llm_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_query_doc_match",
     oracle="""
-    WITH w AS (
-        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    -- the index is per document ROW (rid, same as the llm_bm25
+    -- oracle); the RESULT is per doc_id — rows colliding on doc_id
+    -- (dup-fact-key axis) each score independently and their scores
+    -- sum into the user-facing id, exactly like the op's groupBy over
+    -- the per-row index
+    WITH d AS (
+        SELECT doc_id, text, row_number() OVER () AS rid FROM documents
+    ), w AS (
+        SELECT rid, doc_id, unnest(str_split(text, ' ')) AS word FROM d
     ), tf AS (
-        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+        SELECT rid, any_value(doc_id) AS doc_id, word, count(*) AS tf
+        FROM w GROUP BY rid, word
     ), dl AS (
-        SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl
-        FROM documents
+        SELECT rid, len(str_split(text, ' '))::BIGINT AS dl FROM d
     ), dfr AS (
         SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
     ), st AS (
@@ -2850,21 +2904,22 @@ def llm_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- stats over docs that have tokens
         SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
         FROM dl WHERE dl IS NOT NULL
-    ), scored AS (
+    ), posting AS (
         SELECT tf.doc_id,
-               round(sum(round(
+               round(
                    ln(1.0 + (st.n_docs - dfr.doc_freq + 0.5)
                             / (dfr.doc_freq + 0.5))
                    * (tf.tf * (1.2 + 1.0))
                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
-                        / (st.sum_dl / (1.0 * st.n_docs)))), 6)), 6)
-                   AS score
+                        / (st.sum_dl / (1.0 * st.n_docs)))), 6) AS bm25
         FROM tf
-        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dl ON tf.rid = dl.rid
         JOIN dfr ON tf.word = dfr.word
         CROSS JOIN st
         WHERE tf.word IN ('join', 'shuffle', 'parquet')
-        GROUP BY tf.doc_id
+    ), scored AS (
+        SELECT doc_id, round(sum(bm25), 6) AS score
+        FROM posting GROUP BY doc_id
     )
     SELECT doc_id, score,
            row_number() OVER (ORDER BY score DESC, doc_id) AS rank

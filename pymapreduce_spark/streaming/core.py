@@ -347,25 +347,40 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_dedup",
     oracle="""
+    -- the batch twin replays the dedup key exactly: DISTINCT on
+    -- (event_id, ts, event_type), not count(*) — two DIFFERENT events
+    -- colliding on event_id (dup-fact-key axis) both survive the
+    -- stream dedup, so an oracle that assumed inject-twice/dedup is
+    -- the identity under-counted them
     SELECT event_type, count(*) AS n_unique
-    FROM events
-    -- pre-1970 events are late vs Spark's initial epoch-0 watermark
-    -- and are dropped by dropDuplicatesWithinWatermark (ts-extreme
-    -- audit); the batch twin drops them too
-    WHERE ts::TIMESTAMP >= TIMESTAMP '1970-01-01 00:00:00'
+    FROM (SELECT DISTINCT event_id, ts::TIMESTAMP AS tsu, event_type
+          FROM events
+          -- pre-1970 events are late vs Spark's initial epoch-0
+          -- watermark and are dropped by dropDuplicatesWithinWatermark
+          -- (ts-extreme audit); the batch twin drops them too
+          WHERE ts::TIMESTAMP >= TIMESTAMP '1970-01-01 00:00:00')
     GROUP BY event_type
     """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup within the watermark: each event is injected
     twice (explode of a 2-element array), dropDuplicatesWithinWatermark
-    on event_id must restore exactly the original per-type counts."""
+    must restore exactly the original per-type counts.
+
+    The dedup key identifies a DELIVERY — (event_id, ts, event_type) —
+    not the bare event_id: at-least-once redeliveries are byte-equal,
+    so they still collapse, while two genuinely different events that
+    COLLIDE on event_id (an id-collision-across-sources corruption,
+    the dup-fact-key axis) each survive instead of one being dropped
+    arrival-order-arbitrarily. Keeping ts in the key also keeps the
+    within-watermark guarantee exact: equal keys share an event time,
+    so they always fall in the same watermark window."""
     s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
     doubled = s.withColumn("copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop(
         "copy"
     )
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
-        ["event_id"]
+        ["event_id", "ts", "event_type"]
     )
     collected = drain(deduped.select("event_id", "event_type"), "append")
     return collected.groupBy("event_type").agg(

@@ -684,3 +684,67 @@ def dupkeys_sf(tmp_path_factory) -> str:
 def test_dupkey_fixture_matches_oracle(spark, dupkeys_sf):
     bad = _compare(spark, dupkeys_sf, DUPKEY_OPS)
     assert not bad, "dup-key divergence:\n" + "\n".join(bad)
+
+
+#: round-7 DUPLICATE-FACT-KEY axis: event_id/doc_id/vec_id collisions
+#: with DIFFERENT payloads (id collision across sources). The seven
+#: per-row ops below diverged because an id-keyed internal stage
+#: silently assumed uniqueness (oracles pooling words GROUP BY doc_id,
+#: 2x2 join-back fanouts, first(dl) collapsing collisions, a stream
+#: dedup key dropping one of two different events) — all now keyed on
+#: a synthetic per-row id / the full delivery identity. The
+#: entity-keyed algorithms (graph, kNN/ANN/IVF, semdedup, fuzzy dedup,
+#: LSH diagnostics) REQUIRE unique entity ids by documented contract
+#: (README robustness doctrine) and are deliberately not pinned here.
+DUPFACT_OPS = [
+    "llm_simhash", "llm_minhash_sig", "llm_fingerprint",
+    "llm_repetition_filter", "llm_bm25", "llm_query_doc_match",
+    "stream_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def dupfact_sf(tmp_path_factory) -> str:
+    import datetime
+
+    base = tmp_path_factory.mktemp("sf_dupfact")
+
+    def dup_mut(tb, every, mutate):
+        rows = tb.to_pylist()
+        extra = []
+        for i in range(0, len(rows), every):
+            r = dict(rows[i])
+            mutate(r, i)
+            extra.append(r)
+        return pa.Table.from_pylist(rows + extra, schema=tb.schema)
+
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            def mut_e(r, i):
+                r["event_type"] = "collision"
+                r["value"] = (r["value"] or 0.0) + 7.25
+                if r["ts"] is not None:
+                    r["ts"] = (
+                        r["ts"] + 3_600_000_000_000
+                        if isinstance(r["ts"], int)
+                        else r["ts"] + datetime.timedelta(hours=1)
+                    )
+            tb = dup_mut(tb, 25, mut_e)
+        if t == "documents":
+            def mut_d(r, i):
+                r["text"] = "colliding doc id payload " + str(i)
+                r["n_chars"] = len(r["text"])
+            tb = dup_mut(tb, 25, mut_d)
+        if t == "lineitem":
+            def mut_l(r, i):
+                r["l_quantity"] = 13.0
+                r["l_returnflag"] = "C"
+            tb = dup_mut(tb, 50, mut_l)
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_dupfact_fixture_matches_oracle(spark, dupfact_sf):
+    bad = _compare(spark, dupfact_sf, DUPFACT_OPS)
+    assert not bad, "dup-fact-key divergence:\n" + "\n".join(bad)
