@@ -748,3 +748,32 @@ def dupfact_sf(tmp_path_factory) -> str:
 def test_dupfact_fixture_matches_oracle(spark, dupfact_sf):
     bad = _compare(spark, dupfact_sf, DUPFACT_OPS)
     assert not bad, "dup-fact-key divergence:\n" + "\n".join(bad)
+
+
+#: round-7 ROW-ORDER-SHUFFLE axis: all tables randomly permuted
+#: (content identical). 301/301 green on first contact — pinned here
+#: on the ops whose order-invariance is non-trivial by construction:
+#: the monotonically_increasing_id consumers (rid values change with
+#: layout, results must not), the tie-broken argmax, the facade joins,
+#: the delivery-keyed stream dedup, and semdedup's seed election.
+ROWORDER_OPS = [
+    "llm_repetition_filter", "llm_bm25", "agg_minmax_by",
+    "api_reduce_side_join", "api_map_side_join", "stream_dedup",
+    "llm_semdedup",
+]
+
+
+@pytest.fixture(scope="module")
+def roworder_sf(tmp_path_factory) -> str:
+    rng = np.random.RandomState(20260815)
+    base = tmp_path_factory.mktemp("sf_roworder")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        perm = rng.permutation(len(tb))
+        pq.write_table(tb.take(pa.array(perm)), str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_roworder_fixture_matches_oracle(spark, roworder_sf):
+    bad = _compare(spark, roworder_sf, ROWORDER_OPS)
+    assert not bad, "row-order divergence:\n" + "\n".join(bad)
