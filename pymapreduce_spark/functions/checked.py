@@ -49,9 +49,30 @@ def dsum(col: Column | str) -> Column:
     return F.sum(dec2(col)).cast("double")
 
 
+def finite(col: Column | str) -> Column:
+    """``col`` with NaN/±Infinity nullified (finite passes through).
+
+    Spark's ``floor()``/``cast`` SATURATE non-finite doubles (floor(NaN)
+    → 0, floor(∞) → Long.MaxValue) where DuckDB's ``floor`` propagates
+    NaN and ``TRY_CAST`` nulls it — so any integer bucketing of a raw
+    double must nullify non-finite first or the engines silently place
+    damaged rows in different buckets (round-7 nan_inf axis). Mirrors
+    the oracle-side ``CASE WHEN isfinite(x) THEN x END``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+
+
 def cents(col: Column | str) -> Column:
     """Exact integer-cents view of a 2-decimal money column.
     round(x·100) recovers the true integer for positives AND negatives
-    (a bare +0.5-floor trick breaks on negatives)."""
+    (a bare +0.5-floor trick breaks on negatives).
+
+    ``try_cast``, not ``cast``: a NaN/±Infinity measurement (upstream
+    division damage — routine in 100 TB telemetry) must become NULL
+    ("no usable magnitude"), not crash the whole job with ANSI
+    CAST_OVERFLOW. DuckDB's ``TRY_CAST(... AS BIGINT)`` returns NULL
+    for exactly the same inputs (NaN, ±Inf, out-of-int64 finite), so
+    the oracles mirror this bit-for-bit; on in-envelope 2-decimal
+    values try_cast ≡ cast (round-7 nan_inf adversarial axis)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100, 0).cast("long")
+    return F.round(c * 100, 0).try_cast("long")

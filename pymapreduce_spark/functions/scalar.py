@@ -257,7 +257,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) AS k,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+           sum(TRY_CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY k
     """,
@@ -529,10 +529,10 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_struct",
     oracle="""
     SELECT s_nationkey, rn AS rank_pos,
-           round(s_acctbal * 100)::BIGINT / 100.0 AS bal, s_name
+           TRY_CAST(round(s_acctbal * 100) AS BIGINT) / 100.0 AS bal, s_name
     FROM (SELECT *, row_number() OVER (
               PARTITION BY s_nationkey
-              ORDER BY round(s_acctbal * 100)::BIGINT DESC, s_name DESC
+              ORDER BY TRY_CAST(round(s_acctbal * 100) AS BIGINT) DESC, s_name DESC
           ) AS rn FROM supplier)
     WHERE rn <= 3
     """,

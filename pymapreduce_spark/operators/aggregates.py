@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.functions.checked import cents, dec2
+from pymapreduce_spark.functions.checked import cents, dec2, finite
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -24,14 +24,14 @@ from pymapreduce_spark.registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
-           sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+           sum(TRY_CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
                AS sum_disc_price,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)
-               * (100 + round(l_tax * 100)::BIGINT)) / 1000000.0
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + TRY_CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0
                AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
@@ -485,7 +485,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+           sum(TRY_CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -615,9 +615,9 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_histogram",
     oracle="""
-    SELECT floor(value / 50.0)::BIGINT AS bucket,
+    SELECT TRY_CAST(floor(value / 50.0) AS BIGINT) AS bucket,
            count(*) AS n,
-           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+           sum(TRY_CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY bucket
@@ -633,10 +633,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.floor(F.col("value") / 50.0).alias("bucket"))
+        .groupBy(F.floor(finite("value") / 50.0).alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+            (F.sum(F.round(F.col("value") * 100, 0).try_cast("long")) / 100.0).alias(
                 "total_value"
             ),
         )
@@ -647,9 +647,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(round(l_extendedprice * 100)::BIGINT
-                     * round(l_quantity * 100)::BIGINT)::DOUBLE
-                 / sum(round(l_quantity * 100)::BIGINT)::DOUBLE / 100.0,
+           round(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * TRY_CAST(round(l_quantity * 100) AS BIGINT))::DOUBLE
+                 / sum(TRY_CAST(round(l_quantity * 100) AS BIGINT))::DOUBLE / 100.0,
                  6) AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -802,12 +802,12 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_linestatus,
                count(*)::HUGEINT AS n,
-               sum(round(l_quantity * 100)::BIGINT)::HUGEINT AS sx,
-               sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sy,
-               sum(round(l_quantity * 100)::BIGINT
-                   * round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sxy,
-               sum(round(l_quantity * 100)::BIGINT
-                   * round(l_quantity * 100)::BIGINT)::HUGEINT AS sxx
+               sum(TRY_CAST(round(l_quantity * 100) AS BIGINT))::HUGEINT AS sx,
+               sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS sy,
+               sum(TRY_CAST(round(l_quantity * 100) AS BIGINT)
+                   * TRY_CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS sxy,
+               sum(TRY_CAST(round(l_quantity * 100) AS BIGINT)
+                   * TRY_CAST(round(l_quantity * 100) AS BIGINT))::HUGEINT AS sxx
         FROM lineitem
         GROUP BY l_linestatus
     )
@@ -943,7 +943,7 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT o_orderpriority,
-               round(o_totalprice * 100)::BIGINT AS cents,
+               TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                o_orderkey
         FROM orders
     ), ranked AS (
@@ -1077,8 +1077,8 @@ def agg_bitmask_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT l_linestatus,
-               round(l_extendedprice * 100)::BIGINT AS price_c,
-               round(l_quantity * 100)::BIGINT AS qty_c,
+               TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               TRY_CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
                l_orderkey, l_partkey
         FROM lineitem
     ), ranked AS (
@@ -1140,9 +1140,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT l_linestatus,
-               round(l_quantity * 100)::BIGINT AS x,
-               round(l_extendedprice * 100)::BIGINT AS y,
-               round(l_discount * 100)::BIGINT AS z
+               TRY_CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+               TRY_CAST(round(l_discount * 100) AS BIGINT) AS z
         FROM lineitem
     ), s AS (
         SELECT l_linestatus, count(*)::BIGINT AS n,
@@ -1207,10 +1207,13 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_tail_ratio",
     oracle="""
     SELECT event_type,
-           round(quantile_cont(value, 0.50), 6) AS p50,
-           round(quantile_cont(value, 0.99), 6) AS p99,
-           round(quantile_cont(value, 0.99)
-                 / quantile_cont(value, 0.50), 4) AS tail_ratio
+           round(quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                               0.50), 6) AS p50,
+           round(quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                               0.99), 6) AS p99,
+           round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.99)
+                 / quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                                 0.50), 4) AS tail_ratio
     FROM events GROUP BY event_type
     """,
 )
@@ -1219,13 +1222,18 @@ def agg_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SLO or cost review reads first (a ratio near 1 is a tight
     distribution; 10× means the tail owns the budget). Exact
     interpolated percentiles in one partial-aggregable pass; the
-    ratio divides the same two doubles both engines produced."""
+    ratio divides the same two doubles both engines produced.
+    Non-finite observations are excluded (``finite()``): Spark's
+    percentile sorts NaN greatest while DuckDB's quantile_cont
+    NaN behavior differs — a damaged measurement must not shift a
+    robust statistic in either engine (round-7 nan_inf axis)."""
     ev = load_table(spark, sf_dir, "events")
+    v = finite("value")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.50), 6).alias("p50"),
-        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        F.round(F.percentile(v, 0.50), 6).alias("p50"),
+        F.round(F.percentile(v, 0.99), 6).alias("p99"),
         F.round(
-            F.percentile("value", 0.99) / F.percentile("value", 0.50),
+            F.percentile(v, 0.99) / F.percentile(v, 0.50),
             4,
         ).alias("tail_ratio"),
     )
@@ -1236,7 +1244,7 @@ def agg_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT event_type, count(*)::BIGINT AS n,
-               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+               sum(TRY_CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         FROM events GROUP BY event_type
     ), t AS (
         SELECT sum(n)::BIGINT AS tn, sum(cents)::BIGINT AS tc FROM g
@@ -1256,7 +1264,7 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.sum(F.round(F.col("value") * 100).try_cast("long")).alias("cents"),
     )
     t = g.agg(F.sum("n").alias("tn"), F.sum("cents").alias("tc"))
     return g.crossJoin(F.broadcast(t)).select(
@@ -1330,12 +1338,16 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_mad",
     oracle="""
     WITH med AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS m
+        SELECT event_type,
+               quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                             0.5) AS m
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            round(med.m, 6) AS median_value,
-           round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+           round(quantile_cont(abs((CASE WHEN isfinite(e.value)
+                                    THEN e.value END) - med.m),
+                               0.5), 6) AS mad
     FROM events e JOIN med ON e.event_type = med.event_type
     GROUP BY e.event_type, med.m
     """,
@@ -1350,14 +1362,14 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation computed from the same broadcast median double."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("m")
+        F.percentile(finite("value"), 0.5).alias("m")
     )
     return (
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type", "m")
         .agg(
             F.round(
-                F.percentile(F.abs(F.col("value") - F.col("m")), 0.5), 6
+                F.percentile(F.abs(finite("value") - F.col("m")), 0.5), 6
             ).alias("mad")
         )
         .select(

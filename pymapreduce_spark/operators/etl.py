@@ -654,7 +654,7 @@ def etl_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT o_orderstatus,
                count(*)::BIGINT AS n_orders,
-               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+               sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
         FROM orders GROUP BY o_orderstatus
     )
     SELECT 'staged_groups' AS check_name,

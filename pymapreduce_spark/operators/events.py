@@ -351,7 +351,7 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            last_value(CASE WHEN event_type = 'purchase'
-                      THEN round(value * 100)::BIGINT END IGNORE NULLS)
+                      THEN TRY_CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
                OVER (PARTITION BY user_id
                      ORDER BY ts::TIMESTAMP, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -375,7 +375,7 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchase_cents = F.when(
         F.col("event_type") == "purchase",
-        F.round(F.col("value") * 100, 0).cast("long"),
+        F.round(F.col("value") * 100, 0).try_cast("long"),
     )
     return ev.select(
         "event_id",
@@ -538,7 +538,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     types AS (SELECT DISTINCT event_type AS et FROM events),
     obs AS (
         SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type AS et,
-               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+               sum(TRY_CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         FROM events GROUP BY h, et
     ),
     dense AS (
@@ -612,7 +612,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"),
         F.col("event_type").alias("et"),
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).try_cast("long")).alias("cents"))
     dense = (
         grid.crossJoin(F.broadcast(types))
         .join(
@@ -776,7 +776,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
-               round(value * 100)::BIGINT AS v
+               TRY_CAST(round(value * 100) AS BIGINT) AS v
         FROM events
     ), paired AS (
         SELECT event_id, event_type, tsu, v,
@@ -829,7 +829,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "ts",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v"),
     )
     wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
     paired = v.withColumn("p", F.lag("v").over(wlag)).where(
@@ -1171,7 +1171,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dow, hour_of_day, is_weekend,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT)::BIGINT AS cents_total
+           sum(TRY_CAST(round(value * 100) AS BIGINT))::BIGINT AS cents_total
     FROM f GROUP BY dow, hour_of_day, is_weekend
     """,
 )
@@ -1196,7 +1196,7 @@ def ts_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour_of_day", "is_weekend")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
                 "cents_total"
             ),
         )
@@ -1226,7 +1226,7 @@ def ts_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_session AS (
         SELECT user_id, session_id,
                sum(CASE WHEN event_type = 'purchase'
-                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
+                   THEN TRY_CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
                    AS rev_cents
         FROM sess GROUP BY user_id, session_id
     )
@@ -1256,7 +1256,7 @@ def ts_sessionized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     rev = F.when(
         F.col("event_type") == "purchase",
-        F.round(F.col("value") * 100).cast("long"),
+        F.round(F.col("value") * 100).try_cast("long"),
     ).otherwise(F.lit(0))
     per_session = (
         ev.withColumn("session_id", F.sum(is_new).over(run))
@@ -1462,7 +1462,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
-               round(value * 100)::BIGINT AS vc
+               TRY_CAST(round(value * 100) AS BIGINT) AS vc
         FROM events
     ), d AS (
         SELECT event_id, event_type, tsu,
@@ -1497,7 +1497,7 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     state."""
     ev = load_table(spark, sf_dir, "events")
     wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    vc = F.round(F.col("value") * 100).cast("long")
+    vc = F.round(F.col("value") * 100).try_cast("long")
     d = ev.select(
         "event_id",
         "event_type",
@@ -1648,12 +1648,12 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT event_type,
-               min(round(value * 100)::BIGINT) AS lo,
-               max(round(value * 100)::BIGINT) AS hi
+               min(TRY_CAST(round(value * 100) AS BIGINT)) AS lo,
+               max(TRY_CAST(round(value * 100) AS BIGINT)) AS hi
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           round((round(e.value * 100)::BIGINT - b.lo)
+           round((TRY_CAST(round(e.value * 100) AS BIGINT) - b.lo)
                  / (1.0 * nullif(b.hi - b.lo, 0)), 6) AS value_norm
     FROM events e JOIN b ON e.event_type = b.event_type
     """,
@@ -1667,7 +1667,7 @@ def ts_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent-integers, with constant series yielding NULL via nullif
     rather than a fabricated 0."""
     ev = load_table(spark, sf_dir, "events")
-    vc = F.round(F.col("value") * 100).cast("long")
+    vc = F.round(F.col("value") * 100).try_cast("long")
     b = ev.groupBy("event_type").agg(
         F.min(vc).alias("lo"), F.max(vc).alias("hi")
     )
@@ -1887,7 +1887,7 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_type, ts::TIMESTAMP AS tsu, event_id,
-               round(value * 100)::BIGINT - 2000 AS delta_c
+               TRY_CAST(round(value * 100) AS BIGINT) - 2000 AS delta_c
         FROM events
     ), curve AS (
         SELECT event_type, tsu, event_id,
@@ -1921,7 +1921,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    delta = F.round(F.col("value") * 100).cast("long") - 2000
+    delta = F.round(F.col("value") * 100).try_cast("long") - 2000
     curve = ev.select(
         "event_type",
         F.sum(delta).over(run).alias("equity"),

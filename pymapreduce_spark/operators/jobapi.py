@@ -60,7 +60,7 @@ def api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_purchases,
-           sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
+           sum(TRY_CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY user_id
@@ -73,13 +73,17 @@ def api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         MapReduceJob.from_table(spark, sf_dir, "events")
         .filter(lambda row: row["event_type"] == "purchase")
         .map(
-            # a NULL value arrives as NaN — emit NULL cents (the x != x
-            # NaN test), never crash int() on it
+            # a NULL value arrives as NaN, and damaged telemetry can
+            # carry ±Inf — emit NULL cents for anything non-finite
+            # (int(round(inf)) raises OverflowError), matching the
+            # oracle's TRY_CAST(round(value*100) AS BIGINT) → NULL
             lambda row: {
                 "user_id": row["user_id"],
                 "cents": (
                     None
-                    if row["value"] is None or row["value"] != row["value"]
+                    if row["value"] is None
+                    or row["value"] != row["value"]
+                    or row["value"] in (float("inf"), float("-inf"))
                     else int(round(row["value"] * 100))
                 ),
             },
@@ -108,7 +112,7 @@ def api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "api_reduce_side_join",
     oracle="""
     SELECT n_name, count(s_suppkey) AS n_suppliers,
-           coalesce(sum(round(s_acctbal * 100)::BIGINT), 0) / 100.0
+           coalesce(sum(TRY_CAST(round(s_acctbal * 100) AS BIGINT)), 0) / 100.0
                AS total_bal
     FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY n_name
@@ -177,7 +181,7 @@ def api_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "api_map_side_join",
     oracle="""
     SELECT n_name, count(*) AS n_suppliers,
-           sum(round(s_acctbal * 100)::BIGINT) / 100.0 AS total_bal
+           sum(TRY_CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -315,7 +319,7 @@ def api_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'error')::BIGINT FROM events
     UNION ALL
     SELECT 'purchase_cents', coalesce(sum(CASE WHEN event_type = 'purchase'
-        THEN round(value * 100)::BIGINT ELSE 0 END), 0)::BIGINT FROM events
+        THEN TRY_CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0)::BIGINT FROM events
     """,
 )
 def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +338,7 @@ def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_cents=F.sum(
             F.when(
                 F.col("event_type") == "purchase",
-                F.round(F.col("value") * 100).cast("long"),
+                F.round(F.col("value") * 100).try_cast("long"),
             ).otherwise(F.lit(0))
         ),
     )
@@ -356,13 +360,13 @@ def api_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'high_value' AS output_name,
            count(*) FILTER (value >= 100)::BIGINT AS n_rows,
-           coalesce(sum(round(value * 100)::BIGINT)
+           coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT))
                     FILTER (value >= 100), 0)::BIGINT AS cents
     FROM events WHERE event_type = 'purchase'
     UNION ALL
     SELECT 'standard',
            count(*) FILTER (value < 100)::BIGINT,
-           coalesce(sum(round(value * 100)::BIGINT)
+           coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT))
                     FILTER (value < 100), 0)::BIGINT
     FROM events WHERE event_type = 'purchase'
     """,
@@ -387,7 +391,7 @@ def api_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            "CAST(round(value * 100) AS BIGINT) AS cents",
+            "TRY_CAST(round(value * 100) AS BIGINT) AS cents",
         )
         .to_df()
         .persist()

@@ -27,8 +27,8 @@ from pymapreduce_spark.registry import query
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
                AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
@@ -349,8 +349,8 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle="""
     SELECT n_name,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
                AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey

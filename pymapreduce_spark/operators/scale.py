@@ -32,7 +32,7 @@ _BUCKETED_READY: set[tuple[int, str]] = set()
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+           sum(TRY_CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -92,8 +92,8 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n_items,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
                AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
@@ -246,7 +246,7 @@ def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted",
     oracle="""
     WITH f AS (
-        SELECT l_quantity, round(l_extendedprice * 100, 0)::BIGINT AS c
+        SELECT l_quantity, TRY_CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
         FROM lineitem
     ), d AS (
         SELECT l_quantity, sum(c) AS s, count(*) AS n
@@ -310,7 +310,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            count(*) AS n_items,
-           sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS revenue
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM lineitem l
     WHERE EXISTS (
         SELECT 1 FROM orders o
@@ -403,7 +403,7 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT year(o_orderdate)::INTEGER AS o_year,
            'Y' || year(o_orderdate)::VARCHAR AS label,
            count(*)::BIGINT AS n_orders,
-           sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
+           sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM orders
     WHERE year(o_orderdate) BETWEEN 1995 AND 1996
     GROUP BY 1, 2

@@ -21,8 +21,8 @@ from pymapreduce_spark.registry import query
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT sum(round(l_extendedprice * 100)::BIGINT
-               * round(l_discount * 100)::BIGINT) / 10000.0 AS revenue
+    SELECT sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * TRY_CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -54,8 +54,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
                AS revenue,
            n_name
     FROM customer, orders, lineitem, nation
@@ -104,11 +104,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT round(
         100.0 * sum(CASE WHEN p_type = 'PROMO'
-                    THEN round(l_extendedprice * 100)::BIGINT
-                         * (100 - round(l_discount * 100)::BIGINT)
+                    THEN TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))
                     ELSE 0 END)::DOUBLE
-        / sum(round(l_extendedprice * 100)::BIGINT
-              * (100 - round(l_discount * 100)::BIGINT))::DOUBLE, 6)
+        / sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE, 6)
         AS promo_revenue_pct
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -146,13 +146,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey,
-           round(o_totalprice * 100)::BIGINT / 100.0 AS o_totalprice,
+           TRY_CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
            total_qty
     FROM customer, orders, (
-        SELECT l_orderkey, sum(round(l_quantity * 100)::BIGINT) / 100.0
+        SELECT l_orderkey, sum(TRY_CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
                AS total_qty
         FROM lineitem GROUP BY l_orderkey
-        HAVING sum(round(l_quantity * 100)::BIGINT) / 100.0 > 250
+        HAVING sum(TRY_CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 > 250
     ) big
     WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
     ORDER BY o_totalprice DESC, o_orderkey
@@ -191,8 +191,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
                AS revenue
     FROM supplier, lineitem, orders, customer, nation n1, nation n2
     WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -257,8 +257,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mkt_share
     FROM (
         SELECT year(o_orderdate) AS o_year,
-               round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT) AS volume_c,
+               TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)) AS volume_c,
                n1.n_name AS supp_nation
         FROM part, supplier, lineitem, orders, customer,
              nation n1, nation n2, region
@@ -363,8 +363,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_suppkey AS supplier_no,
-               sum(round(l_extendedprice * 100)::BIGINT
-                   * (100 - round(l_discount * 100)::BIGINT)) AS total_c
+               sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) AS total_c
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -410,14 +410,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pq AS (
         SELECT l_partkey, count(*) AS n,
-               sum(round(l_quantity * 100)::BIGINT) AS sq
+               sum(TRY_CAST(round(l_quantity * 100) AS BIGINT)) AS sq
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT sum(round(l_extendedprice * 100)::BIGINT) / 700.0 AS avg_yearly
+    SELECT sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0 AS avg_yearly
     FROM lineitem l, part p, pq
     WHERE p.p_partkey = l.l_partkey AND pq.l_partkey = l.l_partkey
       AND p_brand = 'Brand#3' AND p_size < 15
-      AND 5 * pq.n * round(l.l_quantity * 100)::BIGINT < pq.sq
+      AND 5 * pq.n * TRY_CAST(round(l.l_quantity * 100) AS BIGINT) < pq.sq
     """,
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,8 +446,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+    SELECT sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
            AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
@@ -496,14 +496,14 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_sales_opportunity",
     oracle="""
     WITH pos AS (
-        SELECT sum(round(c_acctbal * 100)::BIGINT) AS s, count(*) AS n
+        SELECT sum(TRY_CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
         FROM customer WHERE c_acctbal > 0.0 AND c_nationkey < 7
     )
     SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-           sum(round(c_acctbal * 100)::BIGINT) / 100.0 AS totacctbal
+           sum(TRY_CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer, pos
     WHERE c_nationkey < 7
-      AND round(c_acctbal * 100)::BIGINT * pos.n > pos.s
+      AND TRY_CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_nationkey

@@ -36,7 +36,7 @@ from pymapreduce_spark.registry import query
     ),
     offers AS (
         SELECT l_partkey, l_suppkey,
-               min(round(l_extendedprice * 100)::BIGINT) AS price_c
+               min(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c
         FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     best AS (
@@ -44,7 +44,7 @@ from pymapreduce_spark.registry import query
         FROM offers, eu_supp WHERE l_suppkey = s_suppkey
         GROUP BY l_partkey
     )
-    SELECT round(s_acctbal * 100)::BIGINT / 100.0 AS s_acctbal,
+    SELECT TRY_CAST(round(s_acctbal * 100) AS BIGINT) / 100.0 AS s_acctbal,
            s_name, n_name, p_partkey, p_name,
            price_c / 100.0 AS best_price
     FROM part, offers, best, eu_supp
@@ -150,10 +150,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           sum(round(l_extendedprice * 100)::BIGINT
-               * (100 - round(l_discount * 100)::BIGINT)
-               - round(p_retailprice * 100)::BIGINT
-               * round(l_quantity * 100)::BIGINT) / 10000.0 AS profit
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT))
+               - TRY_CAST(round(p_retailprice * 100) AS BIGINT)
+               * TRY_CAST(round(l_quantity * 100) AS BIGINT)) / 10000.0 AS profit
     FROM part, supplier, lineitem, orders, nation
     WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -195,7 +195,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_stock",
     oracle="""
     WITH val AS (
-        SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT) AS value_c
+        SELECT l_partkey, sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
         FROM lineitem, supplier
         WHERE l_suppkey = s_suppkey AND s_nationkey = 5
         GROUP BY l_partkey
@@ -325,7 +325,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sq AS (
         SELECT l_partkey, l_suppkey,
-               sum(round(l_quantity * 100)::BIGINT) AS q
+               sum(TRY_CAST(round(l_quantity * 100) AS BIGINT)) AS q
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -49,7 +49,12 @@ def _cents_half_away(values: pd.Series) -> pd.Series:
             return float("nan")
         x = float(x)
         if x != x or x in (float("inf"), float("-inf")):
-            return x
+            # non-finite carries no usable magnitude: NaN here becomes
+            # NULL downstream (dropna / Int64 <NA>), exactly matching
+            # the engines' TRY_CAST(round(x*100) AS BIGINT) → NULL.
+            # Passing ±Inf through instead crashes astype("Int64")
+            # (round-7 nan_inf axis).
+            return float("nan")
         return float(
             Decimal(repr(x * 100.0)).quantize(one, rounding=ROUND_HALF_UP)
         )
@@ -88,14 +93,20 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_scalar",
     oracle="""
     SELECT event_id,
-           round((value - 50.0) / 25.0, 6) AS value_z
+           CASE WHEN isnan(value) THEN NULL
+                ELSE round((value - 50.0) / 25.0, 6) END AS value_z
     FROM events
     """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Series→Series pandas UDF (Arrow batches; the fast
     Python path). Identical float ops in identical order → bit-equal
-    results across engines; rounded anyway per §5.4."""
+    results across engines; rounded anyway per §5.4.
+
+    NaN contract: a float64 pandas Series cannot distinguish NaN from
+    NULL, so the Arrow return path coerces a NaN result to NULL — the
+    oracle says so explicitly (±Inf survives the boundary and matches
+    IEEE arithmetic in both engines; round-7 nan_inf axis)."""
 
     @F.pandas_udf("double")
     def zscore(v: pd.Series) -> pd.Series:
@@ -111,9 +122,10 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_agg",
     oracle="""
     SELECT user_id,
-           sum(round(value * 100)::BIGINT) / (100.0 * count(*))
+           sum(TRY_CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*))
                AS mean_value,
-           round(quantile_cont(value, 0.5), 4) AS median_value
+           round(quantile_cont(CASE WHEN NOT isnan(value) THEN value END,
+                               0.5), 4) AS median_value
     FROM events
     GROUP BY user_id
     """,
@@ -156,8 +168,11 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           round(quantile_cont(value, 0.5), 4) AS median_value,
-           round(max(value) - min(value), 4) AS value_range
+           round(quantile_cont(CASE WHEN NOT isnan(value) THEN value END,
+                               0.5), 4) AS median_value,
+           round(max(CASE WHEN NOT isnan(value) THEN value END)
+                 - min(CASE WHEN NOT isnan(value) THEN value END),
+                 4) AS value_range
     FROM events
     GROUP BY user_id
     """,
@@ -191,7 +206,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_map_partitions",
     oracle="""
     SELECT event_id, user_id,
-           (value::DECIMAL(12,2) * 100)::BIGINT AS value_cents
+           TRY_CAST(round(value * 100) AS BIGINT) AS value_cents
     FROM events
     WHERE event_type = 'purchase'
     """,
@@ -267,7 +282,7 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT)::BIGINT AS cents_total
+           sum(TRY_CAST(round(value * 100) AS BIGINT))::BIGINT AS cents_total
     FROM events
     GROUP BY event_type
     """,
@@ -286,12 +301,16 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def to_cents(batches):
         for batch in batches:
+            # NaN/±Inf → null BEFORE the int64 cast (Arrow's safe cast
+            # raises on non-finite), mirroring the oracle's TRY_CAST
+            v = batch.column("value")
+            v = pc.if_else(pc.is_finite(v), v, pa.scalar(None, pa.float64()))
             cents = pc.cast(
                 # half_towards_infinity = half away from zero, the
                 # Spark/DuckDB round() convention; Arrow's default
                 # half_to_even splits the engines on half-cent values
                 pc.round(
-                    pc.multiply(batch.column("value"), pa.scalar(100.0)),
+                    pc.multiply(v, pa.scalar(100.0)),
                     round_mode="half_towards_infinity",
                 ),
                 pa.int64(),

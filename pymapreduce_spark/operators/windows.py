@@ -296,7 +296,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
-               round(value * 100)::BIGINT AS vc
+               TRY_CAST(round(value * 100) AS BIGINT) AS vc
         FROM events
     )
     SELECT event_id, event_type,
@@ -327,7 +327,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, 0)
     )
-    vc = F.round(F.col("value") * 100).cast("long")
+    vc = F.round(F.col("value") * 100).try_cast("long")
     frame = F.array_sort(F.collect_list(vc).over(w))
     n = F.size(frame)
     mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
@@ -356,7 +356,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT o_orderpriority,
-               round(o_totalprice * 100)::BIGINT AS cents, o_orderkey
+               TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
         FROM orders
     ), ranked AS (
         SELECT o_orderpriority, cents, o_orderkey,
@@ -431,14 +431,17 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT event_type,
-               quantile_cont(value, 0.25) AS q1,
-               quantile_cont(value, 0.75) AS q3
+               quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                             0.25) AS q1,
+               quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                             0.75) AS q3
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            count(*) AS n_events,
            count(*) FILTER (
-               e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+               (CASE WHEN isfinite(e.value) THEN e.value END)
+                   > q.q3 + 1.5 * (q.q3 - q.q1)
            )::BIGINT AS n_high_outliers,
            round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS high_fence
     FROM events e JOIN q ON e.event_type = q.event_type
@@ -455,10 +458,12 @@ def win_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole partition to rank against. Both engines interpolate
     quantile_cont identically and the fence arithmetic runs on those
     identical doubles."""
+    from pymapreduce_spark.functions.checked import finite
+
     ev = load_table(spark, sf_dir, "events")
     q = ev.groupBy("event_type").agg(
-        F.percentile("value", 0.25).alias("q1"),
-        F.percentile("value", 0.75).alias("q3"),
+        F.percentile(finite("value"), 0.25).alias("q1"),
+        F.percentile(finite("value"), 0.75).alias("q3"),
     )
     fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
     return (
@@ -466,7 +471,7 @@ def win_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "q1", "q3")
         .agg(
             F.count("*").alias("n_events"),
-            F.count(F.when(F.col("value") > fence, 1)).alias(
+            F.count(F.when(finite("value") > fence, 1)).alias(
                 "n_high_outliers"
             ),
             F.round(F.max(fence), 6).alias("high_fence"),

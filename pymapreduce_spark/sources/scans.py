@@ -173,7 +173,7 @@ def source_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_csv",
     oracle="""
     SELECT s_nationkey, count(*) AS n_suppliers,
-           sum(round(s_acctbal * 100)::BIGINT) / 100.0 AS total_bal
+           sum(TRY_CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
     FROM supplier
     GROUP BY s_nationkey
     """,
@@ -219,7 +219,7 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_jsonl",
     oracle="""
     SELECT user_id, count(*) AS n_purchases,
-           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+           sum(TRY_CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY user_id
@@ -258,17 +258,17 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
     upd AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               (round(o_totalprice * 100)::BIGINT * 2) / 100.0 AS o_totalprice
+               (TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 2) / 100.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 150 = 0
     ),
     ins AS (
         SELECT o_orderkey + mx.m AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
-               (round(o_totalprice * 100)::BIGINT) / 100.0 AS o_totalprice
+               (TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS o_totalprice
         FROM orders, mx WHERE o_orderkey % 300 = 0
     ),
     kept AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               (round(o_totalprice * 100)::BIGINT) / 100.0 AS o_totalprice
+               (TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 150 != 0
     ),
     merged AS (
@@ -277,7 +277,7 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n_rows,
            count(DISTINCT o_orderkey) AS n_keys,
-           sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+           sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -409,7 +409,7 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_orc",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_orders,
-           sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+           sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     GROUP BY o_orderstatus
     """,

@@ -740,7 +740,7 @@ def stream_unified_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                max(struct_pack(tsu := ts::TIMESTAMP, id := event_id,
                                et := event_type,
-                               vc := round(value * 100)::BIGINT)) AS c
+                               vc := TRY_CAST(round(value * 100) AS BIGINT))) AS c
         FROM events GROUP BY user_id
     )
     SELECT user_id,
@@ -773,7 +773,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("tsu"),
             F.col("event_id").alias("id"),
             F.col("event_type").alias("et"),
-            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            F.round(F.col("value") * 100).try_cast("long").alias("vc"),
         )
     ).alias("c")
     # State schema derived by PLANNING the merge shape on the batch

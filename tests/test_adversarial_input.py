@@ -777,3 +777,63 @@ def roworder_sf(tmp_path_factory) -> str:
 def test_roworder_fixture_matches_oracle(spark, roworder_sf):
     bad = _compare(spark, roworder_sf, ROWORDER_OPS)
     assert not bad, "row-order divergence:\n" + "\n".join(bad)
+
+
+#: round-7 NAN-INF axis: IEEE NaN / ±Infinity injected into
+#: events.value (upstream-division damage — routine in 100 TB
+#: telemetry). The full-surface sweep (tools/adversarial_audit.py
+#: nan_inf) flagged 27 ops: 18 ANSI CAST_OVERFLOW crashes on
+#: CAST(double AS BIGINT) — fixed by the try_cast/TRY_CAST cents
+#: contract (non-finite → NULL, functions/checked.py:cents) swept
+#: through every Spark cast site and all ~100 oracle ::BIGINT sites;
+#: 4 Python-side crashes (int(round(inf)), Arrow safe-cast,
+#: astype("Int64") on ±Inf); and 5 silent splits — Spark percentile
+#: sorts NaN greatest vs DuckDB quantile_cont (robust stats now
+#: exclude non-finite via finite()/isfinite in BOTH engines), Spark
+#: floor() SATURATING non-finite (floor(NaN)→0!) vs TRY_CAST NULL,
+#: and the Arrow boundary coercing a pandas NaN result to NULL
+#: (documented per-op; oracles say isnan explicitly).
+NAN_INF_OPS = [
+    "win_rolling_median", "win_outlier_iqr", "ts_interpolate_linear",
+    "ts_rolling_corr", "ts_calendar_features", "ts_sessionized_revenue",
+    "ts_rsi", "ts_minmax_normalize", "ts_max_drawdown", "udf_map_arrow",
+    "agg_salted_twophase", "sink_jsonl", "fn_json_agg", "ts_forward_fill",
+    "api_pipeline", "api_counters", "api_multi_output", "agg_time_window",
+    "agg_histogram", "agg_tail_ratio", "agg_share_of_total", "agg_mad",
+    "udf_pandas_scalar", "udaf_pandas_agg", "udf_grouped_map",
+    "udf_map_partitions",
+]
+
+
+@pytest.fixture(scope="module")
+def nan_inf_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_naninf")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            v = tb["value"].to_pylist()
+            v[0] = float("nan")
+            v[1] = float("inf")
+            v[2] = float("-inf")
+            v[3] = float("nan")  # two NaNs: grouping must pool them
+            tb = tb.set_column(
+                tb.schema.get_field_index("value"), "value",
+                pa.array(v, type=pa.float64()),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_nan_inf_fixture_matches_oracle(spark, nan_inf_sf):
+    bad = _compare(spark, nan_inf_sf, NAN_INF_OPS)
+    assert not bad, "nan-inf divergence:\n" + "\n".join(bad)
+
+
+def test_nan_inf_stream_cdc_executes(spark, nan_inf_sf):
+    """stream_cdc_apply crashed in its foreachBatch sink on the NaN
+    cents cast (a streaming query, so the rows-vs-oracle compare above
+    can't cover its crash path deterministically — pin execution)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["stream_cdc_apply"](spark, nan_inf_sf)
+    assert df.count() >= 0

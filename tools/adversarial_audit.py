@@ -1,0 +1,175 @@
+"""Full-surface adversarial differential audit.
+
+Rebuilds the smallest fixture with one adversarial mutation AXIS, then
+runs EVERY registered query through both engines (Spark implementation
+vs its DuckDB oracle) and reports crashes and value divergences. This
+is the sweep the per-round robustness work starts from; the defects it
+finds get fixed and then pinned as fast per-op regression tests in
+``tests/test_adversarial_input.py`` (the sweep itself is too slow for
+CI).
+
+Axes (round 7):
+
+- ``nan_inf``   — IEEE NaN / +-Infinity injected into the double
+  measure columns (events.value, lineitem.l_discount stays in-envelope
+  because TPC-H revenue sums would otherwise all collapse to NaN and
+  compare trivially). Hunts pandas-NaN-vs-SQL-NULL conflation, ANSI
+  cast crashes, and ordering/grouping splits (both engines group NaNs
+  together and sort them greatest, but intermediate pandas stages drop
+  them as if NULL).
+- ``zero_embed`` — all-zero vectors, huge-magnitude (1e30) and
+  subnormal-magnitude components, and exact-duplicate vectors in
+  ``embeddings.embedding``. Hunts division-by-zero-norm NaNs and
+  argmax ties in the numpy/cosine kernels.
+- ``tiny``      — every table truncated to its first 3 rows (and
+  ``--rows 1`` for the single-row variant). Hunts sample-variance /
+  correlation NULL-vs-NaN splits, k>n in kNN/IVF/k-means, log(0) in
+  idf/entropy, and empty-group percentile crashes.
+
+Run:  python tools/adversarial_audit.py AXIS [--rows N] [--only name,..]
+Exit: number of divergent/crashed queries (0 = clean sweep).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+SRC = os.environ.get("AUDIT_SRC", "/root/testdata/sf0.001")
+
+
+def _set(tb: pa.Table, col: str, values: list) -> pa.Table:
+    idx = tb.schema.get_field_index(col)
+    return tb.set_column(idx, col, pa.array(values, type=tb.schema.field(col).type))
+
+
+def build_nan_inf(out: str, rows: int) -> None:
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            v = tb["value"].to_pylist()
+            v[0] = float("nan")
+            v[1] = float("inf")
+            v[2] = float("-inf")
+            v[3] = float("nan")  # two NaNs: grouping must pool them
+            tb = _set(tb, "value", v)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
+def build_zero_embed(out: str, rows: int) -> None:
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "embeddings":
+            e = tb["embedding"].to_pylist()
+            dim = len(e[0])
+            e[0] = [0.0] * dim                       # zero vector
+            e[1] = [0.0] * dim                       # duplicate zero vector
+            e[2] = [1e30] * dim                      # dot overflows f32
+            e[3] = [1e-30] * dim                     # subnormal after square
+            e[5] = list(e[4])                        # exact duplicate pair
+            tb = _set(tb, "embedding", e)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
+def build_tiny(out: str, rows: int) -> None:
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        pq.write_table(tb.slice(0, rows), os.path.join(out, f"{t}.parquet"))
+
+
+AXES = {
+    "nan_inf": build_nan_inf,
+    "zero_embed": build_zero_embed,
+    "tiny": build_tiny,
+}
+
+
+def run(axis: str, rows: int, only: list[str] | None) -> int:
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    out = tempfile.mkdtemp(prefix=f"audit_{axis}_")
+    AXES[axis](out, rows)
+    print(f"fixture: {out} (axis={axis}, src={SRC})", flush=True)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName(f"adversarial-audit-{axis}")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{out}/{t}.parquet')"
+        )
+
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    names = [n for n in queries if not only or n in only]
+    bad = 0
+    for i, name in enumerate(names):
+        try:
+            sdf = queries[name](spark, out)
+            si = sorted(range(len(sdf.columns)), key=lambda j: sdf.columns[j])
+            got = sorted(tuple(str(r[j]) for j in si) for r in sdf.collect())
+        except Exception:
+            print(f"FAIL {name}: SPARK CRASH", flush=True)
+            traceback.print_exc(limit=3)
+            bad += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle", flush=True)
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            di = sorted(
+                range(len(cur.description)),
+                key=lambda j: cur.description[j][0],
+            )
+            want = sorted(tuple(str(r[j]) for j in di) for r in cur.fetchall())
+        except Exception as ex:
+            print(f"FAIL {name}: ORACLE CRASH {ex}", flush=True)
+            bad += 1
+            continue
+        if got != want:
+            gset, wset = set(got), set(want)
+            print(
+                f"FAIL {name}: {len(got)} vs {len(want)} rows; "
+                f"spark-only={sorted(gset - wset)[:3]} "
+                f"oracle-only={sorted(wset - gset)[:3]}",
+                flush=True,
+            )
+            bad += 1
+        if (i + 1) % 25 == 0:
+            print(f"  ... {i + 1}/{len(names)} ({bad} bad)", flush=True)
+    print(f"DONE axis={axis}: {bad}/{len(names)} divergent/crashed", flush=True)
+    return bad
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("axis", choices=sorted(AXES))
+    ap.add_argument("--rows", type=int, default=3)
+    ap.add_argument("--only", type=str, default="")
+    a = ap.parse_args()
+    only = [s for s in a.only.split(",") if s] or None
+    sys.exit(min(run(a.axis, a.rows, only), 99))
