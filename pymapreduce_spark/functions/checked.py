@@ -62,6 +62,22 @@ def finite(col: Column | str) -> Column:
     return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
 
 
+def round_sane(col: Column | str, scale: int = 6) -> Column:
+    """round(col, scale) for |col| < 1e9, identity above (NaN/±Inf fall
+    through untouched).
+
+    DuckDB's round() computes x·10^scale and divides back, which
+    perturbs last ulps once the product exceeds 2^53 (observed: a
+    1.2e29 dot product shifted 2 ulps), while Spark rounds exactly via
+    BigDecimal of the shortest repr. Above 1e9 a double carries fewer
+    than 6 decimal digits anyway, so skipping the round on BOTH sides
+    loses nothing; below 1e9 both engines round exactly. Oracles
+    mirror with ``CASE WHEN abs(x) < 1e9 THEN round(x, ...) ELSE x
+    END`` (round-7 zero_embed axis)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.abs(c) < 1e9, F.round(c, scale)).otherwise(c)
+
+
 def cents(col: Column | str) -> Column:
     """Exact integer-cents view of a 2-decimal money column.
     round(x·100) recovers the true integer for positives AND negatives

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pymapreduce_spark.functions.checked import round_sane
 from pymapreduce_spark.io import load_table, table_row_count
 from pymapreduce_spark.registry import query
 
@@ -56,7 +57,7 @@ def _dot(a, b):
         FROM embeddings q JOIN embeddings c
           ON q.vec_id < 10 AND c.vec_id != q.vec_id
     )
-    SELECT query_id, neighbor_id, nn_rank, round(cos, 6) AS cosine
+    SELECT query_id, neighbor_id, nn_rank, CASE WHEN abs(cos) < 1e9 THEN round(cos, 6) ELSE cos END AS cosine
     FROM (SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
           ) AS nn_rank FROM d)
@@ -88,7 +89,7 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("nn_rank", F.row_number().over(w))
         .where(F.col("nn_rank") <= 5)
         .select(
-            "query_id", "neighbor_id", "nn_rank", F.round("cos", 6).alias("cosine")
+            "query_id", "neighbor_id", "nn_rank", round_sane("cos", 6).alias("cosine")
         )
     )
 
@@ -170,7 +171,7 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "nn_rank",
-            F.round("cos", 6).alias("cosine"),
+            round_sane("cos", 6).alias("cosine"),
         )
     )
     # Every row states whether it is also an exact top-5 neighbor —
@@ -283,8 +284,12 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_embed",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.embedding::DOUBLE[],
-                                  b.embedding::DOUBLE[]), 6) AS cosine
+           CASE WHEN abs(list_dot_product(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[])) < 1e9
+                THEN round(list_dot_product(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6)
+                ELSE list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) END AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
     """,
@@ -311,7 +316,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", _dot(F.col("ea"), F.col("eb")))
         .where(F.col("cos") >= 0.45)
         .select(
-            "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
+            "vec_a", "vec_b", round_sane("cos", 6).alias("cosine")
         )
     )
 
@@ -353,7 +358,7 @@ def _dedup_embed_lsh(emb: DataFrame, threshold: float) -> DataFrame:
         )
         .where(F.col("vec_a") < F.col("vec_b"))
         .where(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .select("vec_a", "vec_b", round_sane("cos", 6).alias("cosine"))
     )
 
 
@@ -362,8 +367,13 @@ def _dedup_embed_lsh(emb: DataFrame, threshold: float) -> DataFrame:
     oracle="""
     SELECT d.doc_id, d.lang, d.n_chars, e.label,
            len(e.embedding) AS emb_dim,
-           round(sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                       e.embedding::DOUBLE[])), 6) AS emb_norm
+           CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[])) < 1e9
+                THEN round(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[])), 6)
+                ELSE sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+           END AS emb_norm
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
 )
@@ -382,7 +392,7 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             "label",
             F.size("embedding").alias("emb_dim"),
-            F.round(F.sqrt(_dot(e, e)), 6).alias("emb_norm"),
+            round_sane(F.sqrt(_dot(e, e)), 6).alias("emb_norm"),
         )
     )
 
@@ -507,7 +517,7 @@ def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
             "query_id",
             "neighbor_id",
             "nn_rank",
-            F.round("cos", 6).alias("cosine"),
+            round_sane("cos", 6).alias("cosine"),
         )
     )
 
@@ -521,7 +531,7 @@ def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
                                 b.embedding::DOUBLE[]) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
     )
-    SELECT query_id, neighbor_id, nn_rank, round(cos, 6) AS cosine
+    SELECT query_id, neighbor_id, nn_rank, CASE WHEN abs(cos) < 1e9 THEN round(cos, 6) ELSE cos END AS cosine
     FROM (SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
           ) AS nn_rank FROM d)
@@ -608,7 +618,12 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["query_id"].extend([qid] * len(top))
                     out["neighbor_id"].extend(cand_ids[top])
                     out["nn_rank"].extend(range(1, len(top) + 1))
-                    out["cosine"].extend(np.round(S[i, top], 6))
+                    c = S[i, top]
+                    # np.round perturbs ulps at huge magnitude just
+                    # like DuckDB's round — same guard as round_sane
+                    out["cosine"].extend(
+                        np.where(np.abs(c) < 1e9, np.round(c, 6), c)
+                    )
                 yield pd.DataFrame(out)
 
     schema = (
@@ -694,7 +709,7 @@ def sim_search_ivf_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "nn_rank",
-            F.round("cos", 6).alias("cosine"),
+            round_sane("cos", 6).alias("cosine"),
         )
     )
     # Self-evidencing recall, same contract as llm_sim_search_ann.
@@ -734,7 +749,10 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label,
                embedding::DOUBLE[] AS e,
                list_transform(embedding::DOUBLE[],
-                              x -> floor(x * 127)::BIGINT) AS qv
+                              x -> CASE WHEN isnan(x) THEN NULL
+                                   ELSE least(greatest(floor(x * 127),
+                                              -128), 127)::BIGINT
+                                   END) AS qv
         FROM embeddings
     )
     SELECT vec_id, label,
@@ -746,25 +764,45 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8-style embedding quantization: floor(x·127) per dimension —
-    the storage-compression step a 100 TB vector corpus needs (4 bytes →
-    1 byte per dim before ANN indexing).
+    """Int8-style embedding quantization: clamp(floor(x·127), -128,
+    127) per dimension — the storage-compression step a 100 TB vector
+    corpus needs (4 bytes → 1 byte per dim before ANN indexing).
 
     floor (not round) is deliberate: round-half ties on binary doubles
-    differ between engines (SURVEY §5.4), floor doesn't. All checked
+    differ between engines (SURVEY §5.4), floor doesn't. The clamp is
+    what a real int8 quantizer does to out-of-scale components — and
+    it is also what keeps the engines aligned AND overflow-free on
+    damaged vectors: Spark's floor saturates ±∞ to ±Long.MaxValue (so
+    the q_sum fold overflowed ANSI) where DuckDB's cast errors; after
+    the clamp both sit at ±127/−128. A NaN component quantizes to NULL
+    (no usable magnitude, same doctrine as checked.cents) and the sum
+    fold skips it like SQL sum — round-7 zero_embed axis. All checked
     outputs are exact int64 folds over the quantized vector; the
     quantized array itself is the payload a real pipeline would write."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = F.transform(
         _as_double(F.col("embedding")),
-        lambda x: F.floor(x * 127).cast("bigint"),
+        lambda x: F.when(
+            ~F.isnan(x),
+            F.least(
+                F.greatest(F.floor(x * 127), F.lit(-128).cast("bigint")),
+                F.lit(127).cast("bigint"),
+            ),
+        ),
     )
     return emb.select(
         "vec_id",
         "label",
         F.size("embedding").alias("n_dims"),
-        F.aggregate(
-            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        F.when(
+            # SQL-sum semantics, matching list_aggregate(qv, 'sum'):
+            # skip NULL (NaN-damaged) dims, and an all-NULL or empty
+            # vector sums to NULL — never a fabricated 0
+            F.exists(qv, lambda x: x.isNotNull()),
+            F.aggregate(
+                qv, F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.coalesce(x, F.lit(0).cast("bigint")),
+            ),
         ).alias("q_sum"),
         F.array_min(qv).alias("q_min"),
         F.array_max(qv).alias("q_max"),

@@ -837,3 +837,51 @@ def test_nan_inf_stream_cdc_executes(spark, nan_inf_sf):
 
     df = entry.queries()["stream_cdc_apply"](spark, nan_inf_sf)
     assert df.count() >= 0
+
+
+#: round-7 ZERO/EXTREME-EMBEDDING axis: all-zero vectors (a masked or
+#: failed encode), exact-duplicate vectors, 1e30-magnitude and
+#: 1e-30-magnitude components. The cosine kernels were already robust
+#: (zero vectors dot to 0, duplicates tie-break by id); the three
+#: finds: (1) round(x, 6) itself PERTURBS ulps at huge magnitude in
+#: DuckDB/numpy (multiply-divide through 2^53) but not in Spark
+#: (BigDecimal) — all emitted cosines/norms now magnitude-guard the
+#: round (checked.round_sane, CASE WHEN abs<1e9 in oracles); (2)
+#: int8 quantization overflowed the ANSI q_sum fold on saturated
+#: floor(±∞·127) — a real quantizer CLAMPS to [-128,127], now both
+#: engines do; (3) radius-parameterized ANN (BRP-LSH cutoff, IVF
+#: probes) is contractually unit-scale — a 1e30 vector finds no
+#: neighbors inside a unit-scale radius (README doctrine; enforce
+#: upstream with llm_embedding_norm_audit), so ANN is exercised for
+#: crash-freedom via the registry, not pinned here.
+ZERO_EMBED_OPS = [
+    "llm_dedup_embed", "llm_embed_quantize", "llm_multimodal_cols",
+    "llm_sim_search", "llm_knn_self_join", "llm_semdedup",
+    "llm_knn_label", "llm_embed_centroid", "llm_embedding_norm_audit",
+]
+
+
+@pytest.fixture(scope="module")
+def zero_embed_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_zeroembed")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "embeddings":
+            e = tb["embedding"].to_pylist()
+            dim = len(e[0])
+            e[0] = [0.0] * dim
+            e[1] = [0.0] * dim           # duplicate zero vector
+            e[2] = [1e30] * dim          # dot overflows f32 range
+            e[3] = [1e-30] * dim         # subnormal after squaring
+            e[5] = list(e[4])            # exact duplicate pair
+            tb = tb.set_column(
+                tb.schema.get_field_index("embedding"), "embedding",
+                pa.array(e, type=tb.schema.field("embedding").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_zero_embed_fixture_matches_oracle(spark, zero_embed_sf):
+    bad = _compare(spark, zero_embed_sf, ZERO_EMBED_OPS)
+    assert not bad, "zero-embed divergence:\n" + "\n".join(bad)
