@@ -206,6 +206,19 @@ def percentile_approx_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = orders.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.round(F.median("o_totalprice"), 4).alias("exact_median"),
+        # the middle ORDER-STATISTIC pair: the sketch returns an actual
+        # data value, so at even n it is rank-perfect yet up to a full
+        # gap away from the INTERPOLATED exact median (a 2-row group:
+        # approx 1.0 vs exact 2.0 — round-7 tiny axis). Rank
+        # correctness = approx within [lo, hi].
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        (
+            -F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY -o_totalprice)"
+            )
+        ).alias("hi"),
     )
     abs_err = F.round(
         F.abs(F.col("approx_median") - F.col("exact_median")), 4
@@ -215,7 +228,10 @@ def percentile_approx_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_median",
         "exact_median",
         abs_err.alias("abs_err"),
-        (abs_err <= 0.01 * F.col("exact_median")).alias("within_tol"),
+        (
+            (abs_err <= 0.01 * F.col("exact_median"))
+            | F.col("approx_median").between(F.col("lo"), F.col("hi"))
+        ).alias("within_tol"),
     )
 
 
@@ -254,8 +270,18 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice)),
                  4) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-           round(skewness(l_extendedprice) * (count(*) - 2)
-                 / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_price,
+           round(CASE
+                     WHEN count(*) >= 3
+                     THEN skewness(l_extendedprice) * (count(*) - 2)
+                          / sqrt(count(*) * (count(*) - 1.0))
+                     -- population g1 of TWO distinct points is exactly
+                     -- 0 (symmetric deviations cube away); Spark emits
+                     -- it while sample G1 needs n>=3 and returns NULL
+                     -- (round-7 tiny axis). Two EQUAL points: zero
+                     -- variance, NULL in both engines.
+                     WHEN count(*) = 2 AND var_pop(l_extendedprice) > 0
+                     THEN 0.0
+                 END, 4) AS skew_price,
            round(kurtosis_pop(l_extendedprice), 4) AS kurt_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -744,7 +770,21 @@ def sketch_quantiles_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Self-evidencing: exact median alongside, with the ~1.3% rank-error
     # bound translated to a (generous) 5% value tolerance on p50.
     exact = li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 4).alias("exact_p50_price")
+        F.round(F.median("l_extendedprice"), 4).alias("exact_p50_price"),
+        # rank-correctness envelope, same rationale as
+        # percentile_approx_rich: the sketch answers with a data value
+        # (a cent), so at even n it sits a full order-statistic gap
+        # from the interpolated median — within the middle pair is
+        # within tolerance at any n (round-7 tiny axis)
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("lo"),
+        (
+            -F.expr(
+                "percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY -l_extendedprice)"
+            )
+        ).alias("hi"),
     )
     abs_err = F.round(
         F.abs(F.col("p50_price") - F.col("exact_p50_price")), 4
@@ -757,7 +797,10 @@ def sketch_quantiles_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p75_price",
         "exact_p50_price",
         abs_err.alias("abs_err"),
-        (abs_err <= 0.05 * F.col("exact_p50_price")).alias("within_tol"),
+        (
+            (abs_err <= 0.05 * F.col("exact_p50_price"))
+            | F.col("p50_price").between(F.col("lo"), F.col("hi"))
+        ).alias("within_tol"),
     )
 
 
@@ -1188,9 +1231,14 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
 
     def cov(spq, sp, sq):
+        # try_divide: a single-observation group has no sample
+        # covariance — NULL, matching DuckDB's x/0.0 (ANSI Spark
+        # throws DIVIDE_BY_ZERO even for doubles; round-7 tiny axis)
         return F.round(
-            (F.col(spq) - F.col(sp) / (1.0 * n) * F.col(sq))
-            / (n - 1.0),
+            F.try_divide(
+                F.col(spq) - F.col(sp) / (1.0 * n) * F.col(sq),
+                n - 1.0,
+            ),
             4,
         )
 

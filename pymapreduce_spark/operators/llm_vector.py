@@ -134,7 +134,8 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # LSH.fit requires a non-empty corpus (random projections need the
     # vector dimension from data); an empty index has no neighbors.
-    if table_row_count(sf_dir, "embeddings") == 0:
+    n_corpus = table_row_count(sf_dir, "embeddings")
+    if n_corpus == 0:
         return spark.createDataFrame(
             [],
             "query_id bigint, neighbor_id bigint, nn_rank int,"
@@ -142,9 +143,42 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        _as_double("embedding").alias("e"),
+        _as_double(F.col("embedding")).alias("e"),
         array_to_vector(F.col("embedding")).alias("features"),
     )
+    if n_corpus < 64:
+        # Brute-force below the index floor (standard ANN practice —
+        # faiss does the same): the LSH radius is a statistical
+        # envelope calibrated on corpus-scale geometry, and on a
+        # handful of random vectors every pair can legitimately sit
+        # outside it (3 rows returned ZERO candidates on the round-7
+        # tiny axis). Exact search is both correct and faster here.
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        pairs = (
+            emb.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _dot(F.col("qe"), F.col("e")).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), "neighbor_id"
+        )
+        ann = (
+            pairs.withColumn("nn_rank", F.row_number().over(w))
+            .where(F.col("nn_rank") <= 5)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "nn_rank",
+                round_sane("cos", 6).alias("cosine"),
+            )
+        )
+        return _exact_topk_evidence(ann, emb, F.col("vec_id") < 10)
     model = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -183,9 +217,11 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_sim_search_ann",
     oracle="""
     SELECT vec_id AS query_id,
-           5::BIGINT AS n_results,
+           least(5, (SELECT count(*) FROM embeddings) - 1)::BIGINT
+               AS n_results,
            true AS recall_ok
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings
+    WHERE vec_id < 10 AND (SELECT count(*) FROM embeddings) >= 2
     """,
 )
 def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +241,12 @@ def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     detail = sim_search_ann_rich(spark, sf_dir)
     return detail.groupBy("query_id").agg(
         F.count("*").alias("n_results"),
-        (F.sum(F.col("in_exact_topk").cast("int")) >= 4).alias("recall_ok"),
+        (
+            # >= least(4, k): a tiny corpus returns k = n-1 < 5
+            # results, all exact (brute-force / all-cells probe)
+            F.sum(F.col("in_exact_topk").cast("int"))
+            >= F.least(F.lit(4), F.count("*"))
+        ).alias("recall_ok"),
     )
 
 
@@ -654,8 +695,10 @@ def sim_search_ivf_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     # KMeans.fit needs data (k centers from an empty corpus is
-    # undefined); an empty index has no neighbors to return.
-    if table_row_count(sf_dir, "embeddings") == 0:
+    # undefined, and MLlib rejects k=1 outright); an empty or
+    # single-vector index has no neighbor pairs to return.
+    n_corpus = table_row_count(sf_dir, "embeddings")
+    if n_corpus <= 1:
         return spark.createDataFrame(
             [],
             "query_id bigint, neighbor_id bigint, nn_rank int,"
@@ -667,19 +710,26 @@ def sim_search_ivf_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double("embedding").alias("e"),
         array_to_vector(F.col("embedding")).alias("features"),
     )
+    # k cells never exceed the corpus (MLlib KMeans throws
+    # ArrayIndexOutOfBounds fitting 16 centers to 3 rows — round-7
+    # tiny axis); with few cells every cell is probed, so the tiny
+    # regime degrades to exact search, the right behavior anyway.
+    n_cells = min(16, n_corpus)
     km = KMeans(
-        k=16, seed=42, featuresCol="features", predictionCol="cell"
+        k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
     ).fit(emb)
     assigned = km.transform(emb).select("vec_id", "e", "cell")
     centers = np.array(km.clusterCenters(), dtype=np.float64)
     bc = spark.sparkContext.broadcast(centers)
+
+    nprobe = min(15, n_cells)
 
     @F.pandas_udf("array<int>")
     def top_cells(embs: pd.Series) -> pd.Series:
         cmat = bc.value
         return embs.map(
             lambda v: np.argsort(-(np.asarray(v, dtype=np.float64) @ cmat.T))[
-                :15
+                :nprobe
             ]
             .astype("int32")
             .tolist()
@@ -720,9 +770,11 @@ def sim_search_ivf_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_sim_search_ivf",
     oracle="""
     SELECT vec_id AS query_id,
-           5::BIGINT AS n_results,
+           least(5, (SELECT count(*) FROM embeddings) - 1)::BIGINT
+               AS n_results,
            true AS recall_ok
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings
+    WHERE vec_id < 10 AND (SELECT count(*) FROM embeddings) >= 2
     """,
 )
 def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,7 +790,12 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     detail = sim_search_ivf_rich(spark, sf_dir)
     return detail.groupBy("query_id").agg(
         F.count("*").alias("n_results"),
-        (F.sum(F.col("in_exact_topk").cast("int")) >= 4).alias("recall_ok"),
+        (
+            # >= least(4, k): a tiny corpus returns k = n-1 < 5
+            # results, all exact (brute-force / all-cells probe)
+            F.sum(F.col("in_exact_topk").cast("int"))
+            >= F.least(F.lit(4), F.count("*"))
+        ).alias("recall_ok"),
     )
 
 

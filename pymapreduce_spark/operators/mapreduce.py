@@ -263,7 +263,7 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mr_total_order_sort",
     oracle="""
-    SELECT 8::BIGINT AS n_partitions,
+    SELECT true AS n_partitions_ok,
            (SELECT count(*) FROM orders)::BIGINT AS n_rows,
            true AS globally_sorted,
            true AS partitions_disjoint
@@ -311,11 +311,18 @@ def mr_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("disjoint_ok"),
     )
     # coalesce: over an EMPTY input the claims hold vacuously (an empty
-    # dataset is sorted) and the row total is 0, not NULL — only
-    # n_partitions still differs from the oracle's literal 8 there,
-    # honestly (range partitioning of nothing yields no partitions)
+    # dataset is sorted) and the row total is 0, not NULL.
+    # n_partitions_ok (a bound, not a count): range partitioning fills
+    # AT MOST the requested 8 partitions — with 3 input rows only 3 are
+    # non-empty, and Spark never promises all 8 get rows even at size
+    # (skewed keys collapse ranges) — so the checked claim is
+    # 0 < n_non_empty <= 8, vacuous-true on empty input (round-7 tiny
+    # axis; the old literal-8 oracle was asserting a non-guarantee)
     return flags.agg(
-        F.count("*").alias("n_partitions"),
+        (
+            (F.count("*") <= 8)
+            & ((F.count("*") > 0) | (F.coalesce(F.sum("n"), F.lit(0)) == 0))
+        ).alias("n_partitions_ok"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
         F.coalesce(F.bool_and("part_ok"), F.lit(True)).alias(
             "globally_sorted"

@@ -885,3 +885,59 @@ def zero_embed_sf(tmp_path_factory) -> str:
 def test_zero_embed_fixture_matches_oracle(spark, zero_embed_sf):
     bad = _compare(spark, zero_embed_sf, ZERO_EMBED_OPS)
     assert not bad, "zero-embed divergence:\n" + "\n".join(bad)
+
+
+#: round-7 TINY-TABLE axis: every table truncated to 3 rows (and the
+#: single-row variant) — the small-n regime where sample statistics,
+#: index structures, and interpolation all degenerate at once. Finds:
+#: sample covariance divided by n-1=0 (ANSI DIVIDE_BY_ZERO crash →
+#: try_divide NULL, matching DuckDB x/0.0); population skewness of two
+#: distinct points is exactly 0 in Spark while sample G1 needs n>=3
+#: (NULL) — oracle now states the n=2 case; approximate percentiles
+#: answer with an actual DATA value, which at even n is rank-perfect
+#: yet a full order-statistic gap from the INTERPOLATED exact median —
+#: within_tol now accepts rank-correctness (approx within the middle
+#: pair) at any n; range partitioning fills AT MOST the requested
+#: partitions (3 rows → 3 non-empty of 8) and never guaranteed all 8 —
+#: the checked claim is now the bound, not the count; MLlib KMeans
+#: throws fitting 16 centers to 3 rows (k now clamps to the corpus,
+#: which degrades IVF to exact all-cells search — correct) and rejects
+#: k=1 outright (a 1-vector corpus has no neighbor pairs); and the
+#: BRP-LSH radius is a corpus-scale envelope, so ANN brute-forces
+#: below 64 rows like any production ANN index. The ANN/IVF summary
+#: oracles now derive n_results = least(5, n-1) from the data instead
+#: of hardcoding 5.
+TINY_OPS = [
+    "llm_sim_search_ivf", "llm_sim_search_ann", "mr_total_order_sort",
+    "agg_percentile_approx", "agg_stats", "agg_sketch_quantiles",
+    "agg_covariance_matrix", "llm_knn_self_join", "llm_sim_search",
+    "agg_mad", "win_outlier_iqr",
+]
+
+
+def _tiny_fixture(tmp_path_factory, rows: int) -> str:
+    base = tmp_path_factory.mktemp(f"sf_tiny{rows}")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        pq.write_table(tb.slice(0, rows), str(base / f"{t}.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def tiny3_sf(tmp_path_factory) -> str:
+    return _tiny_fixture(tmp_path_factory, 3)
+
+
+@pytest.fixture(scope="module")
+def tiny1_sf(tmp_path_factory) -> str:
+    return _tiny_fixture(tmp_path_factory, 1)
+
+
+def test_tiny3_fixture_matches_oracle(spark, tiny3_sf):
+    bad = _compare(spark, tiny3_sf, TINY_OPS)
+    assert not bad, "tiny-3 divergence:\n" + "\n".join(bad)
+
+
+def test_tiny1_fixture_matches_oracle(spark, tiny1_sf):
+    bad = _compare(spark, tiny1_sf, TINY_OPS)
+    assert not bad, "tiny-1 divergence:\n" + "\n".join(bad)
