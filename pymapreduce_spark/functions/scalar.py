@@ -614,9 +614,9 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            regexp_replace(
                regexp_replace(
-                   regexp_replace(c_name, '[A-Z]', 'X', 'g'),
-                   '[a-z]', 'x', 'g'),
-               '[0-9]', 'n', 'g') AS masked_name,
+                   regexp_replace(c_name, '\\p{Lu}', 'X', 'g'),
+                   '\\p{Ll}', 'x', 'g'),
+               '\\p{Nd}', 'n', 'g') AS masked_name,
            'XXX-' || substr(c_name, length(c_name) - 2, 3)
                AS last3_visible
     FROM customer
@@ -627,9 +627,14 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     (upper→X, lower→x, digit→n — a single JVM intrinsic, no regex per
     class) plus a keep-last-3 partial reveal. The oracle rebuilds the
     same masking from regexp_replace chains — proving mask() is
-    exactly the class substitution it claims. At 100 TB this is the
-    map-only projection an egress pipeline runs; pair with
-    llm_pii_mask for pattern-level (email/phone) redaction."""
+    exactly the class substitution it claims. The classes are UNICODE
+    (mask() uses Character.isUpperCase & co.): a name carrying ß or İ
+    masks as a letter, not a pass-through — so the oracle regexes say
+    \\p{Lu}/\\p{Ll}/\\p{Nd}, not [A-Z]/[a-z]/[0-9] (round-7
+    unicode-keys axis; combining marks are Mn and survive unmasked in
+    both engines). At 100 TB this is the map-only projection an
+    egress pipeline runs; pair with llm_pii_mask for pattern-level
+    (email/phone) redaction."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
@@ -682,27 +687,40 @@ def fn_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_url",
     oracle="""
     WITH u AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                'https://' || source || '.example.com/docs/' ||
                    doc_id::VARCHAR || '?lang=' || lang AS url
         FROM documents
     )
     SELECT doc_id,
-           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
-           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
-           regexp_extract(url, '\\?lang=([a-z]+)$', 1) AS lang_param
+           CASE WHEN regexp_matches(url, '\\s') THEN NULL
+                WHEN NOT regexp_matches(source, '^[A-Za-z0-9.-]+$')
+                    THEN NULL
+                ELSE regexp_extract(url, '^https://([^/]+)/', 1)
+           END AS host,
+           CASE WHEN regexp_matches(url, '\\s') THEN NULL
+                ELSE regexp_extract(url, '^https://[^/]+(/[^?]*)', 1)
+           END AS path,
+           CASE WHEN regexp_matches(url, '\\s') THEN NULL
+                ELSE regexp_extract(url, '\\?lang=(.*)$', 1)
+           END AS lang_param
     FROM u
     """,
 )
 def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL decomposition with the built-in parse_url (HOST / PATH /
+    """URL decomposition with the built-in try_parse_url (HOST / PATH /
     QUERY-param extraction) over deterministic synthesized URLs — the
     crawl-metadata parsing every web-corpus pipeline needs (domain
-    grouping, path dedup, parameter stripping). The oracle rebuilds
-    the same three fields with anchored regexes, proving parse_url's
-    component semantics on well-formed URLs; parse_url itself is the
-    preferred surface because it handles ports/userinfo/fragments that
-    ad-hoc regexes miss. Map-only projection at scan speed."""
+    grouping, path dedup, parameter stripping). try_parse_url, not
+    parse_url: crawl metadata is never all well-formed, and ONE
+    whitespace-bearing source crashes parse_url's java.net.URI parse
+    (round-7 unicode-keys axis) — degraded fields must be NULL, not a
+    job abort. The oracle mirrors the URI parser's observable rules:
+    whitespace anywhere voids every component; a host label outside
+    [A-Za-z0-9.-] (non-ASCII, '_', empty) yields NULL host while PATH
+    and QUERY still extract; parse_url itself remains the preferred
+    surface because it handles ports/userinfo/fragments that ad-hoc
+    regexes miss. Map-only projection at scan speed."""
     docs = load_table(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"),
@@ -714,9 +732,9 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.parse_url(url, F.lit("HOST")).alias("host"),
-        F.parse_url(url, F.lit("PATH")).alias("path"),
-        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias(
+        F.try_parse_url(url, F.lit("HOST")).alias("host"),
+        F.try_parse_url(url, F.lit("PATH")).alias("path"),
+        F.try_parse_url(url, F.lit("QUERY"), F.lit("lang")).alias(
             "lang_param"
         ),
     )

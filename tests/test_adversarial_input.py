@@ -941,3 +941,59 @@ def test_tiny3_fixture_matches_oracle(spark, tiny3_sf):
 def test_tiny1_fixture_matches_oracle(spark, tiny1_sf):
     bad = _compare(spark, tiny1_sf, TINY_OPS)
     assert not bad, "tiny-1 divergence:\n" + "\n".join(bad)
+
+
+#: round-7 UNICODE-KEY axis: the round-5 unicode axis mutated only the
+#: text PAYLOAD; this one puts CJK / astral-plane emoji / combining
+#: marks / case-fold traps (ß→SS, dotted İ) / empty string / padded
+#: whitespace into the GROUP/JOIN/ORDER KEY columns (event_type, lang,
+#: source, c_mktsegment, c_name, o_orderpriority). 299/301 on first
+#: contact — both engines group, join, and tie-break on binary UTF-8
+#: identically. The two finds were Unicode-awareness asymmetries:
+#: Spark's mask() classifies with Character.isUpperCase & co.
+#: (Unicode) while the oracle's [A-Z] regexes were ASCII — oracles now
+#: say \p{Lu}/\p{Ll}/\p{Nd}; and ONE whitespace-bearing source CRASHED
+#: parse_url's java.net.URI parse — fn_url now uses try_parse_url with
+#: the oracle mirroring the URI parser's observable rules (whitespace
+#: voids all components; a non-[A-Za-z0-9.-] host label, including
+#: Java's '_' quirk, nulls HOST while PATH/QUERY still extract).
+UNICODE_KEY_OPS = [
+    "fn_mask", "fn_url", "fn_string", "fn_regex", "fn_char_classes",
+    "llm_lang_id", "llm_domain_mix", "agg_basic", "win_ranking",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_keys_sf(tmp_path_factory) -> str:
+    uni = ["购买事件", "café́", "🛒🔥", "ßße", "İstanbul", "",
+           " padded ", "ключ"]
+    base = tmp_path_factory.mktemp("sf_unikeys")
+
+    def cycle(tb, col, every):
+        vals = tb[col].to_pylist()
+        for j, i in enumerate(range(0, len(vals), every)):
+            vals[i] = uni[j % len(uni)]
+        t = tb.schema.field(col).type
+        return tb.set_column(
+            tb.schema.get_field_index(col), col, pa.array(vals, type=t)
+        )
+
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            tb = cycle(tb, "event_type", 29)
+        if t == "documents":
+            tb = cycle(tb, "lang", 17)
+            tb = cycle(tb, "source", 23)
+        if t == "customer":
+            tb = cycle(tb, "c_mktsegment", 13)
+            tb = cycle(tb, "c_name", 11)
+        if t == "orders":
+            tb = cycle(tb, "o_orderpriority", 19)
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_unicode_keys_fixture_matches_oracle(spark, unicode_keys_sf):
+    bad = _compare(spark, unicode_keys_sf, UNICODE_KEY_OPS)
+    assert not bad, "unicode-key divergence:\n" + "\n".join(bad)

@@ -89,10 +89,46 @@ def build_tiny(out: str, rows: int) -> None:
         pq.write_table(tb.slice(0, rows), os.path.join(out, f"{t}.parquet"))
 
 
+#: Unicode KEY values (the round-5 unicode axis mutated only the text
+#: payload): CJK, emoji (incl. astral-plane, so UTF-16 surrogate
+#: pairs JVM-side), combining marks (NFC vs NFD spelling), case-fold
+#: traps (ß upper-cases to SS in Java; dotted İ lower-cases
+#: locale-sensitively), an empty string (distinct from NULL), and
+#: leading/trailing whitespace. These flow through group-bys, window
+#: tie-breaks, join keys, and upper()/lower() calls.
+_UNI_KEYS = [
+    "购买事件", "café́", "🛒🔥", "ßße", "İstanbul", "",
+    " padded ", "ключ",
+]
+
+
+def build_unicode_keys(out: str, rows: int) -> None:
+    def cycle(tb: pa.Table, col: str, every: int) -> pa.Table:
+        vals = tb[col].to_pylist()
+        for j, i in enumerate(range(0, len(vals), every)):
+            vals[i] = _UNI_KEYS[j % len(_UNI_KEYS)]
+        return _set(tb, col, vals)
+
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            tb = cycle(tb, "event_type", 29)
+        if t == "documents":
+            tb = cycle(tb, "lang", 17)
+            tb = cycle(tb, "source", 23)
+        if t == "customer":
+            tb = cycle(tb, "c_mktsegment", 13)
+            tb = cycle(tb, "c_name", 11)
+        if t == "orders":
+            tb = cycle(tb, "o_orderpriority", 19)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
     "nan_inf": build_nan_inf,
     "zero_embed": build_zero_embed,
     "tiny": build_tiny,
+    "unicode_keys": build_unicode_keys,
 }
 
 
