@@ -884,7 +884,13 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), j AS (
         SELECT user_id,
-               string_agg(initial, '' ORDER BY tsu, event_id) AS journey
+               -- initial as the THIRD key: the Spark side array_sorts
+               -- the whole struct(ts, event_id, initial), so when a
+               -- duplicated event_id collides at the SAME microsecond
+               -- with a different type (round-7 combined2 axis) the
+               -- letters still concatenate in one total order
+               string_agg(initial, ''
+                          ORDER BY tsu, event_id, initial) AS journey
         FROM e GROUP BY user_id
     )
     SELECT user_id, journey,

@@ -997,3 +997,72 @@ def unicode_keys_sf(tmp_path_factory) -> str:
 def test_unicode_keys_fixture_matches_oracle(spark, unicode_keys_sf):
     bad = _compare(spark, unicode_keys_sf, UNICODE_KEY_OPS)
     assert not bad, "unicode-key divergence:\n" + "\n".join(bad)
+
+
+#: round-7 COMBINED-V2 axis: non-finite measures + unicode keys +
+#: duplicate fact keys + NULL injection in ONE rebuild (the r6
+#: combined axis proved defects hide in interactions every per-axis
+#: fixture passes). 300/301 on first contact; the one find was real
+#: interaction: a duplicated event_id colliding at the SAME
+#: microsecond with a DIFFERENT event type left the journey-string
+#: concat order ill-defined in the ORACLE only (Spark array_sorts the
+#: whole struct(ts, event_id, initial); the oracle ordered by just
+#: (ts, event_id)) — the initial is now the third sort key both ways.
+COMBINED2_OPS = [
+    "llm_event_pattern", "llm_sessionize", "llm_event_funnel",
+    "stream_dedup", "api_secondary_sort", "agg_tail_ratio",
+    "udaf_pandas_agg", "fn_mask",
+]
+
+
+@pytest.fixture(scope="module")
+def combined2_sf(tmp_path_factory) -> str:
+    uni = ["购买事件", "café́", "🛒🔥", "ßße", "İstanbul", "",
+           " padded ", "ключ"]
+    rng = np.random.RandomState(20260815)
+    base = tmp_path_factory.mktemp("sf_combined2")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            v = tb["value"].to_pylist()
+            v[0] = float("nan")
+            v[1] = float("inf")
+            v[2] = float("-inf")
+            for i in rng.choice(len(v), size=len(v) // 20, replace=False):
+                v[i] = None
+            tb = tb.set_column(
+                tb.schema.get_field_index("value"), "value",
+                pa.array(v, type=pa.float64()),
+            )
+            et = tb["event_type"].to_pylist()
+            for j, i in enumerate(range(0, len(et), 29)):
+                et[i] = uni[j % len(uni)]
+            tb = tb.set_column(
+                tb.schema.get_field_index("event_type"), "event_type",
+                pa.array(et, type=pa.string()),
+            )
+            rows_l = tb.to_pylist()
+            extra = []
+            for i in range(0, len(rows_l), 41):
+                r = dict(rows_l[i])  # same event_id AND ts, new payload
+                r["value"] = float("nan") if i % 82 else 7.25
+                r["event_type"] = "collision"
+                extra.append(r)
+            tb = pa.Table.from_pylist(rows_l + extra, schema=tb.schema)
+        if t == "documents":
+            lg = tb["lang"].to_pylist()
+            for j, i in enumerate(range(0, len(lg), 17)):
+                lg[i] = uni[j % len(uni)]
+            for i in rng.choice(len(lg), size=len(lg) // 20, replace=False):
+                lg[i] = None
+            tb = tb.set_column(
+                tb.schema.get_field_index("lang"), "lang",
+                pa.array(lg, type=pa.string()),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_combined2_fixture_matches_oracle(spark, combined2_sf):
+    bad = _compare(spark, combined2_sf, COMBINED2_OPS)
+    assert not bad, "combined-v2 divergence:\n" + "\n".join(bad)

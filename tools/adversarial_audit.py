@@ -124,11 +124,82 @@ def build_unicode_keys(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_combined2(out: str, rows: int) -> None:
+    """Round-7 interaction axis: non-finite measures + unicode keys +
+    duplicate fact keys + NULL injection, all in ONE rebuild — the r6
+    combined axis proved interactions hide where per-axis fixtures
+    pass (13 defects in ops every single axis passed)."""
+    rng = np.random.RandomState(20260815)
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            v = tb["value"].to_pylist()
+            v[0] = float("nan")
+            v[1] = float("inf")
+            v[2] = float("-inf")
+            for i in rng.choice(len(v), size=len(v) // 20, replace=False):
+                v[i] = None
+            tb = _set(tb, "value", v)
+            et = tb["event_type"].to_pylist()
+            for j, i in enumerate(range(0, len(et), 29)):
+                et[i] = _UNI_KEYS[j % len(_UNI_KEYS)]
+            tb = _set(tb, "event_type", et)
+            rows_l = tb.to_pylist()
+            extra = []
+            for i in range(0, len(rows_l), 41):  # dup fact keys, new payload
+                r = dict(rows_l[i])
+                r["value"] = float("nan") if i % 82 else 7.25
+                r["event_type"] = "collision"
+                extra.append(r)
+            tb = pa.Table.from_pylist(rows_l + extra, schema=tb.schema)
+        if t == "documents":
+            lg = tb["lang"].to_pylist()
+            for j, i in enumerate(range(0, len(lg), 17)):
+                lg[i] = _UNI_KEYS[j % len(_UNI_KEYS)]
+            for i in rng.choice(len(lg), size=len(lg) // 20, replace=False):
+                lg[i] = None
+            tb = _set(tb, "lang", lg)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
+def build_negative(out: str, rows: int) -> None:
+    """Negative and zero money/quantity values (refund rows, returns,
+    free items): hunts log()/sqrt()/Gini positivity assumptions and
+    sign-sensitive bucketing."""
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            v = tb["value"].to_pylist()
+            for i in range(0, len(v), 13):
+                if v[i] is not None:
+                    v[i] = -abs(v[i])
+            v[3] = 0.0
+            tb = _set(tb, "value", v)
+        if t == "lineitem":
+            q = tb["l_quantity"].to_pylist()
+            p = tb["l_extendedprice"].to_pylist()
+            for i in range(0, len(q), 17):
+                q[i] = -abs(q[i])
+                p[i] = -abs(p[i])
+            p[5] = 0.0
+            tb = _set(tb, "l_quantity", q)
+            tb = _set(tb, "l_extendedprice", p)
+        if t == "orders":
+            tp = tb["o_totalprice"].to_pylist()
+            for i in range(0, len(tp), 19):
+                tp[i] = -abs(tp[i])
+            tp[7] = 0.0
+            tb = _set(tb, "o_totalprice", tp)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
     "nan_inf": build_nan_inf,
     "zero_embed": build_zero_embed,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
+    "combined2": build_combined2,
+    "negative": build_negative,
 }
 
 
