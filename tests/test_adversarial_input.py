@@ -1066,3 +1066,58 @@ def combined2_sf(tmp_path_factory) -> str:
 def test_combined2_fixture_matches_oracle(spark, combined2_sf):
     bad = _compare(spark, combined2_sf, COMBINED2_OPS)
     assert not bad, "combined-v2 divergence:\n" + "\n".join(bad)
+
+
+#: round-7 NEGATIVE-VALUE axis: refund rows (negative value), negative
+#: quantities/prices, zero prices. 301/301 on first contact — the
+#: log/sqrt positivity guards (geometric mean, Gini, entropy), the
+#: signed-cents arithmetic, and sign-sensitive bucketing all hold.
+#: Pinned on the ops whose positivity assumptions are structural.
+NEGATIVE_OPS = [
+    "agg_geometric_mean", "agg_gini", "agg_entropy", "agg_histogram",
+    "q1_pricing_summary", "agg_weighted_avg", "win_running",
+]
+
+
+@pytest.fixture(scope="module")
+def negative_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_negative")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+
+        def setcol(tbl, col, vals):
+            ty = tbl.schema.field(col).type
+            return tbl.set_column(
+                tbl.schema.get_field_index(col), col,
+                pa.array(vals, type=ty),
+            )
+
+        if t == "events":
+            v = tb["value"].to_pylist()
+            for i in range(0, len(v), 13):
+                if v[i] is not None:
+                    v[i] = -abs(v[i])
+            v[3] = 0.0
+            tb = setcol(tb, "value", v)
+        if t == "lineitem":
+            q = tb["l_quantity"].to_pylist()
+            p = tb["l_extendedprice"].to_pylist()
+            for i in range(0, len(q), 17):
+                q[i] = -abs(q[i])
+                p[i] = -abs(p[i])
+            p[5] = 0.0
+            tb = setcol(tb, "l_quantity", q)
+            tb = setcol(tb, "l_extendedprice", p)
+        if t == "orders":
+            tp = tb["o_totalprice"].to_pylist()
+            for i in range(0, len(tp), 19):
+                tp[i] = -abs(tp[i])
+            tp[7] = 0.0
+            tb = setcol(tb, "o_totalprice", tp)
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_negative_fixture_matches_oracle(spark, negative_sf):
+    bad = _compare(spark, negative_sf, NEGATIVE_OPS)
+    assert not bad, "negative-value divergence:\n" + "\n".join(bad)
