@@ -241,12 +241,21 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction (string + typed parse) on events.props."""
+    """JSON path extraction (string + typed parse) on events.props.
+
+    k_str is gated on RFC-strict validity: get_json_object's Jackson
+    parser LENIENTLY accepts raw control characters inside strings
+    (extracting "raw\\ttab" from invalid JSON) where every strict
+    parser — DuckDB's json_valid, Spark's own try_parse_json — rejects
+    them. try_parse_json(props) IS NOT NULL matches json_valid on all
+    observed classes incl. inter-token control whitespace, which IS
+    valid (round-7 control-chars axis)."""
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json(F.col("props"), "k INT")
+    valid = F.try_parse_json(F.col("props")).isNotNull()
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
+        F.when(valid, F.get_json_object("props", "$.k")).alias("k_str"),
         parsed.getField("k").alias("k_int"),
         (parsed.getField("k") * 2).alias("k_doubled"),
     )

@@ -54,10 +54,28 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV with header + explicit schema (never inferSchema — that's a
-    second full scan at 100 TB). Input derived from the nation fixture."""
+    second full scan at 100 TB). Input derived from the nation fixture.
+
+    Round-trip-exact under CSV metacharacters (round-7 control-chars
+    axis): the writer TRIMS leading/trailing whitespace by default
+    (ignoreLeading/TrailingWhiteSpace are true on WRITE, false on
+    read — ' lead/trail ' came back 'lead/trail'), and a quoted
+    embedded newline needs ``multiLine`` on read or the record is
+    split mid-field into NULL-padded fragments. multiLine makes the
+    read non-splittable (one task per file) — the 100 TB posture is:
+    keep it OFF for machine-generated newline-free CSV where split
+    parallelism matters, and require it when fields may carry
+    newlines; this op carries dimension-table data, where correctness
+    wins."""
     path = _scratch(sf_dir, "nation_csv")
     nation = load_table(spark, sf_dir, "nation")
-    nation.write.mode("overwrite").option("header", True).csv(path)
+    (
+        nation.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
     schema = T.StructType(
         [
             T.StructField("n_nationkey", T.IntegerType()),
@@ -65,9 +83,9 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_regionkey", T.IntegerType()),
         ]
     )
-    return spark.read.csv(path, header=True, schema=schema).select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
+    return spark.read.csv(
+        path, header=True, schema=schema, multiLine=True
+    ).select("n_nationkey", "n_name", "n_regionkey")
 
 
 @query(

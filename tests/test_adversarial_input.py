@@ -1121,3 +1121,63 @@ def negative_sf(tmp_path_factory) -> str:
 def test_negative_fixture_matches_oracle(spark, negative_sf):
     bad = _compare(spark, negative_sf, NEGATIVE_OPS)
     assert not bad, "negative-value divergence:\n" + "\n".join(bad)
+
+
+#: round-7 CONTROL-CHARS axis: CSV/JSON metacharacters and control
+#: characters in string fields — commas/quotes/newlines/CRLF/tabs/
+#: backslashes in nation.n_name (the scan_csv round-trip column),
+#: metacharacters in documents.text (no raw newlines — the line
+#: format's documented no-newline contract), raw control characters
+#: inside events.props JSON strings (RFC-invalid). Finds: Spark's CSV
+#: WRITER trims leading/trailing whitespace by default and a quoted
+#: embedded newline needs multiLine on read or the record splits into
+#: NULL-padded fragments (25 rows came back as 27); and
+#: get_json_object's Jackson parser LENIENTLY extracts from JSON with
+#: raw control chars inside strings where every strict parser
+#: (DuckDB json_valid, Spark's own try_parse_json) rejects it —
+#: k_str is now gated on try_parse_json validity, which matches
+#: json_valid on every observed class including VALID inter-token
+#: control whitespace.
+CONTROL_OPS = [
+    "scan_csv", "fn_json", "fn_json_agg", "scan_jsonl_nested",
+    "scan_text", "scan_jsonl", "sink_jsonl", "fn_variant", "sink_csv",
+]
+
+
+@pytest.fixture(scope="module")
+def control_sf(tmp_path_factory) -> str:
+    tricky = ['comma, name', 'quo"ted', 'line\nbreak', 'crlf\r\nname',
+              'tab\tname', 'back\\slash', ' lead/trail ', 'semi;colon']
+    base = tmp_path_factory.mktemp("sf_control")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+
+        def setcol(tbl, col, vals):
+            ty = tbl.schema.field(col).type
+            return tbl.set_column(
+                tbl.schema.get_field_index(col), col,
+                pa.array(vals, type=ty),
+            )
+
+        if t == "nation":
+            nm = tb["n_name"].to_pylist()
+            for j in range(min(len(nm), len(tricky))):
+                nm[j] = tricky[j]
+            tb = setcol(tb, "n_name", nm)
+        if t == "documents":
+            tx = tb["text"].to_pylist()
+            tx[4] = 'a "quoted" doc, with tab\there and back\\slash'
+            tx[9] = "commas, everywhere, in, this, doc"
+            tb = setcol(tb, "text", tx)
+        if t == "events":
+            p = tb["props"].to_pylist()
+            p[0] = '{"k": "raw\ttab"}'
+            p[1] = '{"k": "ok\\ttab"}'
+            tb = setcol(tb, "props", p)
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_control_chars_fixture_matches_oracle(spark, control_sf):
+    bad = _compare(spark, control_sf, CONTROL_OPS)
+    assert not bad, "control-chars divergence:\n" + "\n".join(bad)

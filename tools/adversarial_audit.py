@@ -193,6 +193,38 @@ def build_negative(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_control_chars(out: str, rows: int) -> None:
+    """Embedded CSV/JSON metacharacters and control characters in
+    string fields: commas, double quotes, newlines, CRLF, tabs, and
+    backslashes in nation.n_name (the scan_csv round-trip column);
+    tabs/quotes/commas/backslashes (NOT newlines — the line format's
+    documented no-newline contract) in documents.text; raw control
+    chars inside events.props JSON string values (invalid JSON, the
+    permissive-scan path)."""
+    tricky_names = [
+        'comma, name', 'quo"ted', 'line\nbreak', 'crlf\r\nname',
+        'tab\tname', 'back\\slash', ' lead/trail ', 'semi;colon',
+    ]
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "nation":
+            nm = tb["n_name"].to_pylist()
+            for j in range(min(len(nm), len(tricky_names))):
+                nm[j] = tricky_names[j]
+            tb = _set(tb, "n_name", nm)
+        if t == "documents":
+            tx = tb["text"].to_pylist()
+            tx[4] = 'a "quoted" doc, with tab\there and back\\slash'
+            tx[9] = "commas, everywhere, in, this, doc"
+            tb = _set(tb, "text", tx)
+        if t == "events":
+            p = tb["props"].to_pylist()
+            p[0] = '{"k": "raw\ttab"}'      # invalid JSON (raw control)
+            p[1] = '{"k": "ok\\ttab"}'       # valid escaped tab
+            tb = _set(tb, "props", p)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
     "nan_inf": build_nan_inf,
     "zero_embed": build_zero_embed,
@@ -200,6 +232,7 @@ AXES = {
     "unicode_keys": build_unicode_keys,
     "combined2": build_combined2,
     "negative": build_negative,
+    "control_chars": build_control_chars,
 }
 
 
