@@ -17,6 +17,7 @@ bump max_examples locally for a deeper fuzz.
 from __future__ import annotations
 
 import hypothesis.strategies as st
+import pytest
 from hypothesis import HealthCheck, given, settings
 
 from pyspark.sql import functions as F
@@ -64,10 +65,14 @@ _AGGS = [
     ("n", lambda: F.count(F.lit(1)).alias("n"), "count(*)::BIGINT AS n"),
     (
         "cents",
+        # try_cast/TRY_CAST: the cents contract (checked.cents) — a
+        # non-finite value is NULL, never an ANSI CAST_OVERFLOW abort,
+        # so the hostile-fixture twin below can draw the same specs
         lambda: F.coalesce(
-            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+            F.sum(F.round(F.col("value") * 100).try_cast("long")), F.lit(0)
         ).alias("cents"),
-        "coalesce(sum(round(value * 100)::BIGINT), 0)::BIGINT AS cents",
+        "coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0)"
+        "::BIGINT AS cents",
     ),
     ("vmin", lambda: F.min("value").alias("vmin"), "min(value) AS vmin"),
     ("vmax", lambda: F.max("value").alias("vmax"), "max(value) AS vmax"),
@@ -618,3 +623,97 @@ def test_random_join_queries_match_duckdb(spark, duck, sf_dir, spec):
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     _diff_spec(spark, duck, spec, _JOIN_SPACE, base)
+
+
+# ---- hostile-fixture twin: the same generated spec space over a ----
+# rebuild carrying every round-7 hostile-input class at once (NaN /
+# ±Inf / NULL values, unicode + empty group keys, duplicate fact keys
+# with divergent payloads). Each drawn spec composes filters × keys ×
+# aggregates over the damage — generative coverage of the interactions
+# the hand-written axes sample pointwise. Works because the spec space
+# is already hostile-closed: cents goes through try_cast (the checked
+# contract), min/max/comparisons agree on NaN (both engines sort it
+# greatest), and COUNT/DISTINCT are content-agnostic.
+
+
+@pytest.fixture(scope="module")
+def hostile_events_sf(tmp_path_factory):
+    import os as _os
+
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from conftest import SF_DIR as _SESSION
+
+    def _smallest(sf_dir):
+        root = _os.path.dirname(_os.path.normpath(sf_dir))
+        try:
+            sibs = sorted(
+                (float(e[2:]), _os.path.join(root, e))
+                for e in _os.listdir(root)
+                if e.startswith("sf")
+                and _os.path.isdir(_os.path.join(root, e))
+                and e[2:].replace(".", "", 1).isdigit()
+            )
+        except OSError:
+            return sf_dir
+        return sibs[0][1] if sibs else sf_dir
+
+    src = _os.environ.get("TEST_ADVERSARIAL_SRC", _smallest(_SESSION))
+    rng = _np.random.RandomState(7)
+    base = tmp_path_factory.mktemp("sf_hostile_prop")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        tb = _pq.read_table(_os.path.join(src, f"{t}.parquet"))
+        if t == "events":
+            v = tb["value"].to_pylist()
+            v[0] = float("nan")
+            v[1] = float("inf")
+            v[2] = float("-inf")
+            for i in rng.choice(len(v), size=len(v) // 20, replace=False):
+                v[i] = None
+            tb = tb.set_column(
+                tb.schema.get_field_index("value"), "value",
+                _pa.array(v, type=_pa.float64()),
+            )
+            et = tb["event_type"].to_pylist()
+            uni = ["购买事件", "🛒🔥", "ßße", "", " padded "]
+            for j, i in enumerate(range(0, len(et), 31)):
+                et[i] = uni[j % len(uni)]
+            tb = tb.set_column(
+                tb.schema.get_field_index("event_type"), "event_type",
+                _pa.array(et, type=_pa.string()),
+            )
+            rows = tb.to_pylist()
+            extra = []
+            for i in range(0, len(rows), 47):
+                r = dict(rows[i])
+                r["value"] = 7.25
+                r["event_type"] = "collision"
+                extra.append(r)
+            tb = _pa.Table.from_pylist(rows + extra, schema=tb.schema)
+        _pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def hostile_duck(hostile_events_sf):
+    from pymapreduce_spark.testing import make_duckdb
+
+    con = make_duckdb(hostile_events_sf)
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=query_spec())
+def test_random_agg_queries_match_duckdb_hostile(
+    spark, hostile_duck, hostile_events_sf, spec
+):
+    _run_spec(spark, hostile_duck, hostile_events_sf, spec)
