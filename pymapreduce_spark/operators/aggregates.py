@@ -391,15 +391,18 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS last_type
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
     """,
 )
 def agg_first_last_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last with an *explicit* ordering (frame over the full
-    partition) — the only deterministic form (SURVEY §5.4.4)."""
+    partition) — the only deterministic form (SURVEY §5.4.4). NULL
+    event times are excluded (null-ts doctrine: they would be "first"
+    in Spark's ordering and "last" in DuckDB's)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
@@ -536,8 +539,11 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hll_mergeable_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic frame for agg_hll_mergeable: approx next to exact with
-    abs_err/within_tol, for tests/test_llm.py's ±5% accuracy check."""
-    ev = load_table(spark, sf_dir, "events")
+    abs_err/within_tol, for tests/test_llm.py's ±5% accuracy check.
+    NULL event times are excluded (null-ts doctrine: no day, no
+    sketch partition — and the exact side must count the same rows
+    the sketches saw)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
@@ -582,6 +588,11 @@ def hll_mergeable_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT date_trunc('day', ts)) AS n_daily_sketches,
            true AS within_tol
     FROM events
+    -- null-ts doctrine: the daily-sketch layout IS the time axis; a
+    -- row with no day cannot be sketched into it (and count DISTINCT
+    -- day skips NULL while Spark's groupBy keeps the NULL-day group —
+    -- the n_daily_sketches split the round-7 null-ts axis caught)
+    WHERE ts IS NOT NULL
     GROUP BY event_type
     """,
 )

@@ -779,7 +779,7 @@ def etl_scd1_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT (ts::TIMESTAMP)::DATE AS day, count(*)::BIGINT AS n
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT day, n,
            lag(n) OVER (ORDER BY day)::BIGINT AS prev_n,
@@ -795,8 +795,11 @@ def etl_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band test is exact-integer (n·10 vs prev·8 / prev·12), no
     float thresholds; the window runs over the per-day summary, one
     row per day at any volume. First day alerts NULL (no baseline),
-    honest rather than defaulted."""
-    ev = load_table(spark, sf_dir, "events")
+    honest rather than defaulted. NULL event times are excluded (the
+    null-ts doctrine: a row with no day would sort FIRST in Spark's
+    lag window and LAST in DuckDB's, shifting every baseline pair —
+    route un-timestamped rows with etl_dq_rules instead)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n")
     )

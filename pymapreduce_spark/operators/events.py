@@ -30,6 +30,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
         SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
                epoch_us(ts::TIMESTAMP) AS mu
         FROM events
+        WHERE ts IS NOT NULL
     ), flagged AS (
         SELECT user_id, event_id, tsu, mu,
                CASE WHEN mu - lag(mu) OVER w > 1800000000
@@ -55,8 +56,10 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 def llm_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessionization: lag → new-session flag → running sum
     as session id → per-session stats. Batch twin of `stream_session`.
-    DuckDB-verified shape: 95 465 sessions at sf0.1 (SURVEY §2-L)."""
-    ev = load_table(spark, sf_dir, "events")
+    DuckDB-verified shape: 95 465 sessions at sf0.1 (SURVEY §2-L).
+    NULL event times are excluded (README null-ts doctrine: a row
+    without a time cannot join a time-gap session)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mu = F.unix_micros(F.col("ts"))
@@ -138,10 +141,10 @@ def llm_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ), v AS (
         SELECT user_id, ts::TIMESTAMP AS tsu, max(event_id) AS view_event_id
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
         GROUP BY user_id, ts::TIMESTAMP
     )
     SELECT p.event_id, p.user_id, p.tsu AS ts,
@@ -165,8 +168,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Views are pre-deduplicated to one per (user, µs) with max(event_id)
     as survivor so tie-breaking is explicit on both engines.
+    NULL event times are excluded on both sides (null-ts doctrine: an
+    un-timestamped purchase has no "latest view before it").
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -219,10 +224,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ), v AS (
         SELECT user_id, ts::TIMESTAMP AS tsu, max(event_id) AS view_event_id
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
         GROUP BY user_id, ts::TIMESTAMP
     )
     SELECT p.event_id, p.user_id, p.tsu AS ts,
@@ -237,8 +242,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     view at or after it. Same union+window formulation as join_asof but
     traversed in descending time order (so "last seen view" = nearest
     future view); ties at equal timestamps match, mirroring DuckDB's
-    `<=` ASOF semantics."""
-    ev = load_table(spark, sf_dir, "events")
+    `<=` ASOF semantics. NULL event times are excluded on both sides
+    (null-ts doctrine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -357,6 +363,7 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                / 100.0 AS last_purchase_value
     FROM events
+    WHERE ts IS NOT NULL
     """,
 )
 def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,8 +373,10 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`last(..., ignorenulls=True)` over an unbounded-preceding frame)
     instead of a self as-of join: one shuffle on user_id, no join at
     all. Tie-break on event_id makes the fill order total; the filled
-    value rides integer cents so both engines agree bit-for-bit."""
-    ev = load_table(spark, sf_dir, "events")
+    value rides integer cents so both engines agree bit-for-bit.
+    NULL event times are excluded (null-ts doctrine: the fill order is
+    the time axis)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -390,8 +399,11 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_resample_ohlc",
     oracle="""
     WITH e AS (
+        -- NULL ts excluded: Spark's window() bucketing silently drops
+        -- un-timestamped rows; the contract makes that explicit
         SELECT event_type, ts::TIMESTAMP AS tsu, event_id, value
         FROM events
+        WHERE ts IS NOT NULL
     ), b AS (
         SELECT event_type,
                time_bucket(INTERVAL '15 minutes', tsu) AS bucket,
@@ -778,6 +790,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
                TRY_CAST(round(value * 100) AS BIGINT) AS v
         FROM events
+        WHERE ts IS NOT NULL
     ), paired AS (
         SELECT event_id, event_type, tsu, v,
                lag(v) OVER (PARTITION BY event_type
@@ -823,8 +836,10 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently losing precision — the designed failure for
     out-of-contract magnitudes (FIXTURES.md bounds value at ~560).
     Scale: one shuffle on the series key, bounded 20-row frame state,
-    no global sort — the standard 100 TB window layout."""
-    ev = load_table(spark, sf_dir, "events")
+    no global sort — the standard 100 TB window layout. NULL event
+    times are excluded (null-ts doctrine: lag-1 pairing is the time
+    axis)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     v = ev.select(
         "event_id",
         "event_type",
@@ -882,6 +897,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts::TIMESTAMP AS tsu, event_id,
                substr(event_type, 1, 1) AS initial
         FROM events
+        WHERE ts IS NOT NULL
     ), j AS (
         SELECT user_id,
                -- initial as the THIRD key: the Spark side array_sorts
@@ -915,8 +931,9 @@ def llm_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize contract). The direct-conversion count is pure string
     arithmetic (length delta over replace), NOT a regex count — Java
     and RE2 agree on `v.*c.*p` but non-greedy/overlap counting rules
-    are where engines drift."""
-    ev = load_table(spark, sf_dir, "events")
+    are where engines drift. NULL event times are excluded (null-ts
+    doctrine: an un-timestamped event has no place in the sequence)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     journey = F.concat_ws(
         "",
         F.transform(
@@ -1042,11 +1059,11 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS mu
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ), v AS (
         SELECT user_id, epoch_us(ts::TIMESTAMP) AS mu,
                max(event_id) AS view_event_id
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
         GROUP BY user_id, epoch_us(ts::TIMESTAMP)
     ), tagged AS (
         SELECT user_id, mu, 0 AS side, view_event_id,
@@ -1096,8 +1113,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_asof: one shuffle on user_id, two symmetric carry windows
     (last-non-null backward, first-non-null forward), O(1) state per
     row. The oracle spells the identical windows in SQL. All time math
-    is exact integer microseconds."""
-    ev = load_table(spark, sf_dir, "events")
+    is exact integer microseconds. NULL event times are excluded on
+    both sides (null-ts doctrine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     p = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_micros("ts").alias("mu")
     )
@@ -1216,6 +1234,7 @@ def ts_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, event_type, value,
                ts::TIMESTAMP AS tsu, epoch_us(ts::TIMESTAMP) AS mu
         FROM events
+        WHERE ts IS NOT NULL
     ), flagged AS (
         SELECT *, CASE WHEN mu - lag(mu) OVER w > 1800000000
                             OR lag(mu) OVER w IS NULL
@@ -1252,8 +1271,8 @@ def ts_sessionized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel. Composes llm_sessionize's exact windows with a conditional
     cents rollup: still ONE shuffle on user_id end-to-end (the windows
     and both aggregations share the user partitioning), all exact
-    integers."""
-    ev = load_table(spark, sf_dir, "events")
+    integers. NULL event times are excluded (null-ts doctrine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mu = F.unix_micros(F.col("ts"))
@@ -1286,7 +1305,7 @@ def ts_sessionized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_trunc('week', ts::TIMESTAMP)::TIMESTAMP AS week,
                count(*)::BIGINT AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type, week, n,
            lag(n) OVER (PARTITION BY event_type ORDER BY week)
@@ -1305,8 +1324,10 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the weekly table (rows = weeks × types, trivially small at
     any data scale — the window input is pre-aggregated, never raw
     events). Exact integer counts; the growth ratio divides identical
-    integers in both engines."""
-    ev = load_table(spark, sf_dir, "events")
+    integers in both engines. NULL event times are excluded (null-ts
+    doctrine: a NULL week would sort FIRST in Spark's lag window and
+    LAST in DuckDB's, silently shifting every growth pair)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         ev.groupBy(
             "event_type",
@@ -1421,7 +1442,7 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour,
                count(*)::BIGINT AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), nb AS (
         SELECT event_type, hour, n,
                lag(n) OVER w AS prev_n,
@@ -1442,8 +1463,9 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     this finds shape). Interior-only by construction (endpoints have
     one neighbor), strict integer comparisons so engines cannot
     disagree on plateaus. The window runs over the pre-aggregated
-    hourly table — rows = hours × types, constant in data volume."""
-    ev = load_table(spark, sf_dir, "events")
+    hourly table — rows = hours × types, constant in data volume.
+    NULL event times are excluded (null-ts doctrine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count("*").alias("n"))
@@ -1470,6 +1492,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
                TRY_CAST(round(value * 100) AS BIGINT) AS vc
         FROM events
+        WHERE ts IS NOT NULL
     ), d AS (
         SELECT event_id, event_type, tsu,
                vc - lag(vc) OVER (PARTITION BY event_type
@@ -1500,8 +1523,8 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers, and flat frames yield NULL via nullif. Only
     full frames emit (n = 14), so no partial-window edge semantics to
     disagree on. One shuffle on the series key, constant frame
-    state."""
-    ev = load_table(spark, sf_dir, "events")
+    state. NULL event times are excluded (null-ts doctrine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
     vc = F.round(F.col("value") * 100).try_cast("long")
     d = ev.select(
@@ -1595,6 +1618,7 @@ def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
                epoch_us(ts::TIMESTAMP) AS mu
         FROM events
+        WHERE ts IS NOT NULL
     ), flagged AS (
         SELECT user_id, tsu, event_id,
                CASE WHEN mu - lag(mu) OVER w > 1800000000
@@ -1625,8 +1649,9 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing exactly ONE event — the engagement-quality headline
     next to the session count. Reuses the sessionize windows (one
     user-keyed shuffle), rolls sessions up once, then a single global
-    aggregate; the rate divides exact integers."""
-    ev = load_table(spark, sf_dir, "events")
+    aggregate; the rate divides exact integers. NULL event times are
+    excluded (null-ts doctrine; the oracle already said so)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mu = F.unix_micros(F.col("ts"))
@@ -1750,7 +1775,7 @@ def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS mu
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     )
     SELECT user_id, event_id,
            (lead(mu) OVER w - mu) AS us_to_next_purchase,
@@ -1766,8 +1791,9 @@ def ts_repurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's latest purchase carries NULL and an is_latest flag (it is
     censored, not zero — survival analysis needs that distinction).
     One lead() over the user-keyed purchase stream; integer
-    microsecond arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
+    microsecond arithmetic. NULL event times are excluded (null-ts
+    doctrine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.unix_micros("ts").alias("mu")
     )
@@ -1836,7 +1862,7 @@ def win_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour,
                count(*)::BIGINT AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), base AS (
         SELECT event_type, hour, n,
                sum(n) OVER w AS trail_sum,
@@ -1858,8 +1884,9 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact-integer cross-multiplication (n·24 > 2·Σ), the baseline
     an integer floor division, and only hours with a FULL 24-hour
     trailing window emit — no partial-baseline semantics to diverge
-    on. Window over the hourly rollup, constant rows per series."""
-    ev = load_table(spark, sf_dir, "events")
+    on. Window over the hourly rollup, constant rows per series.
+    NULL event times are excluded (null-ts doctrine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count("*").alias("n"))
@@ -1895,6 +1922,7 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, ts::TIMESTAMP AS tsu, event_id,
                TRY_CAST(round(value * 100) AS BIGINT) - 2000 AS delta_c
         FROM events
+        WHERE ts IS NOT NULL
     ), curve AS (
         SELECT event_type, tsu, event_id,
                sum(delta_c) OVER w AS equity
@@ -1923,8 +1951,9 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same values shuffled give a different drawdown). Running sum
     then running max then max(gap): three windows sharing ONE
     partition+order spec (one shuffle, one sort), all exact
-    integers."""
-    ev = load_table(spark, sf_dir, "events")
+    integers. NULL event times are excluded (null-ts doctrine: the
+    curve IS the time order)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     delta = F.round(F.col("value") * 100).try_cast("long") - 2000

@@ -147,6 +147,7 @@ def mr_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
                ) AS rn
         FROM events
+        WHERE ts IS NOT NULL
     ) WHERE rn <= 3
     """,
 )
@@ -154,8 +155,12 @@ def mr_sort_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary sort: values ordered within each key group. Declared as a
     window (partition by key, order by value) so Catalyst plans one
     shuffle keyed on user_id + an in-partition sort — exactly MR's
-    shuffle-with-secondary-sort, minus the hand-written comparator."""
-    ev = load_table(spark, sf_dir, "events")
+    shuffle-with-secondary-sort, minus the hand-written comparator.
+    NULL event times are excluded (null-ts doctrine: the secondary
+    SORT KEY is the time — Spark ranks NULLS FIRST, DuckDB NULLS
+    LAST, so an un-timestamped row would steal rank 1 on one engine
+    only)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.withColumn("rn", F.row_number().over(w))

@@ -57,13 +57,19 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER w
                AS micros_since_prev
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset access (lag/lead) + inter-event gap as exact integer µs
-    (float seconds would be rounding-tie-sensitive across engines)."""
-    ev = load_table(spark, sf_dir, "events")
+    (float seconds would be rounding-tie-sensitive across engines).
+
+    NULL event times are excluded (README doctrine: a row without a
+    time cannot be placed on the time axis — Spark default-orders
+    NULLS FIRST, DuckDB NULLS LAST, so keeping them silently splits
+    every lag/lead neighbor near one; round-7 null-ts axis)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     micros = F.unix_micros(F.col("ts"))
     return ev.select(
@@ -211,7 +217,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
                AS n_types_seen
     FROM events
-    WHERE user_id < 200
+    WHERE user_id < 200 AND ts IS NOT NULL
     """,
 )
 def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +234,10 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return ev.where(F.col("user_id") < 200).select(
+    return ev.where(
+        # NULL ts excluded: time-ordered running state (null-ts axis)
+        (F.col("user_id") < 200) & F.col("ts").isNotNull()
+    ).select(
         "event_id",
         "user_id",
         F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
@@ -298,6 +307,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, event_type, ts::TIMESTAMP AS tsu,
                TRY_CAST(round(value * 100) AS BIGINT) AS vc
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT event_id, event_type,
            median(vc) OVER (
@@ -320,8 +330,8 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact, so the differential is rounding-free. At 100 TB the
     frame bound (not the partition size) caps per-row state — this is
     the one windows-family op whose state is O(frame), and the frame
-    is a constant."""
-    ev = load_table(spark, sf_dir, "events")
+    is a constant. NULL event times are excluded (null-ts axis)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

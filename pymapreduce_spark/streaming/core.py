@@ -41,8 +41,13 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     # v2: replay files written after the fixture moved ts to timestamp[us]
     # (io._fix_events normalizes NTZ→LTZ before the replay copy is laid
     # out). A v1 marker means the on-disk copy may carry NTZ timestamps,
-    # which withWatermark rejects — regenerate.
-    marker = os.path.join(path, "_REPLAY_READY_v2")
+    # which withWatermark rejects — regenerate. v3: NULL event times are
+    # excluded from the replay (round-7 null-ts axis): the layout IS the
+    # event-time axis (one file per day, mod-time ordered), and a row
+    # with no event time has no day — it previously leaked into
+    # day=__HIVE_DEFAULT_PARTITION__ and replayed as a phantom LAST
+    # batch. Every stream op's oracle states the exclusion.
+    marker = os.path.join(path, "_REPLAY_READY_v3")
     # The marker carries the SOURCE file's identity (io.fixture_stamp —
     # size/mtime/inode/content-CRC): sf_tag is just a basename, so two
     # different fixture dirs named `sf` would otherwise share one
@@ -63,8 +68,10 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         pass
     if not fresh:
-        ev = load_table(spark, sf_dir, "events").withColumn(
-            "day", F.date_format("ts", "yyyy-MM-dd")
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("ts").isNotNull())
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         )
         # repartition(1): a single task writes every day dir → exactly one
         # file per day, deterministic layout. 100 k rows — trivially fine.
@@ -146,6 +153,9 @@ def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
            min(ts::TIMESTAMP) AS min_ts,
            max(ts::TIMESTAMP) AS max_ts
     FROM events
+    -- the replay delivers every row that HAS an event time (null-ts
+    -- doctrine: the replay layout is the event-time axis)
+    WHERE ts IS NOT NULL
     """,
 )
 def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +182,9 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events
     FROM events
+    -- Spark's window() bucketing silently excludes NULL event times;
+    -- the contract says so explicitly (round-7 null-ts axis)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
@@ -206,6 +219,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - j * 900000000) AS window_start,
                event_type
         FROM events, (SELECT unnest(range(0, 4)) AS j)
+        WHERE ts IS NOT NULL
     )
     SELECT window_start,
            (window_start + INTERVAL 1 HOUR) AS window_end,
@@ -238,6 +252,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
                epoch_us(ts::TIMESTAMP) AS mu
         FROM events
+        WHERE ts IS NOT NULL
     ), flagged AS (
         SELECT user_id, tsu, mu,
                CASE WHEN mu - lag(mu) OVER w > 1800000000
@@ -374,8 +389,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup-fact-key axis) each survive instead of one being dropped
     arrival-order-arbitrarily. Keeping ts in the key also keeps the
     within-watermark guarantee exact: equal keys share an event time,
-    so they always fall in the same watermark window."""
-    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
+    so they always fall in the same watermark window. NULL event times
+    are excluded on both sides (null-ts doctrine: a row without an
+    event time has no position against the watermark — the oracle's
+    epoch-floor predicate already rejects NULL via three-valued
+    logic)."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10).where(
+        F.col("ts").isNotNull()
+    )
     doubled = s.withColumn("copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop(
         "copy"
     )
@@ -395,6 +416,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0, 'control'), (1, 'variant_a'), (2, 'variant_b'))
     SELECT cohort_name, event_type, count(*) AS n_events
     FROM events JOIN cohorts ON (user_id % 3) = cohort_id
+    WHERE ts IS NOT NULL
     GROUP BY cohort_name, event_type
     """,
 )
@@ -470,7 +492,7 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value
     FROM events
-    WHERE event_type = 'purchase' AND value > 200
+    WHERE event_type = 'purchase' AND value > 200 AND ts IS NOT NULL
     """,
 )
 def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,7 +537,8 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful",
     oracle="""
     WITH e AS (
-        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS mu FROM events
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS mu
+        FROM events WHERE ts IS NOT NULL
     ), g AS (
         SELECT user_id,
                mu - lag(mu) OVER (
@@ -589,6 +612,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0, 'control'), (1, 'variant_a'), (2, 'variant_b'))
     SELECT cohort_name, event_type, count(*) AS n_events
     FROM events JOIN cohorts ON (user_id % 3) = cohort_id
+    WHERE ts IS NOT NULL
     GROUP BY cohort_name, event_type
     """,
 )
@@ -603,7 +627,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value
     FROM events
-    WHERE event_type = 'purchase' AND value > 200
+    WHERE event_type = 'purchase' AND value > 200 AND ts IS NOT NULL
     """,
 )
 def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +642,7 @@ def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT date_trunc('day', ts::TIMESTAMP) AS day,
                count(*)::BIGINT AS input_rows
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT (row_number() OVER (ORDER BY day) - 1)::BIGINT AS batch_id,
            input_rows
@@ -683,6 +707,7 @@ def _hourly_counts(df: DataFrame) -> DataFrame:
            count(*) AS n_stream,
            true AS matches
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -741,7 +766,7 @@ def stream_unified_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(struct_pack(tsu := ts::TIMESTAMP, id := event_id,
                                et := event_type,
                                vc := TRY_CAST(round(value * 100) AS BIGINT))) AS c
-        FROM events GROUP BY user_id
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
     )
     SELECT user_id,
            c.id AS last_event_id,

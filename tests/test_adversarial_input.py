@@ -1181,3 +1181,55 @@ def control_sf(tmp_path_factory) -> str:
 def test_control_chars_fixture_matches_oracle(spark, control_sf):
     bad = _compare(spark, control_sf, CONTROL_OPS)
     assert not bad, "control-chars divergence:\n" + "\n".join(bad)
+
+
+#: round-7 NULL-EVENT-TIME axis: 2% NULL events.ts (an un-parseable
+#: upstream clock) — the round-5 NULL axis nullified measures and dims
+#: but never the time column, and time ordering/windowing/watermarking
+#: is a third of the registry. 29 ops diverged, zero crashed, all one
+#: doctrine: **a row with NULL event time is excluded from time-keyed
+#: computation in both engines** — Spark default-orders NULLS FIRST
+#: where DuckDB orders NULLS LAST (silently shifting every window
+#: neighbor/rank/lag pair), Spark's window()/session_window() bucketing
+#: silently drops NULL times while SQL GROUP BY keeps a NULL bucket,
+#: count(DISTINCT day) skips NULL while groupBy keeps the NULL-day
+#: group, and the event-time replay layout (one file per day) leaked
+#: NULL-ts rows into day=__HIVE_DEFAULT_PARTITION__ as a phantom last
+#: batch (replay marker bumped to v3; every stream oracle states the
+#: exclusion). Route un-timestamped rows with etl_dq_rules.
+NULL_TS_OPS = [
+    "win_rolling_median", "win_lag_lead", "win_distinct_running",
+    "ts_rolling_corr", "ts_rsi", "ts_forward_fill", "ts_resample_ohlc",
+    "ts_wow_growth", "ts_peak_detection", "ts_burst_detection",
+    "ts_max_drawdown", "ts_repurchase_gap", "ts_sessionized_revenue",
+    "llm_sessionize", "llm_event_pattern", "join_asof",
+    "join_asof_forward", "join_asof_nearest", "agg_bounce_rate",
+    "agg_first_last_any", "agg_hll_mergeable", "mr_sort_within",
+    "etl_rowcount_drift", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_dedup", "stream_progress_audit",
+    "stream_unified_api", "stream_cdc_apply",
+]
+
+
+@pytest.fixture(scope="module")
+def null_ts_sf(tmp_path_factory) -> str:
+    rng = np.random.RandomState(99)
+    base = tmp_path_factory.mktemp("sf_nullts")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            ts = tb["ts"].to_pylist()
+            for i in rng.choice(len(ts), size=max(1, len(ts) // 50),
+                                replace=False):
+                ts[i] = None
+            tb = tb.set_column(
+                tb.schema.get_field_index("ts"), "ts",
+                pa.array(ts, type=tb.schema.field("ts").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_null_ts_fixture_matches_oracle(spark, null_ts_sf):
+    bad = _compare(spark, null_ts_sf, NULL_TS_OPS)
+    assert not bad, "null-event-time divergence:\n" + "\n".join(bad)

@@ -225,6 +225,24 @@ def build_control_chars(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_null_ts(out: str, rows: int) -> None:
+    """NULL event timestamps (a 2% un-parseable upstream clock): the
+    round-5 NULL axis nullified measures and dims but never events.ts —
+    and time ordering/windowing/watermarking is a third of the
+    registry. Also one NULL l_shipdate cluster and NULL o_orderdate?
+    (orders has no date col in this fixture — events.ts is the axis)."""
+    rng = np.random.RandomState(99)
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            ts = tb["ts"].to_pylist()
+            for i in rng.choice(len(ts), size=max(1, len(ts) // 50),
+                                replace=False):
+                ts[i] = None
+            tb = _set(tb, "ts", ts)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
     "nan_inf": build_nan_inf,
     "zero_embed": build_zero_embed,
@@ -233,6 +251,7 @@ AXES = {
     "combined2": build_combined2,
     "negative": build_negative,
     "control_chars": build_control_chars,
+    "null_ts": build_null_ts,
 }
 
 
