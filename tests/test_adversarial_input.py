@@ -1233,3 +1233,45 @@ def null_ts_sf(tmp_path_factory) -> str:
 def test_null_ts_fixture_matches_oracle(spark, null_ts_sf):
     bad = _compare(spark, null_ts_sf, NULL_TS_OPS)
     assert not bad, "null-event-time divergence:\n" + "\n".join(bad)
+
+
+#: round-7 ONE-KEY axis (monster-partition extreme): EVERY event on
+#: one user, every document one lang+source, every lineitem one
+#: supplier — per-key windows hold the whole table, every group-by
+#: collapses to one group. 301/301 clean on first contact (the skew
+#: axis covered "half on one key"; this is the degenerate end).
+#: Pinned on the ops whose per-key state is the whole table here.
+ONE_KEY_OPS = [
+    "llm_sessionize", "win_lag_lead", "ts_forward_fill",
+    "mr_sort_within", "agg_mode_deterministic", "llm_bm25",
+    "join_asof",
+]
+
+
+@pytest.fixture(scope="module")
+def one_key_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_onekey")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+
+        def const(tbl, col, val):
+            ty = tbl.schema.field(col).type
+            return tbl.set_column(
+                tbl.schema.get_field_index(col), col,
+                pa.array([val] * len(tbl), type=ty),
+            )
+
+        if t == "events":
+            tb = const(tb, "user_id", 42)
+        if t == "documents":
+            tb = const(tb, "lang", "en")
+            tb = const(tb, "source", "src0")
+        if t == "lineitem":
+            tb = const(tb, "l_suppkey", 7)
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_one_key_fixture_matches_oracle(spark, one_key_sf):
+    bad = _compare(spark, one_key_sf, ONE_KEY_OPS)
+    assert not bad, "one-key divergence:\n" + "\n".join(bad)

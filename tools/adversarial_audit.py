@@ -243,6 +243,23 @@ def build_null_ts(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_one_key(out: str, rows: int) -> None:
+    """Monster-partition extreme: EVERY event belongs to one user, every
+    document to one lang+source, every lineitem to one supplier — the
+    degenerate end of the skew spectrum where per-key windows hold the
+    whole table and every group-by collapses to one group."""
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            tb = _set(tb, "user_id", [42] * len(tb))
+        if t == "documents":
+            tb = _set(tb, "lang", ["en"] * len(tb))
+            tb = _set(tb, "source", ["src0"] * len(tb))
+        if t == "lineitem":
+            tb = _set(tb, "l_suppkey", [7] * len(tb))
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
     "nan_inf": build_nan_inf,
     "zero_embed": build_zero_embed,
@@ -252,6 +269,7 @@ AXES = {
     "negative": build_negative,
     "control_chars": build_control_chars,
     "null_ts": build_null_ts,
+    "one_key": build_one_key,
 }
 
 
