@@ -173,17 +173,44 @@ def main() -> None:
         print(line)
 
 
+#: The driver's stdout tail capture is 2000 chars (measured: every
+#: BENCH_r*.json "tail" field is exactly 2000) — the final JSON line
+#: must fit WHOLLY inside it or the round's artifact parses to null
+#: (the round-5 failure). Budget with margin.
+_TAIL_BUDGET = 1900
+
+
 def stdout_lines(result: dict, spread: dict) -> list[str]:
     """The bench's stdout contract, unit-tested in tests/test_api.py.
 
-    The driver captures a fixed-size TAIL of stdout and parses the last
-    JSON line: round 5's single fat line (medians + spreads) outgrew
-    that window and truncated unparseably (BENCH_r05.json parsed:null).
-    So the per-query [min, median, max] spread goes to a sidecar file
-    plus a separate EARLIER stdout line, and the compact medians-only
-    line is printed LAST where the tail capture is guaranteed to hold
-    it whole."""
-    return [json.dumps({"spread": spread}), json.dumps(result)]
+    The driver captures a fixed-size TAIL of stdout (2000 chars) and
+    parses the last JSON line: round 5's single fat line (verbose
+    medians + spreads) outgrew that window and truncated unparseably
+    (BENCH_r05.json parsed:null). The verbose per-query
+    [min, median, max] spread therefore goes to a sidecar file plus a
+    separate EARLIER stdout line — but the ROUND ARTIFACT only keeps
+    the parsed last line, so run-to-run noise adjudication used to need
+    the (unversioned) sidecar. Round-7 verdict task 8: the last line
+    now also carries ``spr_cs`` — [min, max] per query in integer
+    CENTISECONDS, as a parallel array aligned with the ``queries`` key
+    order (the median is queries[k] itself, so min/median/max per key
+    is fully recoverable from the artifact alone; 10 ms quantization is
+    an order of magnitude below this VM's documented ±30-40% noise).
+    A guard drops spr_cs rather than ever letting the line outgrow the
+    capture window: the medians contract can never truncate again."""
+    compact = dict(result)
+    qkeys = list(result.get("queries", {}))
+    if qkeys and all(k in spread for k in qkeys):
+        compact["spr_cs"] = [
+            [int(round(spread[k][0] * 100)), int(round(spread[k][-1] * 100))]
+            for k in qkeys
+        ]
+    # compact separators: default dumps spends ~850 chars of the 2000
+    # budget on pure whitespace at 60-query width
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > _TAIL_BUDGET:
+        line = json.dumps(result, separators=(",", ":"))
+    return [json.dumps({"spread": spread}), line]
 
 
 if __name__ == "__main__":

@@ -711,7 +711,7 @@ def fn_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE regexp_extract(url, '^https://[^/]+(/[^?]*)', 1)
            END AS path,
            CASE WHEN regexp_matches(url, '\\s') THEN NULL
-                ELSE regexp_extract(url, '\\?lang=(.*)$', 1)
+                ELSE regexp_extract(url, '\\?lang=([^&#]*)', 1)
            END AS lang_param
     FROM u
     """,
@@ -727,7 +727,10 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     job abort. The oracle mirrors the URI parser's observable rules:
     whitespace anywhere voids every component; a host label outside
     [A-Za-z0-9.-] (non-ASCII, '_', empty) yields NULL host while PATH
-    and QUERY still extract; parse_url itself remains the preferred
+    and QUERY still extract; the lang capture is separator-aware
+    ([^&#]*) because try_parse_url's QUERY extraction stops at '&'/'#'
+    while a greedy (.*)$ would swallow trailing parameters whole;
+    parse_url itself remains the preferred
     surface because it handles ports/userinfo/fragments that ad-hoc
     regexes miss. Map-only projection at scan speed."""
     docs = load_table(spark, sf_dir, "documents")

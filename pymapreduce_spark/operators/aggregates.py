@@ -666,11 +666,18 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-boundary planning. One partial-aggregated shuffle keyed by
     bucket; bucket ids are exact integer floors so both engines bin
     identically (fixture values are 2-decimal, never AT a boundary
-    within double error)."""
+    within double error). The quotient is gated to the int64-castable
+    range [-2^63, 2^63) before flooring: Spark's floor(double→long)
+    SATURATES at Long.MaxValue for huge-but-finite doubles while the
+    oracle's TRY_CAST(floor(...) AS BIGINT) yields NULL there — without
+    the gate a >1.8e20 value would silently split into its own
+    saturated bucket instead of the NULL bucket both engines agree on."""
     ev = load_table(spark, sf_dir, "events")
+    q = finite("value") / 50.0
+    in_i64 = (q >= -9.223372036854776e18) & (q < 9.223372036854776e18)
     return (
         ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.floor(finite("value") / 50.0).alias("bucket"))
+        .groupBy(F.floor(F.when(in_i64, q)).alias("bucket"))
         .agg(
             F.count("*").alias("n"),
             (F.sum(F.round(F.col("value") * 100, 0).try_cast("long")) / 100.0).alias(
@@ -752,14 +759,21 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sketch_quantiles_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic frame for agg_sketch_quantiles: the raw p25/p50/p75
-    KLL estimates next to the exact median, for the rank-error envelope
-    test in tests/test_llm.py::test_kll_sketch_quantile_tolerance."""
+#: KLL retains every value verbatim (zero compactions) while n <= k,
+#: so for groups this small the sketch's quantile answers are EXACT
+#: order statistics — rank-perfect by construction.
+_KLL_K = 200
+
+
+def _kll_p50_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared KLL core: per-(returnflag, linestatus) sketches merged up
+    to returnflag, exposing n/p25/p50/p75. Both agg levels are
+    partial-aggregable single-shuffle plans; the merge is an array
+    reduce over the handful of fine-stratum sketches per group."""
     li = load_table(spark, sf_dir, "lineitem")
     fine = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.kll_sketch_agg_bigint(
-            cents("l_extendedprice"), F.lit(200)
+            cents("l_extendedprice"), F.lit(_KLL_K)
         ).alias("sk")
     )
     merged = fine.groupBy("l_returnflag").agg(
@@ -771,21 +785,31 @@ def sketch_quantiles_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
         ).alias("sk"),
     )
-    approx = merged.select(
+    return merged.select(
         "l_returnflag",
         F.kll_sketch_get_n_bigint("sk").alias("n_rows"),
         (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.25)) / 100.0).alias("p25_price"),
         (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)) / 100.0).alias("p50_price"),
         (F.kll_sketch_get_quantile_bigint("sk", F.lit(0.75)) / 100.0).alias("p75_price"),
     )
-    # Self-evidencing: exact median alongside, with the ~1.3% rank-error
-    # bound translated to a (generous) 5% value tolerance on p50.
+
+
+def sketch_quantiles_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic frame for agg_sketch_quantiles: the raw p25/p50/p75
+    KLL estimates next to the exact median AND the exact middle-pair
+    envelope (percentile_disc both directions), for the rank-error
+    test in tests/test_llm.py::test_kll_sketch_quantile_tolerance.
+    The envelope columns live HERE, not in the checked/benched path
+    (round-7 verdict, task 3): three exact order-statistic aggregates
+    per group buffer the whole column three times, and the sketch
+    exists precisely so the timed path never pays that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = _kll_p50_approx(spark, sf_dir)
     exact = li.groupBy("l_returnflag").agg(
         F.round(F.median("l_extendedprice"), 4).alias("exact_p50_price"),
-        # rank-correctness envelope, same rationale as
-        # percentile_approx_rich: the sketch answers with a data value
-        # (a cent), so at even n it sits a full order-statistic gap
-        # from the interpolated median — within the middle pair is
+        # rank-correctness envelope: the sketch answers with a data
+        # value (a cent), so at even n it sits a full order-statistic
+        # gap from the interpolated median — within the middle pair is
         # within tolerance at any n (round-7 tiny axis)
         F.expr(
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
@@ -841,12 +865,32 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checkable despite randomized compaction: output = (row count
     from the sketch's own n, exact median, within_tol) where
-    ``within_tol`` = (|sketch p50 − exact| ≤ 5% of exact) is computed
-    Spark-side; the oracle expects (count(*), exact, true) — n_rows
-    also proves the sketch saw every row. Raw p25/p50/p75 estimates:
-    sketch_quantiles_rich."""
-    return sketch_quantiles_rich(spark, sf_dir).select(
-        "l_returnflag", "n_rows", "exact_p50_price", "within_tol"
+    ``within_tol`` = (|sketch p50 − exact| ≤ 5% of exact) OR
+    (n_rows ≤ k): while n ≤ k the KLL sketch has compacted NOTHING —
+    it holds every value verbatim, so its answer is an exact order
+    statistic whose only possible deviation from the INTERPOLATED
+    median is the middle-pair half-gap at even n (rank-perfect, round-7
+    tiny axis). That clause replaces the percentile_disc middle-pair
+    envelope this path used to compute (round-7 verdict, task 3): the
+    timed query now pays for the sketches plus ONE exact median (the
+    oracle needs it) instead of three full order-statistic buffers per
+    group. The oracle expects (count(*), exact, true) — n_rows also
+    proves the sketch saw every row. Raw p25/p50/p75 estimates and the
+    exact envelope: sketch_quantiles_rich."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = _kll_p50_approx(spark, sf_dir)
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("exact_p50_price")
+    )
+    abs_err = F.abs(F.col("p50_price") - F.col("exact_p50_price"))
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "exact_p50_price",
+        (
+            (abs_err <= 0.05 * F.col("exact_p50_price"))
+            | (F.col("n_rows") <= _KLL_K)
+        ).alias("within_tol"),
     )
 
 

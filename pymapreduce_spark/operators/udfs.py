@@ -144,12 +144,16 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def pmean(v: pd.Series) -> float:
         # SQL semantics: sum skips NULLs, count(*) counts every row;
-        # an all-NULL group means NULL, never a fabricated 0 (a plain
-        # astype("int64") would crash on the NaN a NULL arrives as)
-        cents = _cents_half_away(v).dropna().astype("int64").sum()
-        if v.notna().sum() == 0:
+        # a group with no usable cents means NULL, never a fabricated 0.
+        # The guard must look at the DAMAGED cents series, not v: a
+        # group of only non-finites with at least one ±Inf (e.g.
+        # [inf, nan]) has v.notna() hits, but _cents_half_away maps
+        # ±Inf to NaN so the cents sum is over nothing — the oracle's
+        # sum(TRY_CAST(...)) over all-NULL cents yields NULL there too.
+        c = _cents_half_away(v).dropna()
+        if len(c) == 0:
             return None
-        return float(cents) / (100.0 * len(v))
+        return float(c.astype("int64").sum()) / (100.0 * len(v))
 
     @F.pandas_udf("double")
     def pmedian(v: pd.Series) -> float:

@@ -16,7 +16,9 @@ composition, in order:
 3. **Fresh** — names with no driver row yet, in curated priority order
    (sections of SURVEY.md §2 with no driver evidence first), then
    registration order.
-4. The remaining already-green names, in registration order.
+4. The remaining already-green names, oldest driver row first (name
+   tie-break) — so post-backlog windows always re-verify the stalest
+   part of the green set rather than the same registration-order heads.
 
 With no artifacts on disk (fresh clone) buckets 1/2/4 are empty and the
 order is exactly the curated-then-registration order — deterministic in
@@ -250,5 +252,14 @@ def ordered_names(registered: dict, oracles: dict | None = None) -> list[str]:
         fresh = [n for n in fresh if n in oracles] + [
             n for n in fresh if n not in oracles
         ]
-    rest = [n for n in green if n not in set(resample)]
+    # Bucket 4 rotates by oldest-driver-row too (round-7 verdict, task 2):
+    # once the fresh backlog is empty the window is rechecks + resamples +
+    # the *stalest* greens, so the whole registry re-verifies every
+    # ~(registry / window) rounds instead of pinning the same
+    # registration-order heads forever while the tail only re-verifies
+    # through the 8-slot resample quota (~31 rounds per full pass).
+    rest = sorted(
+        (n for n in green if n not in set(resample)),
+        key=lambda n: (latest[n][0], n),
+    )
     return rechecks + resample + fresh + rest

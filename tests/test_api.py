@@ -142,6 +142,38 @@ def test_bench_stdout_contract():
     last = json.loads(lines[-1])
     assert last["metric"] == "headline_total_sec"
     assert last["queries"] == result["queries"]
-    assert len(lines[-1]) < 4096, f"compact line too fat: {len(lines[-1])}B"
+    # r7 verdict task 8: the artifact line itself carries the spread as
+    # [min_cs, max_cs] pairs aligned with the queries key order — but
+    # NEVER at the cost of the capture window (2000-char driver tail).
+    from bench import _TAIL_BUDGET
+
+    assert len(lines[-1]) <= max(_TAIL_BUDGET, len(json.dumps(result))), (
+        f"compact line too fat: {len(lines[-1])}B"
+    )
+    if "spr_cs" in last:
+        assert len(last["spr_cs"]) == len(result["queries"])
+        assert last["spr_cs"][0] == [912, 9957]
     # the spread line precedes it and parses on its own
     assert json.loads(lines[0])["spread"] == spread
+
+
+def test_bench_inline_spread_at_realistic_width():
+    """With realistic sub-second medians (the actual r7 profile), the
+    inline spr_cs must FIT the tail budget — the whole point is the r8
+    artifact carrying min/median/max per key without a sidecar."""
+    import json
+
+    from bench import _TAIL_BUDGET, HEADLINE, stdout_lines
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": 28.7713,
+        "unit": "sec",
+        "queries": {k: 0.6898 for k in HEADLINE},
+        "sf": 0.1,
+    }
+    spread = {k: [0.512, 0.6898, 2.4151] for k in HEADLINE}
+    lines = stdout_lines(result, spread)
+    last = json.loads(lines[-1])
+    assert "spr_cs" in last, "realistic-width line must keep the spread"
+    assert len(lines[-1]) <= _TAIL_BUDGET, len(lines[-1])

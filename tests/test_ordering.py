@@ -117,6 +117,52 @@ def test_oracle_less_fresh_names_never_outrank_oracled(patched):
     )
 
 
+def test_rest_bucket_rotates_by_staleness(patched):
+    """Bucket 4 (greens beyond the resample quota) sorts oldest driver
+    row first, so once the fresh backlog clears the window always holds
+    the stalest greens: no windowed green may have a strictly newer
+    latest-row than an unwindowed one (round-7 verdict, task 2)."""
+    registered = {f"g{i:02d}": None for i in range(20)}
+    # rounds descend with registration order: g00 newest, g19 oldest
+    patched({n: (20 - i, GREEN) for i, n in enumerate(sorted(registered))})
+    order = ordering.ordered_names(registered, oracles=registered)
+    quota = ordering._resample_quota()
+    rest = order[quota:]
+    rounds = [20 - int(n[1:]) for n in rest]
+    assert rounds == sorted(rounds), "rest bucket not oldest-first"
+    # simulate a post-backlog driver window: any cut of the order must
+    # leave no unwindowed name staler than a windowed bucket-4 name
+    window, outside = set(order[:10]), order[10:]
+    oldest_outside = min(20 - int(n[1:]) for n in outside)
+    assert all(
+        (20 - int(n[1:])) <= oldest_outside for n in rest if n in window
+    )
+
+
+def test_real_registry_post_backlog_window_is_stalest_first():
+    """On the actual registry + artifacts: among bucket-4 names, every
+    windowed one must be at least as stale as every unwindowed one."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    order = ordering.ordered_names(qs, os_)
+    latest = ordering.latest_driver_rows()
+    quota = ordering._resample_quota()
+    greens = [
+        n
+        for n in order
+        if n in latest and not ordering._needs_recheck(latest[n][1], n in os_)
+    ]
+    rest = greens[quota:]  # bucket 4 in window order
+    window = set(order[:50])
+    in_w = [latest[n][0] for n in rest if n in window]
+    out_w = [latest[n][0] for n in rest if n not in window]
+    if in_w and out_w:
+        assert max(in_w) <= min(out_w), (
+            "a windowed bucket-4 name is fresher than an unwindowed one"
+        )
+
+
 def test_registry_has_no_oracle_less_queries():
     """Every registered query carries a DuckDB oracle. The only driver
     evidence an oracle-less query can ever produce is a burned
