@@ -679,3 +679,49 @@ def test_seasonal_naive_grid_broadcasts_types(spark, sf_dir):
     that AQE would have to rescue at scale."""
     plan = plan_of("ts_seasonal_naive", spark, sf_dir)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_plan_audit_suppresses_post_limit_global_windows(spark, sf_dir):
+    """plan_audit's global-window heuristic must see THROUGH the tree:
+    a partition-less window over a post-limit / global-aggregate
+    relation (llm_vocab_coverage's 20-row frame, llm_query_doc_match's
+    5-row frame) is bounded by construction and must NOT flag, while a
+    global window straight over a data-sized scan still must
+    (round-7 verdict, task 7)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    for name in ("llm_vocab_coverage", "llm_query_doc_match"):
+        plan = formatted_plan_of(name, spark, sf_dir)
+        assert not pa._unbounded_global_window(plan), name
+
+    # a REAL hazard: rank the whole events table with no partition keys
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pymapreduce_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hazard = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    )
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        hazard._jdf.queryExecution(), "formatted"
+    )
+    assert pa._unbounded_global_window(plan), plan
+
+    # bounded-by-a-limit variant of the SAME hazard must not flag
+    ok = ev.orderBy("event_id").limit(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    )
+    plan_ok = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        ok._jdf.queryExecution(), "formatted"
+    )
+    assert not pa._unbounded_global_window(plan_ok), plan_ok

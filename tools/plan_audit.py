@@ -14,7 +14,14 @@ given SF and flags the shapes that break at 100 TB:
                      data-sized relations. Round-5 catch: vocab_coverage
                      and query_doc_match ranked data-sized relations to
                      read a top-k — both rewritten to orderBy+limit
-                     (TakeOrderedAndProject).
+                     (TakeOrderedAndProject). Round-8: the audit now
+                     parses the plan TREE and suppresses the flag when
+                     the window's input is provably bounded — every
+                     join branch below it passes through a limit node
+                     (TakeOrderedAndProject/GlobalLimit/CollectLimit)
+                     or a KEYLESS aggregate (1 row) before reaching a
+                     scan. A global window straight over a scan or a
+                     keyed aggregate still flags.
 - ``py-udf-row``     BatchEvalPython — a row-at-a-time Python UDF in
                      the plan (only the udf_python/udtf_python
                      conformance ops may carry this).
@@ -32,6 +39,121 @@ from __future__ import annotations
 import re
 import sys
 import time
+
+#: Nodes that hard-bound their output row count regardless of input.
+_LIMIT_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+                "LocalLimit")
+#: Unary nodes whose output row count is <= their input's (so bounded
+#: input => bounded output). Anything NOT listed (Generate/Expand/
+#: scans/...) is conservatively treated as unbounded.
+_ROW_PRESERVING = {
+    "Project", "Filter", "Sort", "Exchange", "BroadcastExchange",
+    "Window", "WindowGroupLimit", "WindowInPandas", "Coalesce",
+    "AQEShuffleRead", "ColumnarToRow", "InputAdapter",
+    "AdaptiveSparkPlan", "ResultQueryStage", "ShuffleQueryStage",
+    "BroadcastQueryStage", "TableCacheQueryStage", "InMemoryTableScan",
+    "WholeStageCodegen", "HashAggregate", "SortAggregate",
+    "ObjectHashAggregate", "Subquery", "SubqueryBroadcast",
+}
+
+
+def _parse_tree(plan: str):
+    """Parse the formatted-explain header into (name, children) keyed by
+    node id, plus each node's detail block. Returns (names, children,
+    details) or None when the header doesn't parse (defensive: callers
+    fall back to the flag-everything behavior)."""
+    lines = plan.splitlines()
+    nodes: list[tuple[int, str, int]] = []  # (indent col, name, id)
+    in_tree = False
+    for ln in lines:
+        if ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if in_tree:
+            if not ln.strip():
+                break
+            m = re.match(r"^([\s:+|-]*)(\S.*?)\s*\((\d+)\)\s*$", ln)
+            if not m:
+                return None
+            prefix, body, nid = m.groups()
+            nodes.append((len(prefix), body.split()[0], int(nid)))
+    if not nodes:
+        return None
+    names: dict[int, str] = {}
+    children: dict[int, list[int]] = {}
+    stack: list[tuple[int, int]] = []  # (col, id)
+    for col, name, nid in nodes:
+        names[nid] = name
+        children[nid] = []
+        while stack and stack[-1][0] >= col:
+            stack.pop()
+        if stack:
+            children[stack[-1][1]].append(nid)
+        stack.append((col, nid))
+    details: dict[int, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) .*?$(.*?)(?=^\(\d+\) |\Z)", plan, re.M | re.S
+    ):
+        details[int(m.group(1))] = m.group(2)
+    return names, children, details
+
+
+def _bounded(nid: int, names: dict, children: dict, details: dict,
+             seen: frozenset = frozenset()) -> bool:
+    """True when the relation rooted at ``nid`` provably has a
+    data-size-independent row count: a limit node, a keyless (global)
+    aggregate, or a join/row-preserving chain over only such inputs."""
+    if nid in seen:  # defensive against malformed reuse cycles
+        return False
+    seen = seen | {nid}
+    name = names.get(nid, "")
+    if name.startswith(_LIMIT_NODES):
+        return True
+    detail = details.get(nid, "")
+    if "Aggregate" in name and re.search(
+        r"Keys(?: \[0\])?: \[\]", detail
+    ):
+        return True  # global aggregate: exactly one row per group-set
+    if name == "ReusedExchange":
+        m = re.search(r"Reuses operator id: (\d+)", detail)
+        return bool(m) and _bounded(
+            int(m.group(1)), names, children, details, seen
+        )
+    kids = children.get(nid, [])
+    join_like = "Join" in name or name in ("CartesianProduct", "Union")
+    if join_like or name in _ROW_PRESERVING:
+        # bounded x bounded is bounded for every join type (cross
+        # included: the product of two constants is a constant)
+        return bool(kids) and all(
+            _bounded(k, names, children, details, seen) for k in kids
+        )
+    return False
+
+
+def _unbounded_global_window(plan: str) -> bool:
+    """True when some Window node has a partition-less spec AND its
+    input is not provably bounded (see _bounded). Falls back to
+    spec-only detection when the plan header doesn't parse."""
+    def partitionless(text: str) -> bool:
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", text):
+            if re.match(r"^\s*[^,]+ (ASC|DESC) NULLS (FIRST|LAST)", m.group(1)):
+                return True
+        return False
+
+    parsed = _parse_tree(plan)
+    if parsed is None:
+        return partitionless(plan)
+    names, children, details = parsed
+    for nid, name in names.items():
+        if not name.startswith("Window"):
+            continue
+        if not partitionless(details.get(nid, "")):
+            continue
+        if not all(
+            _bounded(k, names, children, details) for k in children[nid]
+        ) or not children[nid]:
+            return True
+    return False
 
 
 def audit(sf_dir: str = "/root/testdata/sf0.01") -> int:
@@ -67,12 +189,8 @@ def audit(sf_dir: str = "/root/testdata/sf0.01") -> int:
             flags.append("cartesian")
         if "BroadcastNestedLoopJoin" in plan:
             flags.append("bnlj")
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            if re.match(
-                r"^\s*[^,]+ (ASC|DESC) NULLS (FIRST|LAST)", m.group(1)
-            ):
-                flags.append("global-window")
-                break
+        if _unbounded_global_window(plan):
+            flags.append("global-window")
         if "BatchEvalPython" in plan:
             flags.append("py-udf-row")
         n_exchanges = plan.count("Exchange")
