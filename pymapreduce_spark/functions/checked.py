@@ -92,3 +92,35 @@ def cents(col: Column | str) -> Column:
     values try_cast ≡ cast (round-7 nan_inf adversarial axis)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100, 0).try_cast("long")
+
+
+def epoch_micros(col: Column | str) -> Column:
+    """Integer-microsecond view of the engine's canonical NAIVE
+    timestamp type (TimestampNTZType — round-8 clock/timezone
+    doctrine, io._fix_events).
+
+    ``unix_micros`` only accepts the zoned TimestampType, so the NTZ
+    wall-clock is cast through it first. The cast interprets the
+    wall-clock in the SESSION timezone, which every query entry point
+    pins to UTC (session.ensure_runtime_configs) — offset zero, no DST,
+    so the resulting integer is exactly the naive value's micros since
+    1970-01-01 00:00:00, matching DuckDB's ``epoch_us(ts)`` on the same
+    naive timestamp. The zoned value exists only INSIDE this
+    expression; it is never a query output, so driver-side collection
+    (which converts zoned values through the host OS timezone) never
+    sees it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def trunc_ntz(unit: str, col: Column | str) -> Column:
+    """``date_trunc`` that stays in the engine's canonical NAIVE
+    timestamp type. Spark's date_trunc coerces TimestampNTZType input
+    to the zoned TimestampType (measured on 4.1; window() by contrast
+    preserves NTZ), and a zoned OUTPUT column is the round-8 clock
+    hazard: driver-side collect() converts zoned values through the
+    host OS timezone, silently shifting every timestamp by the host's
+    UTC offset on a non-UTC machine. The session tz is pinned UTC at
+    every entry point, so the zoned intermediate is wall-clock-exact
+    and the cast back to NTZ loses nothing."""
+    return F.date_trunc(unit, col).cast("timestamp_ntz")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pymapreduce_spark.functions.checked import trunc_ntz
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -99,7 +100,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(ts).alias("order_year"),
         F.month(ts).alias("order_month"),
         F.dayofweek(ts).alias("order_dow"),
-        F.date_trunc("month", ts).alias("order_month_start"),
+        trunc_ntz("month", ts).alias("order_month_start"),
         F.datediff(ts, F.lit("1995-01-01").cast("timestamp")).alias(
             "days_since_epoch0"
         ),
@@ -456,7 +457,7 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1)
         .try_cast("int")
         .alias("brand_num"),
-        F.col("p_name").try_cast("timestamp").alias("name_as_ts"),
+        F.col("p_name").try_cast("timestamp_ntz").alias("name_as_ts"),
         F.try_divide(
             F.col("p_retailprice"), F.col("p_size") - F.col("p_size")
         ).alias("div_by_zero"),
@@ -818,8 +819,8 @@ def fn_date_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.select(
         "o_orderkey",
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        trunc_ntz("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
         F.quarter("o_orderdate").alias("qtr"),
         F.dayofyear("o_orderdate").alias("doy"),
     )

@@ -109,14 +109,28 @@ def _fix_events(df: DataFrame) -> DataFrame:
     """
     dtypes = dict(df.dtypes)
     if dtypes.get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dtypes.get("ts") == "timestamp_ntz":
-        # Newer fixtures store ts as parquet timestamp[us] without timezone,
-        # which Spark reads as TimestampNTZType. Session timezone is pinned
-        # UTC (session.py), so casting to the zoned TimestampType is
-        # value-preserving and matches DuckDB's ts::TIMESTAMP. The zoned
-        # type is required by withWatermark and unix_micros downstream.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Session tz is pinned UTC (session.py) so the zoned→NTZ cast is
+        # wall-clock-preserving for the micros value.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    elif dtypes.get("ts") == "timestamp":
+        # Legacy zoned encodings normalize to NTZ under the pinned-UTC
+        # session tz (wall-clock-preserving).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # timestamp_ntz (newer fixtures): already the engine's canonical type.
+    #
+    # Round-8 clock/timezone doctrine: ``ts`` is NAIVE WALL-CLOCK DATA
+    # (exactly what the parquet stores and what DuckDB's TIMESTAMP is),
+    # so it stays TimestampNTZType end-to-end. The zoned TimestampType
+    # this used to cast to carries an instant whose *collection* back to
+    # Python goes through datetime.fromtimestamp — i.e. the DRIVER
+    # PROCESS's OS timezone — so every checked timestamp output column
+    # silently shifted by the host's UTC offset on a non-UTC machine
+    # (measured: TZ=Asia/Kathmandu shifts collect() by +05:45 while the
+    # DuckDB oracle stays naive). NTZ collection is tz-free by
+    # construction: no session tz, no OS tz, no DST gaps, ever.
     return df
 
 
@@ -173,11 +187,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are served from the split-layout cache (see :data:`_SPLIT_MIN_BYTES`)
     so scans parallelize.
     """
+    # Heal BEFORE the cache check: the self-heal contract is per-QUERY,
+    # and a query whose every load_table is a cache hit must still get
+    # it. Round-8 clock axis catch: with the heal on the miss path
+    # only, a hostile session timezone set between queries survived
+    # into any query whose tables were already cached — fn_date's
+    # DATE→TIMESTAMP epoch resolved to midnight-Kathmandu, and the
+    # streaming window ops aligned buckets to :45 (the sweep's --only
+    # single-query runs all passed, which is exactly the signature of
+    # an ordering-dependent defect).
+    ensure_runtime_configs(spark)
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    ensure_runtime_configs(spark)
     split = _split_layout(spark, sf_dir, name)
     df = spark.read.parquet(split or table_path(sf_dir, name))
     if name == "events":

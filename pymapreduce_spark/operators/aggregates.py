@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.functions.checked import cents, dec2, finite
+from pymapreduce_spark.functions.checked import cents, dec2, finite, trunc_ntz
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -527,7 +527,7 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            trunc_ntz("hour", F.col("ts")).alias("window_start"),
             "event_type",
         )
         .agg(
@@ -545,7 +545,7 @@ def hll_mergeable_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketches saw)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        "event_type", trunc_ntz("day", F.col("ts")).alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(

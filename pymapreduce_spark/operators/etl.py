@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pymapreduce_spark.functions.checked import epoch_micros
 from pymapreduce_spark.io import load_table, read_back
 from pymapreduce_spark.registry import query
 
@@ -845,7 +846,7 @@ def etl_late_data_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     b = ev.agg(F.max("ts").alias("mx"))
     late = (
-        F.unix_micros(F.col("mx")) - F.unix_micros(F.col("ts"))
+        epoch_micros(F.col("mx")) - epoch_micros(F.col("ts"))
     ) > 7 * 86400 * 1_000_000
     route = F.when(late, "quarantine").otherwise("accept")
     return (

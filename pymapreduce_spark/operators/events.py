@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pymapreduce_spark.functions.checked import epoch_micros, trunc_ntz
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -62,7 +63,7 @@ def llm_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mu = F.unix_micros(F.col("ts"))
+    mu = epoch_micros(F.col("ts"))
     is_new = (
         F.coalesce(
             (mu - F.lag(mu).over(w)) > _SESSION_GAP_US, F.lit(True)
@@ -108,7 +109,7 @@ def llm_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first occurrence must be strictly after the previous step's. Three
     grouped mins + two broadcast-sized joins on user_id."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("mu")
+        "user_id", "event_type", epoch_micros("ts").alias("mu")
     )
     v = (
         ev.where(F.col("event_type") == "view")
@@ -324,8 +325,8 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast of the small aggregated side onto the grid."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        trunc_ntz("hour", F.min("ts")).alias("lo"),
+        trunc_ntz("hour", F.max("ts")).alias("hi"),
     )
     grid = bounds.select(
         F.explode(
@@ -334,7 +335,7 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select(F.col("event_type").alias("et")).distinct()
     counts = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"),
+        trunc_ntz("hour", F.col("ts")).alias("h"),
         F.col("event_type").alias("et"),
     ).agg(F.count("*").alias("n"))
     return (
@@ -612,8 +613,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence)."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        trunc_ntz("hour", F.min("ts")).alias("lo"),
+        trunc_ntz("hour", F.max("ts")).alias("hi"),
     )
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
@@ -622,7 +623,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select(F.col("event_type").alias("et")).distinct()
     obs = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"),
+        trunc_ntz("hour", F.col("ts")).alias("h"),
         F.col("event_type").alias("et"),
     ).agg(F.sum(F.round(F.col("value") * 100, 0).try_cast("long")).alias("cents"))
     dense = (
@@ -732,8 +733,8 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_interpolate_linear."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        trunc_ntz("hour", F.min("ts")).alias("lo"),
+        trunc_ntz("hour", F.max("ts")).alias("hi"),
     )
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
@@ -742,7 +743,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select(F.col("event_type").alias("et")).distinct()
     counts = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"),
+        trunc_ntz("hour", F.col("ts")).alias("h"),
         F.col("event_type").alias("et"),
     ).agg(F.count("*").alias("cnt"))
     dense = (
@@ -1012,8 +1013,8 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is one 24-slot frame per key."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        trunc_ntz("hour", F.min("ts")).alias("lo"),
+        trunc_ntz("hour", F.max("ts")).alias("hi"),
     )
     grid = bounds.select(
         F.explode(
@@ -1022,7 +1023,7 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select(F.col("event_type").alias("event_type")).distinct()
     counts = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        trunc_ntz("hour", F.col("ts")).alias("hour"),
         "event_type",
     ).agg(F.count("*").alias("n"))
     dense = (
@@ -1117,11 +1118,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides (null-ts doctrine)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     p = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("mu")
+        "event_id", "user_id", epoch_micros("ts").alias("mu")
     )
     v = (
         ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", F.unix_micros("ts").alias("mu"))
+        .groupBy("user_id", epoch_micros("ts").alias("mu"))
         .agg(F.max("event_id").alias("view_event_id"))
     )
     tagged = v.select(
@@ -1275,7 +1276,7 @@ def ts_sessionized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mu = F.unix_micros(F.col("ts"))
+    mu = epoch_micros(F.col("ts"))
     is_new = (
         F.coalesce((mu - F.lag(mu).over(w)) > _SESSION_GAP_US, F.lit(True))
     ).cast("bigint")
@@ -1331,7 +1332,7 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         ev.groupBy(
             "event_type",
-            F.date_trunc("week", F.col("ts")).alias("week"),
+            trunc_ntz("week", F.col("ts")).alias("week"),
         )
         .agg(F.count("*").alias("n"))
     )
@@ -1377,7 +1378,7 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     // 604800 — identical in both engines."""
     ev = load_table(spark, sf_dir, "events")
     act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        "user_id", trunc_ntz("week", F.col("ts")).alias("week")
     ).distinct()
     cohort = act.groupBy("user_id").agg(
         F.min("week").alias("cohort_week")
@@ -1467,7 +1468,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL event times are excluded (null-ts doctrine)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     h = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        "event_type", trunc_ntz("hour", F.col("ts")).alias("hour")
     ).agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type").orderBy("hour")
     nb = h.select(
@@ -1589,7 +1590,7 @@ def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     (purchase before any view) is kept and flagged rather than
     silently dropped — attribution decisions belong downstream."""
     ev = load_table(spark, sf_dir, "events")
-    mu = F.unix_micros(F.col("ts"))
+    mu = epoch_micros(F.col("ts"))
 
     def first(t: str, name: str) -> DataFrame:
         return (
@@ -1654,7 +1655,7 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mu = F.unix_micros(F.col("ts"))
+    mu = epoch_micros(F.col("ts"))
     is_new = (
         F.coalesce((mu - F.lag(mu).over(w)) > _SESSION_GAP_US, F.lit(True))
     ).cast("bigint")
@@ -1795,7 +1796,7 @@ def ts_repurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("mu")
+        "user_id", "event_id", epoch_micros("ts").alias("mu")
     )
     w = Window.partitionBy("user_id").orderBy("mu", "event_id")
     nxt = F.lead("mu").over(w)
@@ -1840,7 +1841,7 @@ def win_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("mu", "event_id")
     e = ev.select(
         "user_id", "event_id", "event_type",
-        F.unix_micros("ts").alias("mu"),
+        epoch_micros("ts").alias("mu"),
     )
     d = e.select(
         "event_type",
@@ -1888,7 +1889,7 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL event times are excluded (null-ts doctrine)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     h = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        "event_type", trunc_ntz("hour", F.col("ts")).alias("hour")
     ).agg(F.count("*").alias("n"))
     w = (
         Window.partitionBy("event_type")

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.functions.checked import cents, dec2  # noqa: F401
+from pymapreduce_spark.functions.checked import cents, dec2, trunc_ntz  # noqa: F401
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -204,7 +204,7 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join over sparse (user, day) cells — both sides produce
     unmatched rows, exercising NULL fill on each side."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
+    day = trunc_ntz("day", F.col("ts")).alias("day")
     views = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id", day)

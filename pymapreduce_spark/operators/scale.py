@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.functions.checked import cents
+from pymapreduce_spark.functions.checked import cents, epoch_micros
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -147,7 +147,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ``div 1000``), so the threshold cannot tie-break differently.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.unix_micros("ts").alias("us")
+        "event_id", epoch_micros("ts").alias("us")
     )
     width = 60_000_000  # 60 s in µs
     binned = ev.withColumn("bin", F.floor(F.col("us") / width))

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pymapreduce_spark.functions.checked import trunc_ntz
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -17,7 +18,7 @@ def _split_events(spark: SparkSession, sf_dir: str):
     """Two overlapping projections of events used by the set ops: users
     seen clicking vs users seen purchasing, as (user_id, day) rows."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
+    day = trunc_ntz("day", F.col("ts")).alias("day")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", day)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", day

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pymapreduce_spark.functions.checked import epoch_micros
 from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
@@ -71,7 +72,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     every lag/lead neighbor near one; round-7 null-ts axis)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    micros = epoch_micros(F.col("ts"))
     return ev.select(
         "user_id",
         "event_id",

@@ -47,7 +47,10 @@ def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     # with no event time has no day — it previously leaked into
     # day=__HIVE_DEFAULT_PARTITION__ and replayed as a phantom LAST
     # batch. Every stream op's oracle states the exclusion.
-    marker = os.path.join(path, "_REPLAY_READY_v3")
+    # v4: the engine's canonical ts type moved to TimestampNTZType
+    # (round-8 clock/timezone doctrine, io._fix_events) — replay copies
+    # written by earlier versions carry zoned timestamps; regenerate.
+    marker = os.path.join(path, "_REPLAY_READY_v4")
     # The marker carries the SOURCE file's identity (io.fixture_stamp —
     # size/mtime/inode/content-CRC): sf_tag is just a basename, so two
     # different fixture dirs named `sf` would otherwise share one
@@ -114,6 +117,14 @@ def _replay_schema(spark: SparkSession, sf_dir: str):
 
 def read_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     """events as a stream (schema-explicit; no inference on a stream)."""
+    from pymapreduce_spark.session import ensure_runtime_configs
+
+    # Self-heal here too: when the replay copy is already materialized,
+    # replay_dir never touches load_table, so without this call a
+    # stream op would analyze its window/watermark expressions under
+    # whatever session timezone the host left behind (round-8 clock
+    # axis: buckets aligned to :45 under Asia/Kathmandu).
+    ensure_runtime_configs(spark)
     path = replay_dir(spark, sf_dir)
     schema = _replay_schema(spark, sf_dir)
     reader = spark.readStream.schema(schema)
@@ -131,7 +142,15 @@ def read_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
 
 def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a finite stream to completion into a memory sink and return
-    the resulting table as a batch DataFrame."""
+    the resulting table as a batch DataFrame.
+
+    Every zoned timestamp output column is normalized back to the
+    engine's canonical NAIVE type (TimestampNTZType) on the way out:
+    streaming must run zoned internally (withWatermark rejects NTZ,
+    measured on 4.1) under the pinned-UTC session tz, but a zoned
+    OUTPUT is the round-8 clock hazard — driver-side collect() converts
+    zoned values through the host OS timezone, shifting results on any
+    non-UTC machine. The single cast here covers every stream op."""
     name = f"stream_result_{next(_counter)}"
     q = (
         stream_df.writeStream.format("memory")
@@ -142,7 +161,13 @@ def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    return spark.table(name)
+    out = spark.table(name)
+    zoned = [c for c, t in out.dtypes if t == "timestamp"]
+    if zoned:
+        out = out.withColumns(
+            {c: F.col(c).cast("timestamp_ntz") for c in zoned}
+        )
+    return out
 
 
 @query(

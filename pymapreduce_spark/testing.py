@@ -97,6 +97,23 @@ def assert_driver_canonicalizable(name: str, spark_df: DataFrame) -> None:
         f"[{name}] output has complex-typed columns the driver's pandas "
         f"canonicalizer cannot sort/hash (flatten them): {complex_cols}"
     )
+    # Round-8 clock/timezone doctrine: NO query output may carry the
+    # zoned TimestampType — collect() converts zoned values through the
+    # driver HOST's OS timezone (datetime.fromtimestamp), silently
+    # shifting every timestamp by the host's UTC offset on a non-UTC
+    # machine while the DuckDB oracle stays naive. Timestamps are naive
+    # wall-clock data here: emit TimestampNTZType (cast, or the
+    # trunc_ntz/epoch_micros helpers in functions/checked.py).
+    zoned_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, T.TimestampType)
+    ]
+    assert not zoned_cols, (
+        f"[{name}] output has zoned TimestampType columns whose collected "
+        f"value depends on the driver host's OS timezone (cast to "
+        f"timestamp_ntz): {zoned_cols}"
+    )
 
 
 def compare_frames(

@@ -343,6 +343,163 @@ def graph_section(spark) -> dict:
     return res
 
 
+def _stream_x10_sfdir(spark) -> str:
+    """events-only sf-dir with 10 replicas shifted by 31 DAYS each (and
+    disjoint event_ids/user_ids): event time spans ~10× the days, so
+    the per-day replay layout materializes ~10× the FILES — the
+    streaming analogue of 10× rows. Written once, reused."""
+    sf_x = os.path.join(OUT, "stream_sfdir_x10")
+    dest = os.path.join(sf_x, "events.parquet")
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return sf_x
+    os.makedirs(sf_x, exist_ok=True)
+    base = load_table(spark, BASE_SF, "events")
+    reps = []
+    for i in range(FACTOR):
+        reps.append(
+            base.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS"))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(dest)
+    return sf_x
+
+
+def streaming_section(spark) -> dict:
+    """Optional section (--streaming): the watermarked streaming path at
+    base vs 10× event-time span (≈10× replay files) through the
+    registered entry points. The batch kernels' ratios say nothing
+    about state management, so the checks here are streaming-specific:
+
+    - batch-equivalence at 10×: stream_tumbling == its batch twin
+      (exact frame equality), stream_watermark emits every window
+      complete (its self-evidencing matches_batch column), stream_dedup
+      restores exactly the batch-distinct counts after the 2× inject.
+    - bounded state at 10×: a progress-captured run of the watermarked
+      append aggregate must keep post-commit state rows within the
+      watermark horizon (~3 one-hour windows) regardless of how many
+      total windows the stream carries (~7.4k at 10×) — state that
+      instead grew with the stream would be the 100 TB killer.
+    - sub-quadratic wall-clock, same 30× bound as the graph section.
+    """
+    from pymapreduce_spark.registry import QUERIES
+    from pymapreduce_spark.streaming.core import read_stream, replay_dir
+
+    sf_x = _stream_x10_sfdir(spark)
+    res: dict = {}
+
+    # replay materialization is a one-off write, not the measured path
+    replay_dir(spark, BASE_SF)
+    replay_dir(spark, sf_x)
+
+    def run_op(name: str, sf_dir: str):
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        rows = df.count()
+        return time.perf_counter() - t0, rows, df
+
+    for op in ("stream_tumbling", "stream_watermark", "stream_dedup"):
+        b_s, b_n, _ = run_op(op, BASE_SF)
+        x_s, x_n, xdf = run_op(op, sf_x)
+        res[op] = {
+            "base_s": round(b_s, 2),
+            "x10_s": round(x_s, 2),
+            "ratio": round(x_s / b_s, 2),
+            "base_rows": b_n,
+            "x10_rows": x_n,
+        }
+        if op == "stream_watermark":
+            bad = xdf.where(~F.col("matches_batch")).count()
+            res[op]["x10_all_match_batch"] = bool(bad == 0)
+
+    # exact batch-equivalence of the tumbling aggregate at 10×
+    tumb = QUERIES["stream_tumbling"](spark, sf_x)
+    batch_twin = (
+        load_table(spark, sf_x, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    diff = tumb.exceptAll(batch_twin).count() + batch_twin.exceptAll(tumb).count()
+    res["stream_tumbling"]["x10_batch_equal_ok"] = bool(diff == 0)
+
+    # dedup restores the batch-distinct counts exactly
+    ded_total = sum(
+        r["n_unique"]
+        for r in QUERIES["stream_dedup"](spark, sf_x).collect()
+    )
+    batch_unique = (
+        load_table(spark, sf_x, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "ts", "event_type")
+        .distinct()
+        .count()
+    )
+    res["stream_dedup"]["x10_restores_batch_distinct_ok"] = bool(
+        ded_total == batch_unique
+    )
+
+    # bounded state: progress-captured watermarked append aggregate
+    s = read_stream(spark, sf_x, maxFilesPerTrigger=10)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("scale_smoke_state_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        so.get("numRowsTotal", 0)
+        for p in (q.recentProgress or [])
+        for so in (p.get("stateOperators") or [])
+    ]
+    total_windows = batch_twin.select("window_start").distinct().count()
+    res["state_probe"] = {
+        "max_state_rows": max(state_rows) if state_rows else None,
+        "total_stream_windows": total_windows,
+        "n_progress_events": len(state_rows),
+    }
+
+    res["checks"] = {
+        "tumbling_subquadratic": res["stream_tumbling"]["ratio"] < 30,
+        "tumbling_batch_equal": res["stream_tumbling"]["x10_batch_equal_ok"],
+        "watermark_subquadratic": res["stream_watermark"]["ratio"] < 30,
+        "watermark_windows_scale": (
+            res["stream_watermark"]["x10_rows"]
+            >= 9 * res["stream_watermark"]["base_rows"]
+        ),
+        "watermark_all_match_batch": res["stream_watermark"][
+            "x10_all_match_batch"
+        ],
+        "dedup_subquadratic": res["stream_dedup"]["ratio"] < 30,
+        "dedup_restores_batch_distinct": res["stream_dedup"][
+            "x10_restores_batch_distinct_ok"
+        ],
+        # post-commit state must sit at the watermark horizon (~3 1-hour
+        # windows), not at the stream's total window count (~7.4k at
+        # 10×): allow a generous 48 (two days) before calling it a leak
+        "state_bounded_by_horizon": bool(
+            state_rows and max(state_rows) <= 48
+        ),
+    }
+    return res
+
+
 def main() -> None:
     spark = get_spark()
     materialize(spark)
@@ -374,8 +531,18 @@ def main() -> None:
         payload["llm"] = llm_section(spark)
     if "--graph" in sys.argv:
         payload["graph"] = graph_section(spark)
+    if "--streaming" in sys.argv:
+        payload["streaming"] = streaming_section(spark)
     print(json.dumps(payload))
-    checks = (payload.get("graph") or {}).get("checks", {})
+    checks = {
+        **(payload.get("graph") or {}).get("checks", {}),
+        **{
+            f"streaming_{k}": v
+            for k, v in (payload.get("streaming") or {})
+            .get("checks", {})
+            .items()
+        },
+    }
     failed = [k for k, ok in checks.items() if not ok]
     if failed:
         print(f"SCALE CHECKS FAILED: {failed}", file=sys.stderr)

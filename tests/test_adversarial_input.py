@@ -1275,3 +1275,115 @@ def one_key_sf(tmp_path_factory) -> str:
 def test_one_key_fixture_matches_oracle(spark, one_key_sf):
     bad = _compare(spark, one_key_sf, ONE_KEY_OPS)
     assert not bad, "one-key divergence:\n" + "\n".join(bad)
+
+
+#: Round-8 CLOCK/TIMEZONE axis, pinned. Two fronts:
+#:
+#: 1. DATA: DST/year/ISO-week/leap boundary wall-clocks injected into
+#:    events.ts (the list mirrors tools/adversarial_audit._CLOCK_TS) —
+#:    under the NTZ doctrine (io._fix_events) every one is just a naive
+#:    value both engines bucket identically. Full 301-query sweep under
+#:    TZ=Asia/Kathmandu + hostile session tz: 0 divergent after the two
+#:    fixes below.
+#:
+#: 2. SESSION TZ: the sweep's ordering-dependent find — load_table's
+#:    self-heal ran only on the cache-MISS path, so a hostile session
+#:    timezone set between queries survived into any query whose tables
+#:    were already cached: fn_date's DATE→TIMESTAMP epoch resolved to
+#:    midnight-Kathmandu (−20700 s), and the streaming window ops
+#:    aligned hour buckets to :45. read_stream had the same hole when
+#:    the replay copy was already materialized. Both now heal
+#:    unconditionally; the tests below pin the CACHED paths.
+CLOCK_TS = [
+    "2023-12-31 23:59:59.999999",
+    "2024-01-01 00:00:00",
+    "2023-12-31 00:00:00",
+    "2024-02-29 12:00:00",
+    "2024-01-14 02:30:00",   # Pacific/Fiji fall-back ambiguous wall-clock
+    "2024-01-07 00:00:00",
+    "2024-01-08 00:00:00",
+    "2024-01-31 23:59:59.999999",
+]
+
+CLOCK_OPS = [
+    "agg_time_window", "ts_resample_ohlc", "ts_gapfill", "ts_wow_growth",
+    "agg_cohort_retention", "llm_sessionize", "join_asof", "fn_date",
+    "ts_weekend_lift", "win_range_frame",
+]
+
+
+@pytest.fixture(scope="module")
+def clock_sf(tmp_path_factory) -> str:
+    from datetime import datetime
+
+    base = tmp_path_factory.mktemp("sf_clock")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            ts = tb["ts"].to_pylist()
+            for j, v in enumerate(CLOCK_TS):
+                if j < len(ts):
+                    ts[j] = datetime.fromisoformat(v)
+            for j, v in enumerate(CLOCK_TS):
+                k = len(ts) // 2 + j * 7
+                if k < len(ts):
+                    ts[k] = datetime.fromisoformat(v)
+            tb = tb.set_column(
+                tb.schema.get_field_index("ts"), "ts",
+                pa.array(ts, type=tb.schema.field("ts").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_clock_boundary_fixture_matches_oracle(spark, clock_sf):
+    bad = _compare(spark, clock_sf, CLOCK_OPS)
+    assert not bad, "clock-boundary divergence:\n" + "\n".join(bad)
+
+
+def test_session_tz_self_heal_covers_cached_tables(spark, sf_dir):
+    """The regression pin for the round-8 sweep find: poison the
+    session timezone AFTER a table is already in load_table's cache —
+    the next query touching that table must still heal to UTC, or its
+    DATE→TIMESTAMP epoch shifts by the zone offset (the cache-hit path
+    used to skip ensure_runtime_configs)."""
+    from pymapreduce_spark.io import load_table
+    from pymapreduce_spark.registry import QUERIES
+
+    load_table(spark, sf_dir, "orders")  # ensure the cache is warm
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try:
+        row = (
+            QUERIES["fn_date"](spark, sf_dir)
+            .select("order_epoch")
+            .first()
+        )
+        assert row["order_epoch"] % 86400 == 0, (
+            "DATE→TIMESTAMP resolved at non-UTC midnight: the session-tz "
+            f"self-heal missed the cached-table path (epoch {row['order_epoch']})"
+        )
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_no_registered_query_outputs_zoned_timestamps(spark, sf_dir):
+    """NTZ doctrine gate, enforced at the surface compare_frames can't
+    reach (rows-only paths are covered by assert_driver_canonicalizable
+    — this pins the sampled ts-heavy heads end-to-end): a zoned
+    TimestampType output column is collected through the driver HOST's
+    OS timezone and silently shifts on any non-UTC machine."""
+    from pyspark.sql import types as T
+
+    from pymapreduce_spark.registry import QUERIES
+
+    for name in CLOCK_OPS + ["stream_tumbling_schema_only"]:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        zoned = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.TimestampType)
+        ]
+        assert not zoned, f"{name}: zoned timestamp outputs {zoned}"

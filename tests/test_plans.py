@@ -125,6 +125,14 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     optimization must split the oversized partition (plan shows the
     skew marker). Thresholds are lowered to make test-scale data
     register as skewed; production uses the defaults."""
+    from pymapreduce_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    # load BEFORE lowering: load_table's per-query self-heal
+    # (ensure_runtime_configs, unconditional since the round-8 clock
+    # fix) re-pins the engine's advisory partition size — thresholds
+    # tweaked for this test must be set after the last load_table call
+    ev = load_table(spark, sf_dir, "events")
     lowered = {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
@@ -136,10 +144,6 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
         saved[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
-        from pymapreduce_spark.io import load_table
-        from pyspark.sql import functions as F
-
-        ev = load_table(spark, sf_dir, "events")
         # ~99% of rows share key 0 → one oversized shuffle partition.
         # (A literal key won't do: Catalyst constant-folds it into a
         # cartesian product and no shuffle exists to split. And the

@@ -717,3 +717,122 @@ def test_random_agg_queries_match_duckdb_hostile(
     spark, hostile_duck, hostile_events_sf, spec
 ):
     _run_spec(spark, hostile_duck, hostile_events_sf, spec)
+
+
+# ---- window-spec space: the subtlest engine-divergence surface -----
+#
+# Round-7 verdict task 6. Specs draw partition keys × an order key with
+# EXPLICIT direction and NULLS FIRST/LAST × ranking/offset/frame
+# functions (rows + range frames). The assembled text is ONE ANSI SQL
+# string executed by BOTH engines (spark.sql over a temp view, duckdb
+# over the parquet view) — any divergence is a genuine engine-semantics
+# split, not a translation artifact. Determinism rules: row_number/
+# lag/lead/frame counts always carry an event_id total-order tie-break;
+# rank/dense_rank deliberately order by the primary key ALONE (their
+# values are tie-insensitive); range frames order by the numeric key
+# alone (peers share the frame by definition).
+
+_WIN_FUNCS = {
+    "rn": "row_number() OVER ({total}) AS rn",
+    "rk": "rank() OVER ({primary}) AS rk",
+    "drk": "dense_rank() OVER ({primary}) AS drk",
+    "lagv": "lag(value, 1) OVER ({total}) AS lagv",
+    "leadv": "lead(value, 1) OVER ({total}) AS leadv",
+    "runc": "count(*) OVER ({total} ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS runc",
+    "runsum": "sum(TRY_CAST(round(value * 100) AS BIGINT)) OVER ({total}"
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum",
+    "slidec": "count(*) OVER ({total} ROWS BETWEEN 3 PRECEDING"
+              " AND 1 FOLLOWING) AS slidec",
+    "rangesum": "sum(TRY_CAST(round(value * 100) AS BIGINT)) OVER"
+                " ({range_w}) AS rangesum",
+}
+
+
+@st.composite
+def window_spec(draw):
+    parts = draw(
+        st.lists(
+            st.sampled_from(["event_type", "user_id % 10"]),
+            max_size=2,
+            unique=True,
+        )
+    )
+    primary = draw(st.sampled_from(["value", "ts", "event_id"]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    nulls = draw(st.sampled_from(["NULLS FIRST", "NULLS LAST"]))
+    funcs = draw(
+        st.lists(
+            st.sampled_from(sorted(_WIN_FUNCS)),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    if "rangesum" in funcs and primary != "value":
+        funcs = [f for f in funcs if f != "rangesum"] or ["rn"]
+    return sorted(parts), primary, direction, nulls, sorted(funcs)
+
+
+def _window_sql(spec, table: str) -> str:
+    parts, primary, direction, nulls, funcs = spec
+    part_clause = f"PARTITION BY {', '.join(parts)} " if parts else ""
+    primary_w = f"{part_clause}ORDER BY {primary} {direction} {nulls}"
+    total_w = f"{primary_w}, event_id ASC"
+    range_w = (
+        f"{part_clause}ORDER BY value {direction} {nulls}"
+        " RANGE BETWEEN 50.0 PRECEDING AND CURRENT ROW"
+    )
+    cols = [
+        _WIN_FUNCS[f].format(total=total_w, primary=primary_w, range_w=range_w)
+        for f in funcs
+    ]
+    return f"SELECT event_id, {', '.join(cols)} FROM {table}"
+
+
+def _run_window_spec(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_winprop"
+    )
+    sdf = spark.sql(_window_sql(spec, "events_winprop"))
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(_window_sql(spec, "events"))
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, (
+        f"spec {spec}\nsql {_window_sql(spec, 'events')}\n"
+        f"{got[:3]} vs {want[:3]}"
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_spec())
+def test_random_window_queries_match_duckdb(spark, duck, sf_dir, spec):
+    _run_window_spec(spark, duck, sf_dir, spec)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_spec())
+def test_random_window_queries_match_duckdb_hostile(
+    spark, hostile_duck, hostile_events_sf, spec
+):
+    """The window spec space over the NaN/±Inf/NULL-injected events
+    twin: non-finite values and NULLs land in order keys, so this is
+    where NULLS FIRST/LAST defaults, NaN sort position (greatest in
+    both engines), and range-frame NULL/NaN peer groups would split."""
+    _run_window_spec(spark, hostile_duck, hostile_events_sf, spec)

@@ -260,8 +260,56 @@ def build_one_key(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+#: Round-8 CLOCK axis wall-clocks (naive, µs precision — exactly what
+#: the parquet stores): year boundary at both µs edges, ISO-week-year
+#: mismatch days, leap day, a Fiji DST fall-back ambiguous wall-clock
+#: (Pacific/Fiji left DST on 2024-01-14 — the one transition inside the
+#: fixture's January span), Sunday/Monday midnights (dayofweek edges),
+#: and a leap-second-adjacent 23:59:59.999999. Under the NTZ doctrine
+#: every one of these is just a naive value both engines bucket
+#: identically; before it, the zoned cast made the Fiji wall-clock
+#: AMBIGUOUS under a Fiji session timezone.
+_CLOCK_TS = [
+    "2023-12-31 23:59:59.999999",  # year boundary, µs below
+    "2024-01-01 00:00:00",         # year boundary exact; ISO week 1 Monday
+    "2023-12-31 00:00:00",         # ISO week 52 Sunday of the OLD year
+    "2024-02-29 12:00:00",         # leap day
+    "2024-01-14 02:30:00",         # Fiji DST fall-back ambiguous wall-clock
+    "2024-01-07 00:00:00",         # Sunday midnight (is_weekend edge)
+    "2024-01-08 00:00:00",         # Monday midnight
+    "2024-01-31 23:59:59.999999",  # month boundary, µs below
+]
+
+
+def build_clock_tz(out: str, rows: int) -> None:
+    """DST/year/ISO-week boundary timestamps in events.ts. Run this axis
+    under a hostile zone on BOTH fronts to cover the round-7 verdict's
+    clock task: ``TZ=Asia/Kathmandu python tools/adversarial_audit.py
+    clock_tz --tz Asia/Kathmandu`` (a +05:45 zone breaks every
+    epoch-aligned bucketing that leaks the session tz, and the TZ env
+    var breaks any zoned output column at collect time)."""
+    from datetime import datetime
+
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            ts = tb["ts"].to_pylist()
+            for j, v in enumerate(_CLOCK_TS):
+                if j < len(ts):
+                    ts[j] = datetime.fromisoformat(v)
+            # spread a second copy mid-table so boundary values also land
+            # in non-first windows/sessions
+            for j, v in enumerate(_CLOCK_TS):
+                k = len(ts) // 2 + j * 7
+                if k < len(ts):
+                    ts[k] = datetime.fromisoformat(v)
+            tb = _set(tb, "ts", ts)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
     "nan_inf": build_nan_inf,
+    "clock_tz": build_clock_tz,
     "zero_embed": build_zero_embed,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
@@ -273,8 +321,10 @@ AXES = {
 }
 
 
-def run(axis: str, rows: int, only: list[str] | None) -> int:
+def run(axis: str, rows: int, only: list[str] | None,
+        tz: str | None = None) -> int:
     import tempfile
+    import time as _time
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -283,16 +333,28 @@ def run(axis: str, rows: int, only: list[str] | None) -> int:
 
     out = tempfile.mkdtemp(prefix=f"audit_{axis}_")
     AXES[axis](out, rows)
-    print(f"fixture: {out} (axis={axis}, src={SRC})", flush=True)
+    print(f"fixture: {out} (axis={axis}, src={SRC}, tz={tz})", flush=True)
 
-    spark = (
+    if tz:
+        # Hostile clock on every front the engine can't choose:
+        # the PYTHON process tz (drives datetime.fromtimestamp in
+        # collect() — the surface that shifted zoned outputs by +05:45
+        # before the NTZ doctrine) and the JVM session tz at session
+        # build. The engine's ensure_runtime_configs must claw the
+        # session back to UTC per query; NTZ outputs ignore TZ.
+        os.environ["TZ"] = tz
+        _time.tzset()
+
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName(f"adversarial-audit-{axis}")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
     )
+    if tz:
+        builder = builder.config("spark.sql.session.timeZone", tz)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -305,6 +367,12 @@ def run(axis: str, rows: int, only: list[str] | None) -> int:
     bad = 0
     for i, name in enumerate(names):
         try:
+            if tz:
+                # re-poison before EVERY query: each op's own defensive
+                # ensure_runtime_configs call must re-pin UTC — a single
+                # self-heal at the first load_table must not carry the
+                # rest of the sweep
+                spark.conf.set("spark.sql.session.timeZone", tz)
             sdf = queries[name](spark, out)
             si = sorted(range(len(sdf.columns)), key=lambda j: sdf.columns[j])
             got = sorted(tuple(str(r[j]) for j in si) for r in sdf.collect())
@@ -347,6 +415,12 @@ if __name__ == "__main__":
     ap.add_argument("axis", choices=sorted(AXES))
     ap.add_argument("--rows", type=int, default=3)
     ap.add_argument("--only", type=str, default="")
+    ap.add_argument(
+        "--tz", type=str, default="",
+        help="hostile zone for process TZ + Spark session tz "
+             "(e.g. Asia/Kathmandu — +05:45 breaks epoch-aligned "
+             "bucketing that leaks the session tz)",
+    )
     a = ap.parse_args()
     only = [s for s in a.only.split(",") if s] or None
-    sys.exit(min(run(a.axis, a.rows, only), 99))
+    sys.exit(min(run(a.axis, a.rows, only, tz=a.tz or None), 99))
