@@ -856,3 +856,62 @@ def fn_split_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_space"
         ),
     )
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+    SELECT event_id,
+           timezone('Asia/Kathmandu',
+                    timezone('UTC', ts::TIMESTAMP))::TIMESTAMP
+               AS ktm_wall,
+           timezone('UTC',
+                    timezone('Asia/Kolkata', ts::TIMESTAMP))::TIMESTAMP
+               AS utc_from_kolkata,
+           hour(timezone('Asia/Kathmandu',
+                         timezone('UTC', ts::TIMESTAMP))) AS ktm_hour,
+           ((epoch_us(timezone('Asia/Kathmandu',
+                               timezone('UTC', ts::TIMESTAMP))::TIMESTAMP)
+             - epoch_us(ts::TIMESTAMP)) // 60000000)::BIGINT
+               AS ktm_offset_min
+    FROM events
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT-zone timestamp conversion (convert_timezone) — the
+    conformance surface for real tzdata math under the naive-wall-clock
+    doctrine: inputs and outputs are both TimestampNTZType, the zones
+    are ARGUMENTS, never ambient session/OS state, so results are
+    bit-stable on any host (the round-8 clock axis requirement).
+
+    Zones are deliberately DST-FREE (Asia/Kathmandu +05:45,
+    Asia/Kolkata +05:30 — sub-hour offsets that also catch any
+    whole-hour shortcut): for an AMBIGUOUS fall-back wall-clock the
+    engines genuinely split — measured on 2024-11-03 01:30
+    America/New_York, Spark's convert_timezone resolves to the EARLIER
+    offset (05:30 UTC) while DuckDB's timezone() picks the LATER
+    (06:30 UTC) — so zones with DST are unsafe in any hash-checked
+    output (documented engine split, same class as mode()'s arbitrary
+    tie). Both directions covered; the +05:45 offset is additionally
+    self-evidenced as ktm_offset_min = 345. Map-only, scan speed.
+
+    DuckDB oracle shape: timezone(z, TIMESTAMP) interprets a naive
+    wall-clock IN z → instant; timezone(z, TIMESTAMPTZ) renders an
+    instant as z's wall-clock — composing the two is convert_timezone
+    with every step explicit, independent of DuckDB's session
+    TimeZone."""
+    ev = load_table(spark, sf_dir, "events")
+    ktm = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Kathmandu"), F.col("ts"))
+    from pymapreduce_spark.functions.checked import epoch_micros
+
+    return ev.select(
+        "event_id",
+        ktm.alias("ktm_wall"),
+        F.convert_timezone(
+            F.lit("Asia/Kolkata"), F.lit("UTC"), F.col("ts")
+        ).alias("utc_from_kolkata"),
+        F.hour(ktm).alias("ktm_hour"),
+        (
+            (epoch_micros(ktm) - epoch_micros(F.col("ts"))) / 60_000_000
+        ).cast("bigint").alias("ktm_offset_min"),
+    )

@@ -1976,3 +1976,43 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("equity").alias("peak_equity_c"),
         F.min("equity").alias("trough_equity_c"),
     )
+
+
+@query(
+    "ts_isoweek_rollup",
+    oracle="""
+    SELECT isoyear(ts::TIMESTAMP)::INTEGER AS iso_year,
+           weekofyear(ts::TIMESTAMP)::INTEGER AS iso_week,
+           count(*) AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(TRY_CAST(round(value * 100) AS BIGINT))::BIGINT
+               AS value_cents
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_isoweek_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly rollup keyed by (ISO year, ISO week) — the
+    YEAR-BOUNDARY-SAFE weekly aggregation. Naive `(year(ts),
+    weekofyear(ts))` keys SPLIT boundary weeks in half: 2024-12-30 is
+    ISO week 1 of 2025 but calendar-year 2024, and 2021-01-01 is ISO
+    week 53 of 2020 — pairing week-of-year with the CALENDAR year
+    assigns those days to weeks (2024, 1) and (2021, 53) that don't
+    exist, splitting one physical week into two rollup rows at every
+    year boundary (exactly the round-8 clock-axis wall-clocks). Spark's
+    `extract(YEAROFWEEK ...)` == DuckDB's `isoyear()` (both ISO 8601,
+    probed on the boundary days). Single partial-aggregated shuffle on
+    the composite key; NULL event times excluded per the null-ts
+    doctrine (a row with no event time has no week)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    from pymapreduce_spark.functions.checked import cents
+
+    return ev.groupBy(
+        F.expr("extract(YEAROFWEEK FROM ts)").cast("int").alias("iso_year"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(cents("value")).alias("value_cents"),
+    )

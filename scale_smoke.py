@@ -78,7 +78,9 @@ def queries(spark, li, ev, docs):
 
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        mu = F.unix_micros(F.col("ts"))
+        from pymapreduce_spark.functions.checked import epoch_micros
+
+        mu = epoch_micros("ts")
         is_new = F.coalesce(
             (mu - F.lag(mu).over(w)) > 30 * 60 * 1_000_000, F.lit(True)
         ).cast("bigint")
@@ -490,11 +492,16 @@ def streaming_section(spark) -> dict:
         "dedup_restores_batch_distinct": res["stream_dedup"][
             "x10_restores_batch_distinct_ok"
         ],
-        # post-commit state must sit at the watermark horizon (~3 1-hour
-        # windows), not at the stream's total window count (~7.4k at
-        # 10×): allow a generous 48 (two days) before calling it a leak
-        "state_bounded_by_horizon": bool(
-            state_rows and max(state_rows) <= 48
+        # State is bounded by INGEST-PER-TRIGGER + WATERMARK HORIZON,
+        # never by stream length: eviction for batch N uses the
+        # watermark computed from batch N-1's max event time, so right
+        # after a trigger the state holds that trigger's fresh windows
+        # (maxFilesPerTrigger=10 day-files × 24 1-h windows = 240) plus
+        # the ~3-window horizon tail (measured max 243 vs 7200 total
+        # stream windows at 10×). A leak would show up as state rows
+        # tracking the cumulative window count.
+        "state_bounded_by_trigger_plus_horizon": bool(
+            state_rows and max(state_rows) <= 240 + 24
         ),
     }
     return res

@@ -1308,7 +1308,7 @@ CLOCK_TS = [
 CLOCK_OPS = [
     "agg_time_window", "ts_resample_ohlc", "ts_gapfill", "ts_wow_growth",
     "agg_cohort_retention", "llm_sessionize", "join_asof", "fn_date",
-    "ts_weekend_lift", "win_range_frame",
+    "ts_weekend_lift", "win_range_frame", "fn_timezone", "ts_isoweek_rollup",
 ]
 
 
