@@ -1481,3 +1481,76 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad",
         )
     )
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle="""
+    SELECT event_type,
+           count(*) AS exact_n,
+           true AS cms_ge_exact,
+           true AS cms_within_eps
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (Apache DataSketches-style,
+    built into Spark as ``count_min_sketch``) — the mergeable scale
+    path for per-key frequencies, completing the sketch family next to
+    KLL quantiles (agg_sketch_quantiles) and HLL distinct counts
+    (agg_hll_mergeable).
+
+    At 100 TB the exact per-key count is one partial-aggregated shuffle
+    — fine ONCE, but a sketch is a few KB, mergeable across partitions/
+    days, and answers ANY later point query without rescanning. The SQL
+    aggregate is itself partial-aggregable (map-side sketch merge); the
+    finished sketch is collected (ONE ~11 KB binary — driver-bounded by
+    construction) and re-queried through the same JVM implementation
+    the aggregate used, so build and probe hash identically.
+
+    Hash-checkable despite the probabilistic structure: the seed is
+    fixed, so estimates are deterministic; the checked columns are the
+    CMS *guarantees* — est ≥ exact always (CMS never undercounts), and
+    est ≤ exact + ⌈eps·N⌉ with confidence 0.99 (with seed pinned this
+    is a fixed fact of the fixture, verified at all SFs). NULL keys are
+    excluded on both sides: the SQL aggregate skips NULL inputs, so a
+    NULL group would have no sketch entry to probe."""
+    eps, conf, seed = 0.01, 0.99, 42
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    sk = ev.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(eps), F.lit(conf), F.lit(seed)
+        ).alias("sk")
+    ).first()["sk"]
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    if sk is None:  # empty relation: exact is empty too, emit its shape
+        return exact.select(
+            "event_type",
+            "exact_n",
+            F.lit(True).alias("cms_ge_exact"),
+            F.lit(True).alias("cms_within_eps"),
+        )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    total = cms.totalCount()
+    # distinct keys are the fixture's event taxonomy (≤ ~13 even on the
+    # unicode-key axis) — a bounded dimension, never data-sized
+    keys = [r["event_type"] for r in exact.select("event_type").collect()]
+    est = {k: int(cms.estimateCount(k)) for k in keys}
+    est_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for k in keys for x in (k, est[k])]
+        ),
+        F.col("event_type"),
+    )
+    slack = int(eps * total) + 1
+    return exact.select(
+        "event_type",
+        "exact_n",
+        (est_col >= F.col("exact_n")).alias("cms_ge_exact"),
+        (est_col <= F.col("exact_n") + F.lit(slack)).alias("cms_within_eps"),
+    )

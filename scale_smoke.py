@@ -507,6 +507,88 @@ def streaming_section(spark) -> dict:
     return res
 
 
+def x100_section(spark) -> dict:
+    """Optional section (--x100): ONE more order of magnitude, on the
+    event-pipeline kernels. 100 shifted replicas of sf0.1 events
+    (~10 M rows — the largest relation this sandbox can hold
+    comfortably) through sessionize / hourly tumbling / per-user
+    top-k, asserting the x100/x10 STEP ratio stays near the 10× row
+    ratio: a plan that is linear from x10→x100 and was linear from
+    base→x10 has no hidden superlinear term the 10× smoke could hide
+    (quadratic lands at ~100 per step; the bound is 35 to absorb VM
+    noise and per-stage floors)."""
+    from pyspark.sql import Window
+
+    from pymapreduce_spark.functions.checked import epoch_micros
+
+    path = os.path.join(OUT, "events_x100")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = load_table(spark, BASE_SF, "events")
+        reps = []
+        for i in range(100):
+            reps.append(
+                base.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+            )
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(64).write.mode("overwrite").parquet(path)
+
+    ev10 = spark.read.parquet(os.path.join(OUT, "events"))
+    ev100 = spark.read.parquet(path)
+
+    def kernels(ev):
+        def sessionize():
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            mu = epoch_micros("ts")
+            is_new = F.coalesce(
+                (mu - F.lag(mu).over(w)) > 30 * 60 * 1_000_000, F.lit(True)
+            ).cast("bigint")
+            return (
+                ev.withColumn("sid", F.sum(is_new).over(run))
+                .groupBy("user_id", "sid")
+                .agg(F.count("*").alias("n"))
+            )
+
+        def tumbling():
+            return ev.where(F.col("ts").isNotNull()).groupBy(
+                F.window("ts", "1 hour"), "event_type"
+            ).agg(F.count("*").alias("n"))
+
+        def topk_user():
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("value"), "event_id"
+            )
+            return (
+                ev.where(F.col("value").isNotNull())
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= 3)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"))
+            )
+
+        return {"sessionize": sessionize, "tumbling": tumbling,
+                "topk_user": topk_user}
+
+    k10, k100 = kernels(ev10), kernels(ev100)
+    res: dict = {}
+    for name in k10:
+        s10 = timed(k10[name], n=2)
+        s100 = timed(k100[name], n=2)
+        res[name] = {
+            "x10_s": round(s10, 3),
+            "x100_s": round(s100, 3),
+            "step_ratio": round(s100 / s10, 2),
+        }
+    res["checks"] = {
+        f"x100_{name}_sublinear_step": res[name]["step_ratio"] < 35
+        for name in k10
+    }
+    return res
+
+
 def main() -> None:
     spark = get_spark()
     materialize(spark)
@@ -540,9 +622,12 @@ def main() -> None:
         payload["graph"] = graph_section(spark)
     if "--streaming" in sys.argv:
         payload["streaming"] = streaming_section(spark)
+    if "--x100" in sys.argv:
+        payload["x100"] = x100_section(spark)
     print(json.dumps(payload))
     checks = {
         **(payload.get("graph") or {}).get("checks", {}),
+        **(payload.get("x100") or {}).get("checks", {}),
         **{
             f"streaming_{k}": v
             for k, v in (payload.get("streaming") or {})
