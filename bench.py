@@ -86,6 +86,9 @@ HEADLINE = {
     "semdedup": "llm_semdedup",
     "partition_pruned": "join_partition_pruned",
     "rolling_corr": "ts_rolling_corr",
+    "interval_join": "join_interval_point",
+    "cms_heavy_hitters": "agg_cms_heavy_hitters",
+    "isoweek_rollup": "ts_isoweek_rollup",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

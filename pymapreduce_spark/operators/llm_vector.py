@@ -208,6 +208,45 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_sane("cos", 6).alias("cosine"),
         )
     )
+    # Outlier-query exact fallback (round-8 zero-embed sweep find): the
+    # radius is calibrated on corpus-scale geometry of WELL-FORMED
+    # vectors, so a corrupted query — the axis's [1e30]*dim vector sits
+    # ~1e30 L2 from everything at ~zero cosine — draws fewer than k
+    # candidates from the bucket join and silently vanishes from the
+    # result (9 of 10 queries returned). Faiss-style answer: detect
+    # starved queries and re-run JUST those exactly. The query set is
+    # bounded (10 rows), so the fallback is a broadcast-cross of a
+    # handful of rows against one corpus scan — recall stays guaranteed
+    # without widening the radius for everyone, which would de-select
+    # the index (radius ≥ √2 ≈ every pair for random vectors).
+    counts = ann.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    sated = counts.where(F.col("n_cand") >= 5)
+    starved = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(sated), "query_id", "left_anti")
+    )
+    fb_pairs = (
+        emb.crossJoin(F.broadcast(starved))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    fb = (
+        fb_pairs.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "nn_rank",
+            round_sane("cos", 6).alias("cosine"),
+        )
+    )
+    ann = ann.join(
+        F.broadcast(sated.select("query_id")), "query_id", "left_semi"
+    ).unionByName(fb)
     # Every row states whether it is also an exact top-5 neighbor —
     # the evidence column the registered summary aggregates.
     return _exact_topk_evidence(ann, emb, F.col("vec_id") < 10)

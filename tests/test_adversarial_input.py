@@ -858,6 +858,10 @@ ZERO_EMBED_OPS = [
     "llm_dedup_embed", "llm_embed_quantize", "llm_multimodal_cols",
     "llm_sim_search", "llm_knn_self_join", "llm_semdedup",
     "llm_knn_label", "llm_embed_centroid", "llm_embedding_norm_audit",
+    # round-8 find: the [1e30]*dim query sits ~1e30 L2 from everything,
+    # drew zero bucket-join candidates and VANISHED from the ANN result
+    # — fixed with the starved-query exact fallback in llm_vector.py
+    "llm_sim_search_ann",
 ]
 
 

@@ -729,3 +729,17 @@ def test_plan_audit_suppresses_post_limit_global_windows(spark, sf_dir):
         ok._jdf.queryExecution(), "formatted"
     )
     assert not pa._unbounded_global_window(plan_ok), plan_ok
+
+
+def test_interval_point_join_is_shuffled_equi_join(spark, sf_dir):
+    """The variable-length interval join must plan as an EQUI join on
+    the bin key (hash/merge — residual as post-join filter), never a
+    BroadcastNestedLoopJoin or CartesianProduct: the keyless range
+    predicate alone would nested-loop, which is the O(N^2) shape the
+    span-explode exists to avoid."""
+    plan = plan_of("join_interval_point", spark, sf_dir)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
