@@ -836,3 +836,114 @@ def test_random_window_queries_match_duckdb_hostile(
     where NULLS FIRST/LAST defaults, NaN sort position (greatest in
     both engines), and range-frame NULL/NaN peer groups would split."""
     _run_window_spec(spark, hostile_duck, hostile_events_sf, spec)
+
+
+# ---- time-bucketing spec space: the round-8 clock-doctrine surface --
+#
+# Every bucketer is a (Spark DataFrame builder, DuckDB SQL expr) pair
+# PROVEN aligned: date_trunc goes through the engine's trunc_ntz helper
+# (stays NTZ; both engines truncate weeks to Monday), and tumbling
+# window() matches time_bucket for sub-day sizes because both origins
+# are midnight-aligned. The one genuine split is MULTI-DAY tumbling:
+# Spark's window() aligns to the 1970-01-01 epoch (a THURSDAY) while
+# DuckDB's time_bucket aligns to 2000-01-03 (a Monday, chosen for ISO
+# weeks) — measured: 2024-01-05 lands in [2024-01-04,..) vs
+# [2024-01-01,..). The 7-day bucketer therefore pins the doctrine:
+# cross-engine multi-day tumbling REQUIRES an explicit common origin
+# (Spark startTime='4 days' shifts the epoch-Thursday to a Monday).
+# NULL event times are excluded uniformly (Spark's window() silently
+# drops NULL-ts rows while date_trunc keeps a NULL group — the null-ts
+# doctrine's known asymmetry).
+
+_BUCKETERS = [
+    ("trunc_hour",
+     lambda: F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"),
+     "date_trunc('hour', ts)"),
+    ("trunc_day",
+     lambda: F.date_trunc("day", F.col("ts")).cast("timestamp_ntz"),
+     "date_trunc('day', ts)::TIMESTAMP"),
+    ("trunc_week",
+     lambda: F.date_trunc("week", F.col("ts")).cast("timestamp_ntz"),
+     "date_trunc('week', ts)::TIMESTAMP"),
+    ("trunc_month",
+     lambda: F.date_trunc("month", F.col("ts")).cast("timestamp_ntz"),
+     "date_trunc('month', ts)::TIMESTAMP"),
+    ("trunc_quarter",
+     lambda: F.date_trunc("quarter", F.col("ts")).cast("timestamp_ntz"),
+     "date_trunc('quarter', ts)::TIMESTAMP"),
+    ("win_15m",
+     lambda: F.window("ts", "15 minutes").getField("start"),
+     "time_bucket(INTERVAL '15 minutes', ts)"),
+    ("win_1h",
+     lambda: F.window("ts", "1 hour").getField("start"),
+     "time_bucket(INTERVAL '1 hour', ts)"),
+    ("win_6h",
+     lambda: F.window("ts", "6 hours").getField("start"),
+     "time_bucket(INTERVAL '6 hours', ts)"),
+    ("win_1d",
+     lambda: F.window("ts", "1 day").getField("start"),
+     "time_bucket(INTERVAL '1 day', ts)"),
+    ("win_7d_monday",
+     lambda: F.window("ts", "7 days", "7 days", "4 days").getField("start"),
+     "time_bucket(INTERVAL '7 days', ts)"),
+]
+
+
+@st.composite
+def bucket_spec(draw):
+    bucketer = draw(st.sampled_from([b[0] for b in _BUCKETERS]))
+    with_type = draw(st.booleans())
+    aggs = draw(
+        st.lists(
+            st.sampled_from([a[0] for a in _AGGS]),
+            min_size=1, max_size=2, unique=True,
+        )
+    )
+    vfilter = draw(st.one_of(st.none(), st.integers(0, 300)))
+    return bucketer, with_type, sorted(aggs), vfilter
+
+
+def _run_bucket_spec(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    bucketer, with_type, aggs, vfilter = spec
+    bmap = {b[0]: b for b in _BUCKETERS}
+    amap = {a[0]: a for a in _AGGS}
+
+    df = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    conds = ["ts IS NOT NULL"]
+    if vfilter is not None:
+        df = df.where(F.col("value") > float(vfilter))
+        conds.append(f"value > {vfilter}")
+    keys = [bmap[bucketer][1]().alias("bucket")]
+    sql_keys = [f"{bmap[bucketer][2]} AS bucket"]
+    if with_type:
+        keys.append(F.col("event_type"))
+        sql_keys.append("event_type")
+    sdf = df.groupBy(*keys).agg(*[amap[a][1]() for a in aggs])
+
+    sql = "SELECT " + ", ".join(sql_keys + [amap[a][2] for a in aggs])
+    sql += " FROM events WHERE " + " AND ".join(conds)
+    sql += " GROUP BY " + ", ".join(
+        [bmap[bucketer][2]] + (["event_type"] if with_type else [])
+    )
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=bucket_spec())
+def test_random_time_bucket_queries_match_duckdb(spark, duck, sf_dir, spec):
+    _run_bucket_spec(spark, duck, sf_dir, spec)
