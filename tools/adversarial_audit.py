@@ -307,9 +307,34 @@ def build_clock_tz(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_huge_doc(out: str, rows: int) -> None:
+    """Monster-document axis (round 8): the text-payload extremes a
+    web-crawl corpus actually contains and that per-doc tokenization /
+    shingling / chunking must survive without quadratic blowup or
+    engine splits — a ~500 KB natural-ish doc, a single ~100 KB token
+    (no whitespace: minified JS / base64 blobs), ~10k repetitions of
+    ONE token (boilerplate spam — every shingle identical), an empty
+    text, and a whitespace-only text."""
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "documents":
+            tx = tb["text"].to_pylist()
+            words = ("the quick brown fox jumps over the lazy dog "
+                     "pack my box with five dozen liquor jugs ").split()
+            big = " ".join(words[i % len(words)] for i in range(80_000))
+            tx[0] = big                      # ~500 KB, ~80k tokens
+            tx[1] = "x" * 100_000            # one 100 KB token
+            tx[2] = "spam " * 10_000         # 10k identical tokens
+            tx[3] = ""                       # empty text
+            tx[4] = "   "                    # whitespace-only
+            tb = _set(tb, "text", tx)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
     "nan_inf": build_nan_inf,
     "clock_tz": build_clock_tz,
+    "huge_doc": build_huge_doc,
     "zero_embed": build_zero_embed,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
