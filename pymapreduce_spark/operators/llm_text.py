@@ -1987,15 +1987,18 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-count shuffle scales with data; both joined sides stay
     vocabulary-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    wsc = F.split("text", " ")
+    # split once, reference the array in the lambda — the inline
+    # split-inside-transform form is O(words · bytes) per doc (no CSE
+    # in higher-order functions; round-8 huge_doc axis)
     pairs = (
-        docs.where(F.size(wsc) >= 2)
+        docs.select(F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 2)
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
-                    "             element_at(split(text, ' '), i + 1) AS w2))"
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
                 )
             ).alias("p")
         )
@@ -2005,7 +2008,7 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")
     ).localCheckpoint(eager=True)
     c1 = c2.groupBy("w1").agg(F.sum("n").alias("starts"))
-    v = docs.select(F.explode(wsc).alias("word")).agg(
+    v = docs.select(F.explode(F.split("text", " ")).alias("word")).agg(
         F.count_distinct("word").alias("vocab")
     )
     logp = F.log(
@@ -2242,14 +2245,19 @@ def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split("text", " ")).alias("word")
     )
+    # split once per word, reference the char array in the lambda —
+    # inline split-inside-transform is O(len²) per word: a single
+    # 100 KB unbroken token (minified JS / base64, round-8 huge_doc
+    # axis) would re-split itself 200k times
     pairs = (
         words.where(F.length("word") >= 2)
+        .select(F.split("word", "").alias("cs"))
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(word, '')) - 1),"
-                    " i -> concat(element_at(split(word, ''), i),"
-                    "             element_at(split(word, ''), i + 1)))"
+                    "transform(sequence(1, size(cs) - 1),"
+                    " i -> concat(element_at(cs, i),"
+                    "             element_at(cs, i + 1)))"
                 )
             ).alias("pair")
         )
@@ -3107,14 +3115,21 @@ def llm_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions do. Read next to llm_vocab_coverage when sizing
     curation thresholds."""
     docs = load_table(spark, sf_dir, "documents")
+    # Split ONCE in a projection and reference the array inside the
+    # lambda: Catalyst does not common-subexpression-eliminate a
+    # split() written inside a higher-order function, so the inline
+    # form re-splits the whole text for EVERY index — O(words · bytes)
+    # per document, ~40 GB of string work on one 500 KB doc (round-8
+    # huge_doc axis: the sweep sat on this op for 25+ CPU-minutes).
     pairs = (
-        docs.where(F.size(F.split("text", " ")) >= 2)
+        docs.select(F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 2)
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " i -> concat(element_at(split(text, ' '), i), ' ',"
-                    "             element_at(split(text, ' '), i + 1)))"
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(element_at(ws, i), ' ',"
+                    "             element_at(ws, i + 1)))"
                 )
             ).alias("bigram")
         )

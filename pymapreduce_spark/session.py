@@ -46,6 +46,24 @@ RUNTIME_CONFS: dict[str, str] = {
     ),
 }
 
+#: Optimizer rules the engine excludes (merged into any exclusions the
+#: hosting session already carries, never clobbered).
+#:
+#: InferFiltersFromGenerate duplicates every generator expression into a
+#: ``Filter size(gen) > 0`` that predicate pushdown then rewrites through
+#: the projection chain — substituting hoisted aliases back into lambda
+#: bodies. For explode-over-transform pipelines (shingles, bigrams, BPE
+#: pairs) that turns a hoisted ``split(text)`` into a per-iteration split
+#: INSIDE the higher-order function: O(words x bytes) per document,
+#: interpreted, at the scan. A single ~500 KB document (round-8 huge_doc
+#: axis) took llm_boilerplate_share from ~6 s to >15 min. Generate
+#: already skips empty arrays for non-outer explode, so the inferred
+#: filter never changes results — it only re-evaluates the generator
+#: twice per row (and quadratically when pushdown inlines the hoist).
+EXCLUDED_OPTIMIZER_RULES: tuple[str, ...] = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+)
+
 #: Configs that must be set before the JVM session exists.
 BUILD_CONFS: dict[str, str] = {
     # Local-mode default; on a real cluster leave unset and let AQE coalesce.
@@ -69,6 +87,16 @@ def ensure_runtime_configs(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - config not recognized
             pass
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+        have = [r for r in (current or "").split(",") if r.strip()]
+        merged = have + [r for r in EXCLUDED_OPTIMIZER_RULES if r not in have]
+        if merged != have or current is None:
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules", ",".join(merged)
+            )
+    except Exception:  # pragma: no cover - config not recognized
+        pass
     return spark
 
 

@@ -1391,3 +1391,95 @@ def test_no_registered_query_outputs_zoned_timestamps(spark, sf_dir):
             if isinstance(f.dataType, T.TimestampType)
         ]
         assert not zoned, f"{name}: zoned timestamp outputs {zoned}"
+
+
+# ---------------------------------------------------------------------------
+# Round-8 huge_doc axis: monster text payloads (a ~200 KB natural doc, a
+# single 50 KB unbroken token, thousands of identical tokens, empty and
+# whitespace-only texts). The sweep caught a QUADRATIC, not a divergence:
+# InferFiltersFromGenerate infers `size(generator) > 0` from every explode
+# and predicate pushdown rewrites that filter through the projection chain,
+# substituting the hoisted `words` alias back into the lambda body — so
+# `split(text)` runs once PER transform ITERATION, interpreted, at the scan
+# (O(words · bytes) per document; llm_boilerplate_share went from ~6 s to
+# >15 min on one 500 KB doc). ensure_runtime_configs now excludes the rule
+# (session.EXCLUDED_OPTIMIZER_RULES) — Generate already skips empty arrays
+# for non-outer explode, so exclusion can never change results.
+# ---------------------------------------------------------------------------
+
+#: explode-over-transform operators the huge_doc sweep timed out / fixed
+HUGE_DOC_OPS = [
+    "llm_bigram_lm", "llm_bpe_merge_step", "llm_ngram_entropy",
+    "llm_boilerplate_share",
+]
+
+
+@pytest.fixture(scope="module")
+def huge_doc_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_hugedoc")
+    words = ("the quick brown fox jumps over the lazy dog "
+             "pack my box with five dozen liquor jugs ").split()
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "documents":
+            tx = tb["text"].to_pylist()
+            # shrunk from the sweep's 500 KB so the LINEAR plan stays
+            # CI-fast while the quadratic one would still take minutes
+            tx[0] = " ".join(words[i % len(words)] for i in range(30_000))
+            tx[1] = "x" * 50_000          # one unbroken 50 KB token
+            tx[2] = "spam " * 5_000       # every shingle identical
+            tx[3] = ""                    # empty text
+            tx[4] = "   "                 # whitespace-only
+            tb = tb.set_column(
+                tb.schema.get_field_index("text"), "text",
+                pa.array(tx, type=tb.schema.field("text").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_huge_doc_fixture_matches_oracle(spark, huge_doc_sf):
+    bad = _compare(spark, huge_doc_sf, HUGE_DOC_OPS)
+    assert not bad, "huge-doc divergence:\n" + "\n".join(bad)
+
+
+def test_generate_filter_inference_stays_excluded(spark, sf_dir):
+    """The self-heal pin: a driver-built session carries no optimizer
+    exclusions, so the first load_table must install
+    EXCLUDED_OPTIMIZER_RULES (merging, not clobbering, anything already
+    there) — and the resulting physical plan of an explode-over-transform
+    operator must contain no Filter that re-evaluates split(text) inside
+    the lambda (the quadratic signature)."""
+    from pymapreduce_spark.registry import QUERIES
+    from pymapreduce_spark.session import (
+        EXCLUDED_OPTIMIZER_RULES,
+        ensure_runtime_configs,
+    )
+
+    # simulate the driver session: pre-seed a foreign exclusion, drop ours
+    foreign = "org.apache.spark.sql.catalyst.optimizer.CombineFilters"
+    spark.conf.set("spark.sql.optimizer.excludedRules", foreign)
+    try:
+        ensure_runtime_configs(spark)
+        merged = spark.conf.get("spark.sql.optimizer.excludedRules")
+        assert foreign in merged, "merge clobbered a pre-existing exclusion"
+        for rule in EXCLUDED_OPTIMIZER_RULES:
+            assert rule in merged, f"self-heal dropped {rule}"
+
+        plan = (
+            QUERIES["llm_boilerplate_share"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        quadratic = [
+            ln for ln in plan.splitlines()
+            if "Filter" in ln and "split(" in ln and "lambda" in ln
+        ]
+        assert not quadratic, (
+            "generator filter re-inlined split into the lambda:\n"
+            + "\n".join(quadratic)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            ",".join(EXCLUDED_OPTIMIZER_RULES),
+        )
