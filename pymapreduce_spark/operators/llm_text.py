@@ -1827,12 +1827,20 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "rid", F.monotonically_increasing_id()
     )
-    wordsc = F.split("text", " ")
+    # dl must be computed BELOW the explode: as a sibling of
+    # explode(split(text)) it plans as a Project ABOVE the Generate
+    # that re-splits the full text once per exploded WORD —
+    # O(words² · bytes) per doc (round-8 huge_doc axis; jstack showed
+    # UTF8String.split inside generate_doConsume on a 500 KB doc)
     words = docs.select(
         "rid",
         "doc_id",
-        F.size(wordsc).cast("long").alias("dl"),
-        F.explode(wordsc).alias("word"),
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "rid",
+        "doc_id",
+        F.size("ws").cast("long").alias("dl"),
+        F.explode("ws").alias("word"),
     )
     # the retrieval unit is the document ROW: grouping by doc_id would
     # pool term counts across rows colliding on doc_id (dup-fact-key

@@ -1407,10 +1407,14 @@ def test_no_registered_query_outputs_zoned_timestamps(spark, sf_dir):
 # for non-outer explode, so exclusion can never change results.
 # ---------------------------------------------------------------------------
 
-#: explode-over-transform operators the huge_doc sweep timed out / fixed
+#: operators the huge_doc sweep timed out on, now fixed: the first four
+#: via the InferFiltersFromGenerate exclusion + lambda hoists; llm_bm25
+#: via moving the doc-length computation BELOW its explode (as a sibling
+#: of explode(split(text)) it planned into a Project above the Generate,
+#: re-splitting the full text once per exploded word)
 HUGE_DOC_OPS = [
     "llm_bigram_lm", "llm_bpe_merge_step", "llm_ngram_entropy",
-    "llm_boilerplate_share",
+    "llm_boilerplate_share", "llm_bm25",
 ]
 
 

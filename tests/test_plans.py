@@ -743,3 +743,67 @@ def test_interval_point_join_is_shuffled_equi_join(spark, sf_dir):
     ), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_plan_audit_flags_hof_producer_in_filter(spark, sf_dir):
+    """plan_audit's hof-in-filter detector pins the round-8 huge_doc
+    quadratic signature: an array PRODUCER (split) re-evaluated inside
+    a lambda BODY within a Filter condition — the shape predicate
+    pushdown creates when it substitutes a hoisted array alias through
+    the projection chain. A producer in HOF *argument* position
+    (evaluated once per row) must not flag, and no registered query's
+    plan may carry the signature (ensure_runtime_configs excludes
+    InferFiltersFromGenerate, the only self-inflicted source)."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pymapreduce_spark.io import load_table
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # the hazard: a USER filter on the HOF output, pushed through the
+    # hoist back into the lambda — the pushdown path the optimizer-rule
+    # exclusion cannot close
+    hazard = (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 1)),"
+                " i -> concat(element_at(ws, i),"
+                " element_at(ws, least(i + 1, size(ws)))))"
+            ).alias("grams")
+        )
+        .where(F.size("grams") > 1)
+    )
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        hazard._jdf.queryExecution(), "formatted"
+    )
+    assert pa._hof_in_filter(plan), plan
+
+    # producer in ARGUMENT position: split evaluated once per row,
+    # lambda only scans the result — linear, must not flag
+    ok = docs.where(
+        F.exists(F.split("text", " "), lambda w: w == F.lit("data"))
+    )
+    plan_ok = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        ok._jdf.queryExecution(), "formatted"
+    )
+    assert not pa._hof_in_filter(plan_ok), plan_ok
+
+    # the four huge_doc operators plan clean under the engine's configs
+    for name in (
+        "llm_bigram_lm", "llm_bpe_merge_step", "llm_ngram_entropy",
+        "llm_boilerplate_share",
+    ):
+        assert not pa._hof_in_filter(
+            formatted_plan_of(name, spark, sf_dir)
+        ), name

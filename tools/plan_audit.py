@@ -25,6 +25,26 @@ given SF and flags the shapes that break at 100 TB:
 - ``py-udf-row``     BatchEvalPython — a row-at-a-time Python UDF in
                      the plan (only the udf_python/udtf_python
                      conformance ops may carry this).
+- ``hof-in-filter``  A Filter condition that re-computes an
+                     array-producing expression (split/regexp/
+                     from_json/sentences) INSIDE a higher-order
+                     function lambda. The round-8 huge_doc quadratic
+                     signature: predicate pushdown substitutes a
+                     hoisted array alias back into the lambda body, so
+                     the producer runs once per lambda ITERATION —
+                     O(elements x input bytes) per row, interpreted,
+                     at the scan (llm_boilerplate_share: ~6 s → >15 min
+                     on one 500 KB doc). ensure_runtime_configs
+                     excludes InferFiltersFromGenerate (the only known
+                     source), so any future flag here means a NEW
+                     pushdown path re-opened the hazard.
+- ``producer-above-generate``  The same quadratic's Project flavor: an
+                     array producer (split/regexp/...) over a
+                     PRE-explosion column computed in a Project above a
+                     Generate — evaluated once per exploded row
+                     (llm_bm25's sibling-of-explode doc length,
+                     round 8). Producers over the Generate's own output
+                     column are per-element work and don't flag.
 - high ``exchanges`` not a defect by itself (iterative algorithms and
                      multi-table audits shuffle often) but the first
                      place to look when a query is slow.
@@ -72,7 +92,9 @@ def _parse_tree(plan: str):
         if in_tree:
             if not ln.strip():
                 break
-            m = re.match(r"^([\s:+|-]*)(\S.*?)\s*\((\d+)\)\s*$", ln)
+            # the prefix class includes '*' so WholeStageCodegen's
+            # "* Project (3)" names as "Project", not "*"
+            m = re.match(r"^([\s:+|*-]*)(\S.*?)\s*\((\d+)\)\s*$", ln)
             if not m:
                 return None
             prefix, body, nid = m.groups()
@@ -156,6 +178,93 @@ def _unbounded_global_window(plan: str) -> bool:
     return False
 
 
+#: Array/map-producing expressions that are expensive per evaluation —
+#: harmless as a HOF *argument* (evaluated once per row), quadratic when
+#: they appear inside the lambda *body* (evaluated once per iteration).
+_HOF_PRODUCERS = ("split(", "regexp_extract_all(", "from_json(",
+                  "sentences(", "str_to_map(")
+
+
+def _hof_in_filter(plan: str) -> bool:
+    """True when a Filter condition evaluates an array-producing
+    expression inside a lambda body (see module docstring: the round-8
+    huge_doc quadratic). Lambda bodies are everything after the first
+    ``lambdafunction(`` in the condition text — producers appearing
+    only BEFORE it are HOF arguments, evaluated once per row."""
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if not stripped.startswith("Condition"):
+            continue
+        pos = stripped.find("lambdafunction(")
+        if pos < 0:
+            continue
+        body = stripped[pos:]
+        if any(p in body for p in _HOF_PRODUCERS):
+            return True
+    return False
+
+
+#: Nodes a Project's per-row cost rides through unchanged on the way
+#: down to a Generate (no cardinality reset between them).
+_CARD_CHAIN = {
+    "Project", "Filter", "Sort", "Exchange", "BroadcastExchange",
+    "AQEShuffleRead", "ColumnarToRow", "InputAdapter",
+    "AdaptiveSparkPlan", "ResultQueryStage", "ShuffleQueryStage",
+    "BroadcastQueryStage", "Coalesce", "Window", "WindowGroupLimit",
+    "Generate",
+}
+
+_PRODUCER_ARG = re.compile(
+    r"(?:split|regexp_extract_all|from_json|sentences|str_to_map)"
+    r"\((\w+#\d+)"
+)
+
+
+def _producer_above_generate(plan: str) -> bool:
+    """The second huge_doc quadratic flavor: a Project that computes an
+    array producer over a PRE-EXPLOSION column while sitting above a
+    Generate — e.g. ``select(size(split(text)), explode(split(text)))``
+    plans the size() into a Project above the Generate, re-splitting
+    the full text once per exploded WORD (llm_bm25, round 8: jstack
+    showed UTF8String.split inside generate_doConsume on a 500 KB doc;
+    the sweep sat >10 min on one query). A producer over the Generate's
+    own OUTPUT column (e.g. split(word) after explode) is per-element
+    work and does not flag."""
+    parsed = _parse_tree(plan)
+    if not parsed:
+        return False
+    names, children, details = parsed
+
+    def generates_below(nid: int) -> list[int]:
+        out = []
+        for kid in children.get(nid, []):
+            nm = names.get(kid, "")
+            if nm == "Generate":
+                out.append(kid)
+            if nm in _CARD_CHAIN:
+                out.extend(generates_below(kid))
+        return out
+
+    for nid, nm in names.items():
+        if nm != "Project":
+            continue
+        out_m = re.search(r"Output \[\d+\]: \[(.*)\]", details.get(nid, ""))
+        if not out_m:
+            continue
+        args = set(_PRODUCER_ARG.findall(out_m.group(1)))
+        if not args:
+            continue
+        for gid in generates_below(nid):
+            gdet = details.get(gid, "")
+            arg_m = re.search(r"Arguments: .*?\[([^\]]*)\]\s*$", gdet, re.S)
+            generated = set(
+                a.strip() for a in (arg_m.group(1) if arg_m else "").split(",")
+            )
+            if args - generated:
+                return True
+    return False
+
+
 def audit(sf_dir: str = "/root/testdata/sf0.01") -> int:
     from pyspark.sql import SparkSession
 
@@ -193,6 +302,10 @@ def audit(sf_dir: str = "/root/testdata/sf0.01") -> int:
             flags.append("global-window")
         if "BatchEvalPython" in plan:
             flags.append("py-udf-row")
+        if _hof_in_filter(plan):
+            flags.append("hof-in-filter")
+        if _producer_above_generate(plan):
+            flags.append("producer-above-generate")
         n_exchanges = plan.count("Exchange")
         if flags or n_exchanges >= 8:
             print(f"{name}\t{','.join(flags) or '-'}\texchanges={n_exchanges}")
