@@ -47,9 +47,55 @@ def _dot(a, b):
     )
 
 
+#: The pipeline's declared embedding dimension — a constant of the
+#: embedding model (like 768 for a BERT-family encoder), not inferred
+#: from data: at 100 TB you KNOW what your encoder emits, and inferring
+#: it would cost an extra aggregate + broadcast in every vector op.
+EMBED_DIM = 64
+
+# Ragged-vector doctrine (round-8 ragged_embed axis): a vector that is
+#: PRESENT but malformed — wrong dimension (truncated write, mixed
+#: model versions), NULL elements (failed casts), or empty — cannot
+#: participate in ANY distance computation and is excluded at the scan.
+#: Whole-NULL vectors pass through to each op's documented NULL
+#: handling (e.g. llm_semdedup's null-safe collapse arm). Before this
+#: guard, a single ragged row crashed Spark ML's LSH hasher
+#: (requirement failed: columns of A don't match), broke the numpy
+#: GEMM kernels' rectangularity, and crashed every DuckDB
+#: list_inner_product oracle (NULL elements are an Invalid Input Error).
+def _well_formed():
+    return F.col("embedding").isNull() | (
+        (F.size("embedding") == EMBED_DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+
+#: The oracle twin of _well_formed(), spliced by _wf().
+_WF_SQL = (
+    "(embedding IS NULL OR (len(embedding) = 64 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0))"
+)
+
+
+def _wf(oracle: str) -> str:
+    """Apply the ragged-vector doctrine to an oracle: every scan of the
+    embeddings table reads through the well-formed filter, exactly like
+    load_embeddings on the Spark side. No-op for oracles that don't
+    read embeddings."""
+    wf = f"(SELECT * FROM embeddings WHERE {_WF_SQL})"
+    return oracle.replace("FROM embeddings", f"FROM {wf}").replace(
+        "JOIN embeddings", f"JOIN {wf}"
+    )
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan with the ragged-vector doctrine applied (see
+    _well_formed). Every vector operator loads through this."""
+    return load_table(spark, sf_dir, "embeddings").where(_well_formed())
+
+
 @query(
     "llm_sim_search",
-    oracle="""
+    oracle=_wf("""
     WITH d AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                list_dot_product(q.embedding::DOUBLE[],
@@ -62,12 +108,12 @@ def _dot(a, b):
               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
           ) AS nn_rank FROM d)
     WHERE nn_rank <= 5
-    """,
+    """),
 )
 def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors: broadcast the
     queries, one scan over candidates, per-query top-k window."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("e")
     )
     q = emb.where(F.col("vec_id") < 10).select(
@@ -141,7 +187,7 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id bigint, neighbor_id bigint, nn_rank int,"
             " cosine double, in_exact_topk boolean",
         )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id",
         _as_double(F.col("embedding")).alias("e"),
         array_to_vector(F.col("embedding")).alias("features"),
@@ -254,14 +300,14 @@ def sim_search_ann_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_sim_search_ann",
-    oracle="""
+    oracle=_wf("""
     SELECT vec_id AS query_id,
            least(5, (SELECT count(*) FROM embeddings) - 1)::BIGINT
                AS n_results,
            true AS recall_ok
     FROM embeddings
     WHERE vec_id < 10 AND (SELECT count(*) FROM embeddings) >= 2
-    """,
+    """),
 )
 def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via BucketedRandomProjectionLSH
@@ -291,7 +337,7 @@ def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_knn_label",
-    oracle="""
+    oracle=_wf("""
     WITH d AS (
         SELECT q.vec_id AS query_id, q.label AS true_label,
                c.label AS nbr_label,
@@ -315,12 +361,12 @@ def llm_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
               PARTITION BY query_id ORDER BY n_votes DESC, nbr_label
           ) AS vr FROM votes)
     WHERE vr = 1
-    """,
+    """),
 )
 def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN (k=5) majority-vote label prediction for 50 queries, with a
     deterministic tie rule (most votes, then smallest label)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
     )
     q = emb.where(F.col("vec_id") < 50).select(
@@ -362,7 +408,7 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_dedup_embed",
-    oracle="""
+    oracle=_wf("""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CASE WHEN abs(list_dot_product(a.embedding::DOUBLE[],
                                           b.embedding::DOUBLE[])) < 1e9
@@ -372,7 +418,7 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       b.embedding::DOUBLE[]) END AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
-    """,
+    """),
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold
@@ -384,7 +430,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated IN CODE to small corpora: above ``_DEDUP_EMBED_MAX_ROWS`` the
     operator switches to :func:`_dedup_embed_lsh` (bucket-join candidate
     generation, no quadratic product)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("e")
     )
     if table_row_count(sf_dir, "embeddings") > _DEDUP_EMBED_MAX_ROWS:
@@ -444,7 +490,7 @@ def _dedup_embed_lsh(emb: DataFrame, threshold: float) -> DataFrame:
 
 @query(
     "llm_multimodal_cols",
-    oracle="""
+    oracle=_wf("""
     SELECT d.doc_id, d.lang, d.n_chars, e.label,
            len(e.embedding) AS emb_dim,
            CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[],
@@ -455,14 +501,14 @@ def _dedup_embed_lsh(emb: DataFrame, threshold: float) -> DataFrame:
                                            e.embedding::DOUBLE[]))
            END AS emb_norm
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-    """,
+    """),
 )
 def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One table carrying text + vector + typed metadata: documents ⋈
     embeddings on doc_id = vec_id (1:1 at sf0.001/0.01). Verifies the
     vector column survives the join intact (dim + L2 norm)."""
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     e = _as_double(F.col("embedding"))
     return (
         docs.join(emb, docs.doc_id == emb.vec_id)
@@ -479,7 +525,7 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_multimodal_decode",
-    oracle="""
+    oracle=_wf("""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            -- zero-byte payload has no first byte: unguarded, the
@@ -491,7 +537,7 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length(encode(text)) % 640 AS fake_width,
            octet_length(encode(text)) % 480 AS fake_height
     FROM documents
-    """,
+    """),
 )
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: payloads as opaque ``binary``
@@ -604,7 +650,7 @@ def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
 
 @query(
     "llm_knn_self_join",
-    oracle="""
+    oracle=_wf("""
     WITH d AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                list_dot_product(a.embedding::DOUBLE[],
@@ -616,7 +662,7 @@ def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
           ) AS nn_rank FROM d)
     WHERE nn_rank <= 5
-    """,
+    """),
 )
 def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kNN self-join: top-5 cosine neighbors for EVERY vector (the
@@ -637,7 +683,7 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     collecting the corpus to the driver."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
     if table_row_count(sf_dir, "embeddings") > _KNN_BROADCAST_MAX_ROWS:
@@ -743,7 +789,7 @@ def sim_search_ivf_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id bigint, neighbor_id bigint, nn_rank int,"
             " cosine double, in_exact_topk boolean",
         )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
         _as_double("embedding").alias("e"),
@@ -807,14 +853,14 @@ def sim_search_ivf_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_sim_search_ivf",
-    oracle="""
+    oracle=_wf("""
     SELECT vec_id AS query_id,
            least(5, (SELECT count(*) FROM embeddings) - 1)::BIGINT
                AS n_results,
            true AS recall_ok
     FROM embeddings
     WHERE vec_id < 10 AND (SELECT count(*) FROM embeddings) >= 2
-    """,
+    """),
 )
 def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable summary of the IVF search (detail rows:
@@ -840,7 +886,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_embed_quantize",
-    oracle="""
+    oracle=_wf("""
     WITH q AS (
         SELECT vec_id, label,
                embedding::DOUBLE[] AS e,
@@ -857,7 +903,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_aggregate(qv, 'min') AS q_min,
            list_aggregate(qv, 'max') AS q_max
     FROM q
-    """,
+    """),
 )
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-style embedding quantization: clamp(floor(x·127), -128,
@@ -875,7 +921,7 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold skips it like SQL sum — round-7 zero_embed axis. All checked
     outputs are exact int64 folds over the quantized vector; the
     quantized array itself is the payload a real pipeline would write."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     qv = F.transform(
         _as_double(F.col("embedding")),
         lambda x: F.when(
@@ -907,7 +953,7 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_embed_centroid",
-    oracle="""
+    oracle=_wf("""
     WITH pos AS (
         SELECT vec_id, label,
                unnest(embedding)::DOUBLE AS x,
@@ -932,7 +978,7 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d2, 4) AS dist2,
            (label = c_label) AS is_own_centroid
     FROM ranked WHERE rn = 1
-    """,
+    """),
 )
 def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means step over the embedding corpus: compute the per-label
@@ -946,7 +992,7 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffles (aggregate-then-broadcast, 100 TB posture). Nearest
     pick rounds d2 to 6 before ranking so FP summation-order ulps can't
     flip the argmin between engines (SURVEY §5.4.2)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
     )
     cent = (
@@ -994,7 +1040,7 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_cluster_topics",
-    oracle="""
+    oracle=_wf("""
     WITH pos AS (
         SELECT vec_id, label,
                unnest(embedding)::DOUBLE AS x,
@@ -1031,7 +1077,7 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS term_rank
         FROM freq
     ) WHERE term_rank <= 3
-    """,
+    """),
 )
 def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic terms per embedding cluster: assign every vector to its
@@ -1111,7 +1157,7 @@ def _semdedup_probe(spark, sf_dir: str, full: DataFrame) -> tuple:
 
 @query(
     "llm_semdedup",
-    oracle="""
+    oracle=_wf("""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), seeds AS (
@@ -1150,7 +1196,7 @@ def _semdedup_probe(spark, sf_dir: str, full: DataFrame) -> tuple:
     SELECT a.vec_id, a.cluster,
            (d.vec_id IS NOT NULL) AS is_dup
     FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
-    """,
+    """),
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup: coarse-cluster the corpus, then
@@ -1172,7 +1218,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold compares round(cos, 6) in BOTH engines so numpy's
     pairwise summation and DuckDB's sequential fold cannot disagree at
     the boundary."""
-    full = load_table(spark, sf_dir, "embeddings").select(
+    full = load_embeddings(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     # Seed assignment as a MAP-ONLY expression: the 8 seed vectors are
@@ -1395,7 +1441,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_embedding_norm_audit",
-    oracle="""
+    oracle=_wf("""
     WITH n AS (
         SELECT label,
                sqrt(list_dot_product(embedding::DOUBLE[],
@@ -1408,7 +1454,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(nrm), 6) AS max_norm,
            bool_and(abs(nrm - 1.0) < 1e-5) AS all_unit_norm
     FROM n GROUP BY label
-    """,
+    """),
 )
 def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-store data contract, audited: every similarity operator
@@ -1420,7 +1466,7 @@ def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheapest place to catch it. Norms use the same sequential-fold
     dot product as the search operators, so the audit measures exactly
     what they compute."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     v = _as_double(F.col("embedding"))
     nrm = F.sqrt(_dot(v, v))
     n = emb.select("label", nrm.alias("nrm"))

@@ -1487,3 +1487,59 @@ def test_generate_filter_inference_stays_excluded(spark, sf_dir):
             "spark.sql.optimizer.excludedRules",
             ",".join(EXCLUDED_OPTIMIZER_RULES),
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 ragged_embed axis: present-but-malformed vectors — wrong
+# dimension (truncated writes, mixed model versions), NULL elements
+# inside a vector (failed casts), empty vectors — planted in BOTH the
+# query region (vec_id < 10: sim-search queries, semdedup seeds) and
+# mid-corpus. Before the doctrine (llm_vector._well_formed /
+# load_embeddings + the _wf() oracle splice) the sweep failed 11/13:
+# Spark ML's LSH hasher crashed on dimension mismatch, the numpy GEMM
+# kernels lost rectangularity, every DuckDB list_inner_product oracle
+# crashed on NULL elements, and centroid/topics diverged. Whole-NULL
+# vectors keep their established per-op handling (null_embed fixture
+# above).
+# ---------------------------------------------------------------------------
+
+RAGGED_EMBED_OPS = [
+    "llm_knn_label", "llm_multimodal_cols", "llm_sim_search",
+    "llm_sim_search_ann", "llm_dedup_embed", "llm_knn_self_join",
+    "llm_semdedup", "llm_cluster_topics", "llm_embed_centroid",
+    "llm_embed_quantize", "llm_embedding_norm_audit",
+    "llm_multimodal_decode", "llm_sim_search_ivf",
+]
+
+
+@pytest.fixture(scope="module")
+def ragged_embed_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_ragged_embed")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "embeddings":
+            e = tb["embedding"].to_pylist()
+            e[0] = e[0][:32]                     # short QUERY vector
+            e[1] = e[1] + e[1][:8]               # long (72-dim) query
+            e[2] = []                            # empty query vector
+            v = list(e[3])
+            v[5] = None
+            v[40] = None
+            e[3] = v                             # NULL elements, query
+            e[17] = list(e[0])                   # duplicate of the short
+            w = list(e[100])
+            w[0] = None
+            e[100] = w                           # NULL element, corpus
+            e[101] = e[101][:16]                 # short corpus vector
+            e[102] = []                          # empty corpus vector
+            tb = tb.set_column(
+                tb.schema.get_field_index("embedding"), "embedding",
+                pa.array(e, type=tb.schema.field("embedding").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_ragged_embedding_fixture_matches_oracle(spark, ragged_embed_sf):
+    bad = _compare(spark, ragged_embed_sf, RAGGED_EMBED_OPS)
+    assert not bad, "ragged-embedding divergence:\n" + "\n".join(bad)

@@ -83,6 +83,35 @@ def build_zero_embed(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_ragged_embed(out: str, rows: int) -> None:
+    """Ragged-embedding axis (round 8): the corrupt vector rows a
+    100 TB embedding store actually contains — wrong-dimension vectors
+    (truncated writes, mixed model versions), NULL elements inside a
+    vector (failed casts), an empty vector, and an exact duplicate of
+    a ragged vector. Planted BOTH in the query region (vec_id < 10 —
+    sim-search queries / semdedup seeds) and mid-corpus, so candidate
+    generation and re-ranking each meet them."""
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "embeddings":
+            e = tb["embedding"].to_pylist()
+            e[0] = e[0][:32]                         # short QUERY vector
+            e[1] = e[1] + e[1][:8]                   # long (72-dim) query
+            e[2] = []                                # empty query vector
+            v = list(e[3])
+            v[5] = None
+            v[40] = None
+            e[3] = v                                 # NULL elements, query
+            e[17] = list(e[0])                       # dup of the short vec
+            w = list(e[100])
+            w[0] = None
+            e[100] = w                               # NULL element, corpus
+            e[101] = e[101][:16]                     # short corpus vector
+            e[102] = []                              # empty corpus vector
+            tb = _set(tb, "embedding", e)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 def build_tiny(out: str, rows: int) -> None:
     for t in TABLES:
         tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
@@ -336,6 +365,7 @@ AXES = {
     "clock_tz": build_clock_tz,
     "huge_doc": build_huge_doc,
     "zero_embed": build_zero_embed,
+    "ragged_embed": build_ragged_embed,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
     "combined2": build_combined2,
