@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymapreduce_spark.io import table_row_count
+from pymapreduce_spark.operators.llm_vector import _wf
 from pymapreduce_spark.registry import query
 
 
@@ -140,7 +141,7 @@ def connected_components(
 
 @query(
     "graph_components",
-    oracle="""
+    oracle=_wf("""
     WITH RECURSIVE d AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_dot_product(a.embedding::DOUBLE[],
@@ -162,7 +163,7 @@ def connected_components(
     labels AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
     SELECT component, count(*) AS n_nodes
     FROM labels GROUP BY component
-    """,
+    """),
 )
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the 1-NN similarity graph: each vector
@@ -189,7 +190,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_pagerank",
-    oracle="""
+    oracle=_wf("""
     WITH d AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_dot_product(a.embedding::DOUBLE[],
@@ -224,7 +225,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                               FROM nn e JOIN s4 ON s4.node = e.src
                               GROUP BY e.dst) inc USING (node))
     SELECT node, s::BIGINT AS pr_scaled FROM s5
-    """,
+    """),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 iterations, damping 0.85) over the 1-NN similarity
@@ -276,7 +277,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_degrees",
-    oracle="""
+    oracle=_wf("""
     WITH d AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_dot_product(a.embedding::DOUBLE[],
@@ -294,7 +295,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT in_degree, count(*) AS n_nodes
     FROM deg GROUP BY in_degree
-    """,
+    """),
 )
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree distribution of the 1-NN similarity graph: how many
@@ -323,7 +324,7 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_triangles",
-    oracle="""
+    oracle=_wf("""
     WITH d AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_dot_product(a.embedding::DOUBLE[],
@@ -361,7 +362,7 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / nullif((SELECT (sum(dg * (dg - 1))::BIGINT / 2)::BIGINT
                            FROM deg), 0), 4) AS clustering
     FROM tri
-    """,
+    """),
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the 3-NN
@@ -431,7 +432,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_bfs_distance",
-    oracle="""
+    oracle=_wf("""
     WITH RECURSIVE d AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_dot_product(a.embedding::DOUBLE[],
@@ -455,7 +456,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     best AS (SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY node)
     SELECT dist, count(*)::BIGINT AS n_nodes
     FROM best GROUP BY dist
-    """,
+    """),
 )
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the 1-NN similarity graph: hop distance
@@ -517,7 +518,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_common_neighbors",
-    oracle="""
+    oracle=_wf("""
     WITH d AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_dot_product(a.embedding::DOUBLE[],
@@ -548,7 +549,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN deg db ON db.node = w.b
     LEFT JOIN linked l ON l.src = w.a AND l.dst = w.b
     WHERE l.src IS NULL AND w.common >= 2
-    """,
+    """),
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction over the 3-NN similarity graph:

@@ -1509,6 +1509,11 @@ RAGGED_EMBED_OPS = [
     "llm_semdedup", "llm_cluster_topics", "llm_embed_centroid",
     "llm_embed_quantize", "llm_embedding_norm_audit",
     "llm_multimodal_decode", "llm_sim_search_ivf",
+    # the similarity-graph family: Spark side already flows through the
+    # doctrine via llm_knn_self_join, but each oracle re-declares the
+    # kNN edge set from raw embeddings and needed the _wf() splice too
+    "graph_components", "graph_pagerank", "graph_degrees",
+    "graph_triangles", "graph_bfs_distance", "graph_common_neighbors",
 ]
 
 

@@ -112,6 +112,52 @@ def build_ragged_embed(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_dup_ids(out: str, rows: int) -> None:
+    """Duplicate-primary-key axis (round 8): the same doc_id / vec_id /
+    event_id / o_orderkey on MULTIPLE rows with DIFFERENT payloads —
+    what a dirty upstream join or a replayed ingest actually produces.
+    Probes every uniqueness assumption: 1:1 joins fan out, per-key
+    windows get tied partitions, and any pick-one path (first/any_value
+    without a total order) splits engines unless deterministically
+    tie-broken. Payloads differ so a nondeterministic pick is VISIBLE,
+    not masked by identical copies."""
+    import pyarrow as _pa
+
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "documents":
+            dup = tb.slice(0, 5).to_pylist()
+            for i, r in enumerate(dup):
+                r["text"] = (r["text"] or "") + f" dup{i}"
+                r["n_chars"] = len(r["text"])
+            tb = _pa.concat_tables(
+                [tb, _pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        elif t == "embeddings":
+            dup = tb.slice(0, 5).to_pylist()
+            for r in dup:
+                r["embedding"] = [-x for x in r["embedding"]]
+                r["label"] = (r["label"] + 1) % 3
+            tb = _pa.concat_tables(
+                [tb, _pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        elif t == "events":
+            dup = tb.slice(0, 8).to_pylist()
+            for i, r in enumerate(dup):
+                r["value"] = (r["value"] or 0) + 1000 + i
+            tb = _pa.concat_tables(
+                [tb, _pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        elif t == "orders":
+            dup = tb.slice(0, 5).to_pylist()
+            for r in dup:
+                r["o_totalprice"] = round((r["o_totalprice"] or 0) + 1, 2)
+            tb = _pa.concat_tables(
+                [tb, _pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 def build_tiny(out: str, rows: int) -> None:
     for t in TABLES:
         tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
@@ -366,6 +412,7 @@ AXES = {
     "huge_doc": build_huge_doc,
     "zero_embed": build_zero_embed,
     "ragged_embed": build_ragged_embed,
+    "dup_ids": build_dup_ids,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
     "combined2": build_combined2,
