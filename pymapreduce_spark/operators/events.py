@@ -409,15 +409,18 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                time_bucket(INTERVAL '15 minutes', tsu) AS bucket,
                tsu, event_id, value,
+               -- value is the FINAL tie-break (dup_ids axis: duplicate
+               -- event_ids with different payloads); NULL order pinned
+               -- to Spark's struct comparison (NULL smallest)
                row_number() OVER (
                    PARTITION BY event_type,
                                 time_bucket(INTERVAL '15 minutes', tsu)
-                   ORDER BY tsu, event_id
+                   ORDER BY tsu, event_id, value NULLS FIRST
                ) AS rn_a,
                row_number() OVER (
                    PARTITION BY event_type,
                                 time_bucket(INTERVAL '15 minutes', tsu)
-                   ORDER BY tsu DESC, event_id DESC
+                   ORDER BY tsu DESC, event_id DESC, value DESC NULLS LAST
                ) AS rn_d
         FROM e
     )
@@ -475,7 +478,7 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, event_type, value,
                list(value) OVER (
                    PARTITION BY event_type
-                   ORDER BY tsu DESC, event_id DESC
+                   ORDER BY tsu DESC, event_id DESC, value DESC
                    ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING
                ) AS vals
         FROM e
@@ -512,11 +515,17 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL observations are excluded from the series BEFORE windowing
     (both engines): an EWMA is defined over observed values, and
     leaving NULLs in would either zero-fill them (biasing the average)
-    or poison the window frame."""
+    or poison the window frame.
+
+    The series order carries `value` as the FINAL tie-break: event_id
+    alone is not a total order when a replayed ingest duplicates an id
+    with a different payload (round-8 dup_ids axis), and a sequential
+    accumulation is exactly where an undefined order between dup rows
+    splits engines."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id", "value")
     num = None
     for i in range(10):
         term = (
@@ -795,7 +804,8 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), paired AS (
         SELECT event_id, event_type, tsu, v,
                lag(v) OVER (PARTITION BY event_type
-                            ORDER BY tsu, event_id) AS p
+                            ORDER BY tsu, event_id,
+                                     v NULLS FIRST) AS p
         FROM v
     ), framed AS (
         SELECT event_id, event_type,
@@ -805,8 +815,9 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(v * p) OVER w AS sxy
         FROM paired
         WHERE p IS NOT NULL
-        WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        WINDOW w AS (PARTITION BY event_type
+                 ORDER BY tsu, event_id, v NULLS FIRST
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, event_type,
            round(
@@ -847,13 +858,13 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 100).try_cast("long").alias("v"),
     )
-    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id", "v")
     paired = v.withColumn("p", F.lag("v").over(wlag)).where(
         F.col("p").isNotNull()
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "v")
         .rowsBetween(-19, 0)
     )
     framed = paired.select(
@@ -1497,7 +1508,8 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), d AS (
         SELECT event_id, event_type, tsu,
                vc - lag(vc) OVER (PARTITION BY event_type
-                                  ORDER BY tsu, event_id) AS diff
+                                  ORDER BY tsu, event_id,
+                                           vc NULLS FIRST) AS diff
         FROM v
     ), framed AS (
         SELECT event_id, event_type,
@@ -1507,7 +1519,8 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ::BIGINT AS losses,
                count(*) OVER w AS n
         FROM d WHERE diff IS NOT NULL
-        WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY tsu, event_id, diff NULLS FIRST
                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, event_type,
@@ -1526,8 +1539,8 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on. One shuffle on the series key, constant frame
     state. NULL event times are excluded (null-ts doctrine)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
     vc = F.round(F.col("value") * 100).try_cast("long")
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id", vc)
     d = ev.select(
         "event_id",
         "event_type",
@@ -1536,7 +1549,7 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("diff").isNotNull())
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "diff")
         .rowsBetween(-13, 0)
     )
     gains = F.sum(
@@ -1925,16 +1938,18 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE ts IS NOT NULL
     ), curve AS (
-        SELECT event_type, tsu, event_id,
+        SELECT event_type, tsu, event_id, delta_c,
                sum(delta_c) OVER w AS equity
         FROM v
-        WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY tsu, event_id, delta_c NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), peaked AS (
         SELECT event_type, equity,
                max(equity) OVER w2 AS run_peak
         FROM curve
-        WINDOW w2 AS (PARTITION BY event_type ORDER BY tsu, event_id
+        WINDOW w2 AS (PARTITION BY event_type
+                      ORDER BY tsu, event_id, delta_c NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_type,
@@ -1955,19 +1970,26 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. NULL event times are excluded (null-ts doctrine: the
     curve IS the time order)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     delta = F.round(F.col("value") * 100).try_cast("long") - 2000
+    # delta is the FINAL tie-break (dup_ids axis): an order-sensitive
+    # running sum must be total-ordered even across duplicate event_ids
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id", delta)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = ev.select(
         "event_type",
         F.sum(delta).over(run).alias("equity"),
         "ts",
         "event_id",
+        delta.alias("delta_c"),
     )
+    # identical sort keys as w, so the two windows still share one sort
+    w2 = Window.partitionBy("event_type").orderBy(
+        "ts", "event_id", "delta_c"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     peaked = curve.select(
         "event_type",
         "equity",
-        F.max("equity").over(run).alias("run_peak"),
+        F.max("equity").over(w2).alias("run_peak"),
     )
     return peaked.groupBy("event_type").agg(
         F.max(F.col("run_peak") - F.col("equity")).alias(

@@ -209,8 +209,14 @@ def cluster_near_duplicates(
 @query(
     "llm_dedup_fuzzy",
     oracle="""
-    WITH RECURSIVE w AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    WITH RECURSIVE canon AS (
+        -- one canonical text per doc_id (min text, mirroring the
+        -- vector doctrine): duplicate ids with conflicting texts
+        -- (dup_ids axis) otherwise make every doc_id-keyed stage of
+        -- the pipeline incoherent on both engines
+        SELECT doc_id, min(text) AS text FROM documents GROUP BY doc_id
+    ), w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM canon
     ), sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -250,7 +256,7 @@ def cluster_near_duplicates(
         SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
     ), lab AS (
         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        FROM canon d LEFT JOIN comp c ON c.node = d.doc_id
     ), sizes AS (
         SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
     )
@@ -287,7 +293,14 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates from equi-joins on band keys (never a cross
     join), verification touches candidates only, components via the
     checkpointed Pregel kernel — no driver-side data."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one canonical text per doc_id (min text): the id is the document's
+    # identity, so duplicate ids with conflicting texts (dup_ids axis)
+    # collapse deterministically before any doc_id-keyed stage
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
     labels = cluster_near_duplicates(docs)
     sh = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id", F.expr(_SHINGLES_EXPR).alias("sh")
@@ -898,7 +911,9 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), df AS (
         SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
     ), n AS (
-        SELECT count(*) AS n_docs FROM docs
+        -- the DOCUMENT is the doc_id, not the row: duplicate ids
+        -- (dup_ids axis) pool into one document on both sides
+        SELECT count(DISTINCT doc_id) AS n_docs FROM docs
     ), w AS (
         SELECT tf.doc_id, tf.word,
                tf.tf * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0)) AS weight
@@ -947,7 +962,16 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, top_term string, top_weight double"
         )
-    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    # the DOCUMENT is the doc_id: rows colliding on doc_id (dup_ids
+    # axis) pool into one document before the fit, or CountVectorizer's
+    # row-based doc frequencies and N diverge from the id-based oracle.
+    # sort_array makes the pooled multiset's ARRAY deterministic (tf is
+    # order-insensitive, but the fitted vocabulary order is not).
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("w0"))
+        .groupBy("doc_id")
+        .agg(F.flatten(F.sort_array(F.collect_list("w0"))).alias("words"))
+    )
     # vocabSize must exceed the corpus vocabulary: CountVectorizer
     # silently truncates to the top-frequency vocabSize terms, which
     # would drop rare terms from the idf table while the oracle keeps
@@ -2821,10 +2845,15 @@ def llm_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_lsh_diagnostics",
     oracle="""
+    -- the signature unit is the document ROW (rid), matching the
+    -- per-row Spark pipeline: rows colliding on doc_id (dup_ids axis)
+    -- each carry their own signature and land in buckets separately
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        SELECT row_number() OVER (ORDER BY doc_id, text) AS rid,
+               string_split(text, ' ') AS words
+        FROM documents
     ), sh AS (
-        SELECT doc_id,
+        SELECT rid,
                list_distinct(list_transform(
                    range(1, greatest(len(words) - 2, 1) + 1),
                    i -> concat_ws(' ', words[i],
@@ -2832,13 +2861,13 @@ def llm_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   words[least(i + 2, len(words))]))) AS sh
         FROM w
     ), sig AS (
-        SELECT doc_id, i, min(substr(md5(s || '#' || i), 1, 16)) AS h
-        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+        SELECT rid, i, min(substr(md5(s || '#' || i), 1, 16)) AS h
+        FROM (SELECT rid, unnest(sh) AS s FROM sh)
         CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS idx
-        GROUP BY doc_id, i
+        GROUP BY rid, i
     ), bands AS (
-        SELECT doc_id, i // 2 AS b, string_agg(h, '|' ORDER BY i) AS key
-        FROM sig GROUP BY doc_id, i // 2
+        SELECT rid, i // 2 AS b, string_agg(h, '|' ORDER BY i) AS key
+        FROM sig GROUP BY rid, i // 2
     ), buckets AS (
         SELECT b, key, count(*)::BIGINT AS c FROM bands GROUP BY b, key
     )

@@ -77,20 +77,77 @@ _WF_SQL = (
 
 
 def _wf(oracle: str) -> str:
-    """Apply the ragged-vector doctrine to an oracle: every scan of the
-    embeddings table reads through the well-formed filter, exactly like
-    load_embeddings on the Spark side. No-op for oracles that don't
-    read embeddings."""
-    wf = f"(SELECT * FROM embeddings WHERE {_WF_SQL})"
+    """Apply the vector-scan doctrine to an oracle: every scan of the
+    embeddings table reads through the well-formed filter AND the
+    per-vec_id canonicalization, exactly like load_embeddings on the
+    Spark side. NULLS LAST is pinned explicitly — Spark defaults ASC to
+    NULLS FIRST, DuckDB to NULLS LAST, so an unpinned order would pick
+    different canonical rows when a whole-NULL vector shares an id with
+    a real one. No-op for oracles that don't read embeddings."""
+    wf = (
+        "(SELECT vec_id, embedding, label FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY embedding NULLS LAST, label NULLS LAST) AS rn__ "
+        f"FROM embeddings WHERE {_WF_SQL}) WHERE rn__ = 1)"
+    )
     return oracle.replace("FROM embeddings", f"FROM {wf}").replace(
         "JOIN embeddings", f"JOIN {wf}"
     )
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings scan with the ragged-vector doctrine applied (see
-    _well_formed). Every vector operator loads through this."""
-    return load_table(spark, sf_dir, "embeddings").where(_well_formed())
+    """embeddings scan with the vector-scan doctrine applied: the
+    well-formed filter (_well_formed) plus ONE canonical row per
+    vec_id — the lexicographically smallest (embedding, label), NULLS
+    LAST. Duplicate-id rows with CONFLICTING payloads (round-8 dup_ids
+    axis: a dirty upstream join or replayed ingest) otherwise split the
+    engines wherever a kernel is id-indexed: the broadcast GEMM keeps
+    one matrix row per id while a SQL join fans out, LSH buckets count
+    both copies, and k-means seeds differ. Canonicalization is a
+    deterministic function of the row SET (order-insensitive), so both
+    engines converge on the same corpus. Cost: one row_number window on
+    vec_id — partial at 100 TB scale (a production deployment enforces
+    id uniqueness at ingest and can drop this guard; here it is the
+    engine's defined semantics, not an optional cleanup). Every vector
+    operator loads through this."""
+    wf = load_table(spark, sf_dir, "embeddings").where(_well_formed())
+    if not _needs_canonicalization(spark, sf_dir, wf):
+        return wf
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc_nulls_last("embedding"), F.asc_nulls_last("label")
+    )
+    return (
+        wf.withColumn("rn__", F.row_number().over(w))
+        .where(F.col("rn__") == 1)
+        .drop("rn__")
+    )
+
+
+#: (applicationId, sf_dir) -> whether the embeddings table needs the
+#: per-vec_id canonicalization window. Purely an optimization memo: the
+#: window is a no-op on unique non-NULL ids, so skipping it never
+#: changes results — and the gate condition count(*) != count_distinct
+#: (vec_id) is TRUE whenever any id duplicates OR any id is NULL
+#: (count(*) counts NULL rows, count_distinct doesn't), the two cases
+#: where the window does real work. One column-pruned scan + global
+#: aggregate per session per dataset; a production store with
+#: ingest-enforced unique ids never pays the window at all.
+_CANON_MEMO: dict[tuple[str, str], bool] = {}
+
+
+def _needs_canonicalization(spark, sf_dir: str, wf: DataFrame) -> bool:
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    need = _CANON_MEMO.get(key)
+    if need is None:
+        row = wf.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("vec_id").alias("d"),
+        ).first()
+        need = row["n"] != row["d"]
+        _CANON_MEMO[key] = need
+    return need
 
 
 @query(

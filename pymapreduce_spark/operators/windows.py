@@ -312,7 +312,8 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, event_type,
            median(vc) OVER (
-               PARTITION BY event_type ORDER BY tsu, event_id
+               PARTITION BY event_type
+               ORDER BY tsu, event_id, vc NULLS FIRST
                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW
            ) / 100.0 AS rolling_median
     FROM v
@@ -333,12 +334,14 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one windows-family op whose state is O(frame), and the frame
     is a constant. NULL event times are excluded (null-ts axis)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    vc = F.round(F.col("value") * 100).try_cast("long")
+    # vc is the FINAL tie-break (dup_ids axis): duplicate event_ids
+    # with different payloads need a total order for the frame walk
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", vc)
         .rowsBetween(-20, 0)
     )
-    vc = F.round(F.col("value") * 100).try_cast("long")
     frame = F.array_sort(F.collect_list(vc).over(w))
     n = F.size(frame)
     mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))

@@ -1548,3 +1548,77 @@ def ragged_embed_sf(tmp_path_factory) -> str:
 def test_ragged_embedding_fixture_matches_oracle(spark, ragged_embed_sf):
     bad = _compare(spark, ragged_embed_sf, RAGGED_EMBED_OPS)
     assert not bad, "ragged-embedding divergence:\n" + "\n".join(bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 dup_ids axis: duplicate primary keys with DIFFERENT payloads —
+# a dirty upstream join or replayed ingest. The sweep failed 20/305 in
+# three classes, each now a doctrine:
+# 1. id-indexed vector kernels (knn GEMM, LSH buckets, k-means seeds,
+#    the whole graph family) — fixed by load_embeddings' canonical row
+#    per vec_id (lexicographically smallest (embedding, label), NULLS
+#    LAST pinned: Spark defaults NULLS FIRST, DuckDB NULLS LAST).
+# 2. order-sensitive event accumulations (ewma/rsi/rolling corr/
+#    drawdown/rolling median/OHLC picks) — (ts, event_id) is not a
+#    total order under id collisions; the measure column is now the
+#    FINAL tie-break on both sides.
+# 3. doc_id-keyed text pipelines — tfidf_ml pools rows into one
+#    document per id before the fit (and its oracle counts DISTINCT
+#    ids); dedup_fuzzy canonicalizes min(text) per id;
+#    lsh_diagnostics' oracle moved to per-ROW signatures (rid), the
+#    unit its Spark side always had.
+# ---------------------------------------------------------------------------
+
+DUP_IDS_OPS = [
+    "llm_knn_self_join", "llm_lsh_diagnostics", "llm_semdedup",
+    "llm_cluster_topics", "llm_sim_search_ann", "llm_sim_search_ivf",
+    "graph_components", "graph_pagerank", "graph_degrees",
+    "graph_triangles", "graph_bfs_distance", "graph_common_neighbors",
+    "ts_ewma", "ts_resample_ohlc", "ts_rolling_corr", "ts_rsi",
+    "ts_max_drawdown", "win_rolling_median",
+    "llm_tfidf_ml", "llm_dedup_fuzzy",
+]
+
+
+@pytest.fixture(scope="module")
+def dup_ids_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_dup_ids")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "documents":
+            dup = tb.slice(0, 5).to_pylist()
+            for i, r in enumerate(dup):
+                r["text"] = (r["text"] or "") + f" dup{i}"
+                r["n_chars"] = len(r["text"])
+            tb = pa.concat_tables(
+                [tb, pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        elif t == "embeddings":
+            dup = tb.slice(0, 5).to_pylist()
+            for r in dup:
+                r["embedding"] = [-x for x in r["embedding"]]
+                r["label"] = (r["label"] + 1) % 3
+            tb = pa.concat_tables(
+                [tb, pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        elif t == "events":
+            dup = tb.slice(0, 8).to_pylist()
+            for i, r in enumerate(dup):
+                r["value"] = (r["value"] or 0) + 1000 + i
+            tb = pa.concat_tables(
+                [tb, pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        elif t == "orders":
+            dup = tb.slice(0, 5).to_pylist()
+            for r in dup:
+                r["o_totalprice"] = round((r["o_totalprice"] or 0) + 1, 2)
+            tb = pa.concat_tables(
+                [tb, pa.Table.from_pylist(dup, schema=tb.schema)]
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_dup_ids_fixture_matches_oracle(spark, dup_ids_sf):
+    bad = _compare(spark, dup_ids_sf, DUP_IDS_OPS)
+    assert not bad, "duplicate-id divergence:\n" + "\n".join(bad)

@@ -424,7 +424,7 @@ AXES = {
 
 
 def run(axis: str, rows: int, only: list[str] | None,
-        tz: str | None = None) -> int:
+        tz: str | None = None, time_queries: bool = False) -> int:
     import tempfile
     import time as _time
 
@@ -467,7 +467,9 @@ def run(axis: str, rows: int, only: list[str] | None,
     queries, oracles = entry.queries(), entry.oracle_sql()
     names = [n for n in queries if not only or n in only]
     bad = 0
+    slow: list[tuple[float, str]] = []
     for i, name in enumerate(names):
+        t_q = _time.time()
         try:
             if tz:
                 # re-poison before EVERY query: each op's own defensive
@@ -478,6 +480,11 @@ def run(axis: str, rows: int, only: list[str] | None,
             sdf = queries[name](spark, out)
             si = sorted(range(len(sdf.columns)), key=lambda j: sdf.columns[j])
             got = sorted(tuple(str(r[j]) for j in si) for r in sdf.collect())
+            if time_queries:
+                el = _time.time() - t_q
+                slow.append((el, name))
+                if el > 5.0:
+                    print(f"SLOW {name}: {el:.1f}s", flush=True)
         except Exception:
             print(f"FAIL {name}: SPARK CRASH", flush=True)
             traceback.print_exc(limit=3)
@@ -508,6 +515,13 @@ def run(axis: str, rows: int, only: list[str] | None,
             bad += 1
         if (i + 1) % 25 == 0:
             print(f"  ... {i + 1}/{len(names)} ({bad} bad)", flush=True)
+    if time_queries and slow:
+        # a hostile fixture's latency outliers are the near-quadratics
+        # that FINISH inside the sweep — the huge_doc hangs were only
+        # the ones that didn't
+        top = sorted(slow, reverse=True)[:10]
+        print("slowest:", ", ".join(f"{n}={s:.1f}s" for s, n in top),
+              flush=True)
     print(f"DONE axis={axis}: {bad}/{len(names)} divergent/crashed", flush=True)
     return bad
 
@@ -523,6 +537,13 @@ if __name__ == "__main__":
              "(e.g. Asia/Kathmandu — +05:45 breaks epoch-aligned "
              "bucketing that leaks the session tz)",
     )
+    ap.add_argument(
+        "--time", action="store_true",
+        help="print per-query wall time outliers (>5 s) and a slowest-10 "
+             "summary — catches near-quadratics that finish inside the "
+             "sweep instead of hanging it",
+    )
     a = ap.parse_args()
     only = [s for s in a.only.split(",") if s] or None
-    sys.exit(min(run(a.axis, a.rows, only, tz=a.tz or None), 99))
+    sys.exit(min(run(a.axis, a.rows, only, tz=a.tz or None,
+                     time_queries=a.time), 99))
