@@ -387,12 +387,12 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT user_id,
            first_value(event_type) OVER w AS first_type,
            last_value(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+               PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS last_type
     FROM events
     WHERE ts IS NOT NULL
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id NULLS FIRST)
     """,
 )
 def agg_first_last_any(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,11 +38,11 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
                          OR lag(mu) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST)
     ), sessions AS (
         SELECT user_id, tsu, mu,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY tsu, event_id
+                   PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                )::BIGINT AS session_id
         FROM flagged
@@ -360,7 +360,7 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(CASE WHEN event_type = 'purchase'
                       THEN TRY_CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
                OVER (PARTITION BY user_id
-                     ORDER BY ts::TIMESTAMP, event_id
+                     ORDER BY ts::TIMESTAMP, event_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                / 100.0 AS last_purchase_value
     FROM events
@@ -415,12 +415,12 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (
                    PARTITION BY event_type,
                                 time_bucket(INTERVAL '15 minutes', tsu)
-                   ORDER BY tsu, event_id, value NULLS FIRST
+                   ORDER BY tsu, event_id NULLS FIRST, value NULLS FIRST
                ) AS rn_a,
                row_number() OVER (
                    PARTITION BY event_type,
                                 time_bucket(INTERVAL '15 minutes', tsu)
-                   ORDER BY tsu DESC, event_id DESC, value DESC NULLS LAST
+                   ORDER BY tsu DESC, event_id DESC NULLS LAST, value DESC NULLS LAST
                ) AS rn_d
         FROM e
     )
@@ -478,7 +478,7 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, event_type, value,
                list(value) OVER (
                    PARTITION BY event_type
-                   ORDER BY tsu DESC, event_id DESC, value DESC
+                   ORDER BY tsu DESC, event_id DESC NULLS LAST, value DESC
                    ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING
                ) AS vals
         FROM e
@@ -804,7 +804,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), paired AS (
         SELECT event_id, event_type, tsu, v,
                lag(v) OVER (PARTITION BY event_type
-                            ORDER BY tsu, event_id,
+                            ORDER BY tsu, event_id NULLS FIRST,
                                      v NULLS FIRST) AS p
         FROM v
     ), framed AS (
@@ -816,7 +816,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM paired
         WHERE p IS NOT NULL
         WINDOW w AS (PARTITION BY event_type
-                 ORDER BY tsu, event_id, v NULLS FIRST
+                 ORDER BY tsu, event_id NULLS FIRST, v NULLS FIRST
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, event_type,
@@ -918,7 +918,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- with a different type (round-7 combined2 axis) the
                -- letters still concatenate in one total order
                string_agg(initial, ''
-                          ORDER BY tsu, event_id, initial) AS journey
+                          ORDER BY tsu, event_id NULLS FIRST, initial) AS journey
         FROM e GROUP BY user_id
     )
     SELECT user_id, journey,
@@ -1086,21 +1086,21 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), carried AS (
         SELECT user_id, mu, side, event_id,
                last_value(view_event_id IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   PARTITION BY user_id ORDER BY mu, side, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS prev_id,
                last_value(CASE WHEN side = 0 THEN mu END IGNORE NULLS)
                    OVER (
-                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   PARTITION BY user_id ORDER BY mu, side, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS prev_mu,
                first_value(view_event_id IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   PARTITION BY user_id ORDER BY mu, side, event_id NULLS FIRST
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                ) AS next_id,
                first_value(CASE WHEN side = 0 THEN mu END IGNORE NULLS)
                    OVER (
-                   PARTITION BY user_id ORDER BY mu, side, event_id
+                   PARTITION BY user_id ORDER BY mu, side, event_id NULLS FIRST
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                ) AS next_mu
         FROM tagged
@@ -1252,11 +1252,11 @@ def ts_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             OR lag(mu) OVER w IS NULL
                        THEN 1 ELSE 0 END AS is_new
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST)
     ), sess AS (
         SELECT user_id, event_type, value,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY tsu, event_id
+                   PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                )::BIGINT AS session_id
         FROM flagged
@@ -1508,7 +1508,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), d AS (
         SELECT event_id, event_type, tsu,
                vc - lag(vc) OVER (PARTITION BY event_type
-                                  ORDER BY tsu, event_id,
+                                  ORDER BY tsu, event_id NULLS FIRST,
                                            vc NULLS FIRST) AS diff
         FROM v
     ), framed AS (
@@ -1520,7 +1520,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER w AS n
         FROM d WHERE diff IS NOT NULL
         WINDOW w AS (PARTITION BY event_type
-                     ORDER BY tsu, event_id, diff NULLS FIRST
+                     ORDER BY tsu, event_id NULLS FIRST, diff NULLS FIRST
                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, event_type,
@@ -1639,11 +1639,11 @@ def ts_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR lag(mu) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST)
     ), sess AS (
         SELECT user_id,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY tsu, event_id
+                   PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM flagged
@@ -1795,7 +1795,7 @@ def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            (lead(mu) OVER w - mu) AS us_to_next_purchase,
            (lead(mu) OVER w IS NULL) AS is_latest
     FROM p
-    WINDOW w AS (PARTITION BY user_id ORDER BY mu, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY mu, event_id NULLS FIRST)
     """,
 )
 def ts_repurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,7 +1831,7 @@ def ts_repurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), d AS (
         SELECT event_type,
                lead(mu) OVER (PARTITION BY user_id
-                              ORDER BY mu, event_id) - mu AS dwell
+                              ORDER BY mu, event_id NULLS FIRST) - mu AS dwell
         FROM e
     )
     SELECT event_type,
@@ -1942,14 +1942,14 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(delta_c) OVER w AS equity
         FROM v
         WINDOW w AS (PARTITION BY event_type
-                     ORDER BY tsu, event_id, delta_c NULLS FIRST
+                     ORDER BY tsu, event_id NULLS FIRST, delta_c NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), peaked AS (
         SELECT event_type, equity,
                max(equity) OVER w2 AS run_peak
         FROM curve
         WINDOW w2 AS (PARTITION BY event_type
-                      ORDER BY tsu, event_id, delta_c NULLS FIRST
+                      ORDER BY tsu, event_id NULLS FIRST, delta_c NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_type,

@@ -243,7 +243,7 @@ def api_map_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT user_id, ts::TIMESTAMP AS tsu, event_id, event_type,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts::TIMESTAMP, event_id) AS rn
+                                  ORDER BY ts::TIMESTAMP, event_id NULLS FIRST) AS rn
         FROM events
     )
     SELECT user_id,

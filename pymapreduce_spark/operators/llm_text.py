@@ -902,7 +902,12 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_tfidf_ml",
     oracle="""
     WITH docs AS (
-        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        -- identity-less or text-less rows are not documents here: the
+        -- output is keyed by doc_id and N/df must agree across engines
+        -- (count(DISTINCT doc_id) skips NULLs; a pooled NULL-id group
+        -- would still count rows — null_ids axis)
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ), tf AS (
         SELECT doc_id, word, count(*)::DOUBLE AS tf
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
@@ -954,7 +959,7 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .where(F.col("text").isNotNull())
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
     )
     # CountVectorizer.fit on an empty (or all-NULL-text) corpus has no
     # vocabulary to learn
@@ -1061,7 +1066,7 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cum AS (
         SELECT doc_id, source, n_tokens,
                coalesce(sum(n_tokens) OVER (
-                   PARTITION BY source ORDER BY doc_id
+                   PARTITION BY source ORDER BY doc_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS cum_before
         FROM toks
@@ -1246,9 +1251,13 @@ def llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_inverted_index",
     oracle="""
     WITH postings AS (
+        -- identity-less docs can't be retrieved: NULL doc_ids are no
+        -- postings (null_ids axis; Spark's collect_set skips NULLs,
+        -- DuckDB's list() keeps them — filter before the explode on
+        -- both sides)
         SELECT word, list_sort(list(DISTINCT doc_id)) AS docs
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
-              FROM documents)
+              FROM documents WHERE doc_id IS NOT NULL)
         GROUP BY word
     )
     SELECT word, len(docs) AS n_docs,
@@ -1267,7 +1276,9 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary fields — at 100 TB postings are written per-word-bucket to
     parquet, not returned; one shuffle keyed by word,
     partial-aggregated map-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     postings = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -2136,13 +2147,23 @@ def llm_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
-            hx = pdf["doc_id"].map(
-                lambda d: hashlib.md5(str(d).encode()).hexdigest()
+            ids = pdf["doc_id"]
+            # a single NULL id flips the Arrow->pandas dtype to float64
+            # (round-8 null_ids axis): str(d) then renders "5.0", not
+            # "5", silently changing EVERY row's hash — go through
+            # int(d) for present ids and emit NULL logits for NULL ids
+            # (the oracle's md5(NULL) does the same)
+            hx = ids.map(
+                lambda d: None
+                if pd.isna(d)
+                else hashlib.md5(str(int(d)).encode()).hexdigest()
             )
-            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            out = pd.DataFrame({"doc_id": ids})
             for i in range(3):
-                out[f"logit_{i}"] = (
-                    hx.str[i].map("0123456789abcdef".index) / 15.0 - 0.5
+                out[f"logit_{i}"] = hx.map(
+                    lambda h, i=i: None
+                    if h is None
+                    else "0123456789abcdef".index(h[i]) / 15.0 - 0.5
                 )
             yield out
 
@@ -2462,9 +2483,12 @@ def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs_n AS (
         SELECT count(*)::BIGINT AS n FROM documents
     ), dfreq AS (
+        -- NULL doc_ids carry no document frequency (null_ids axis:
+        -- Spark's distinct() pools the NULL ids into one counted row,
+        -- DuckDB's count(DISTINCT) skips them — filter on both sides)
         SELECT word, count(DISTINCT doc_id)::BIGINT AS df
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
-              FROM documents)
+              FROM documents WHERE doc_id IS NOT NULL)
         GROUP BY word
     )
     SELECT word, df,
@@ -2492,7 +2516,8 @@ def llm_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").alias("n"))
     dfreq = (
-        docs.select(
+        docs.where(F.col("doc_id").isNotNull())
+        .select(
             "doc_id", F.explode(F.split("text", " ")).alias("word")
         )
         .distinct()
@@ -2967,7 +2992,7 @@ def llm_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM posting GROUP BY doc_id
     )
     SELECT doc_id, score,
-           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           row_number() OVER (ORDER BY score DESC, doc_id NULLS FIRST) AS rank
     FROM scored
     QUALIFY rank <= 5
     """,

@@ -64,15 +64,21 @@ EMBED_DIM = 64
 #: GEMM kernels' rectangularity, and crashed every DuckDB
 #: list_inner_product oracle (NULL elements are an Invalid Input Error).
 def _well_formed():
-    return F.col("embedding").isNull() | (
-        (F.size("embedding") == EMBED_DIM)
-        & ~F.exists("embedding", lambda x: x.isNull())
+    # a NULL vec_id is malformed too (round-8 null_ids axis): the id IS
+    # the row's identity, and an identity-less vector poisons every
+    # id-indexed kernel downstream (numpy int64 coerces None to
+    # Long.MIN_VALUE; the Pregel kernel crashes on a NULL node)
+    return F.col("vec_id").isNotNull() & (
+        F.col("embedding").isNull() | (
+            (F.size("embedding") == EMBED_DIM)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
     )
 
 #: The oracle twin of _well_formed(), spliced by _wf().
 _WF_SQL = (
-    "(embedding IS NULL OR (len(embedding) = 64 "
-    "AND len(list_filter(embedding, x -> x IS NULL)) = 0))"
+    "(vec_id IS NOT NULL AND (embedding IS NULL OR (len(embedding) = 64 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0)))"
 )
 
 

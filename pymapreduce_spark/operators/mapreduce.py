@@ -144,7 +144,7 @@ def mr_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, rn, event_id, event_type FROM (
         SELECT user_id, event_id, event_type,
                row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                   PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id NULLS FIRST
                ) AS rn
         FROM events
         WHERE ts IS NOT NULL

@@ -222,7 +222,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM documents
-    ORDER BY md5(doc_id::VARCHAR), doc_id
+    ORDER BY md5(doc_id::VARCHAR) NULLS LAST, doc_id NULLS LAST
     LIMIT 50
     """,
 )
@@ -237,7 +237,17 @@ def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", "lang", "n_chars")
-        .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+        .orderBy(
+            # NULLS LAST pinned on both engines: a NULL doc_id hashes
+            # to NULL, and the engines' default NULL order differs —
+            # at the LIMIT boundary that silently swaps sample members
+            # (round-8 null_ids axis). Identity-less rows sample only
+            # when the corpus is smaller than k.
+            F.asc_nulls_last(
+                F.md5(F.col("doc_id").cast("string").cast("binary"))
+            ),
+            F.asc_nulls_last("doc_id"),
+        )
         .limit(50)
     )
 
@@ -464,7 +474,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, doc_id, n_chars,
            row_number() OVER (PARTITION BY lang
-                              ORDER BY k DESC, doc_id) AS sample_rank
+                              ORDER BY k DESC, doc_id NULLS FIRST) AS sample_rank
     FROM keyed
     QUALIFY sample_rank <= 10
     """,

@@ -59,7 +59,7 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS micros_since_prev
     FROM events
     WHERE ts IS NOT NULL
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id NULLS FIRST)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +214,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            len(list_distinct(list(event_type) OVER (
                PARTITION BY user_id
-               ORDER BY ts::TIMESTAMP, event_id
+               ORDER BY ts::TIMESTAMP, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
                AS n_types_seen
     FROM events
@@ -313,7 +313,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type,
            median(vc) OVER (
                PARTITION BY event_type
-               ORDER BY tsu, event_id, vc NULLS FIRST
+               ORDER BY tsu, event_id NULLS FIRST, vc NULLS FIRST
                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW
            ) / 100.0 AS rolling_median
     FROM v

@@ -392,9 +392,17 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang"
         ).limit(20).collect()
+        import json as _json
+
         with open(fpath, "w") as fh:
             for r in docs:
-                fh.write(f'{{"doc_id": {r.doc_id}, "lang": "{r.lang}"}}\n')
+                # json.dumps, not an f-string: a NULL doc_id must render
+                # as JSON null, not Python's "None" (which silently
+                # reclassifies the line as corrupt — null_ids axis)
+                fh.write(
+                    _json.dumps({"doc_id": r.doc_id, "lang": r.lang})
+                    + "\n"
+                )
             fh.write("{broken json\n")
             fh.write('{"doc_id": "not_a_number", "lang": 7}\n')
             fh.write("[1,2,3\n")

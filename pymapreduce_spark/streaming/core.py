@@ -283,7 +283,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN mu - lag(mu) OVER w > 1800000000
                          OR lag(mu) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, tsu, mu,
                sum(is_new) OVER (
@@ -567,7 +567,7 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
         SELECT user_id,
                mu - lag(mu) OVER (
-                   PARTITION BY user_id ORDER BY mu, event_id) AS gap
+                   PARTITION BY user_id ORDER BY mu, event_id NULLS FIRST) AS gap
         FROM e
     )
     SELECT user_id, count(*) AS n_events,

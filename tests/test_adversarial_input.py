@@ -1622,3 +1622,81 @@ def dup_ids_sf(tmp_path_factory) -> str:
 def test_dup_ids_fixture_matches_oracle(spark, dup_ids_sf):
     bad = _compare(spark, dup_ids_sf, DUP_IDS_OPS)
     assert not bad, "duplicate-id divergence:\n" + "\n".join(bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 null_ids axis: NULL primary keys (doc_id / vec_id / event_id),
+# with ORDER ties engineered (NULL-id events share their ts with a real
+# neighbor). 23/305 failed, four mechanisms, each now a doctrine:
+# - Spark defaults ASC to NULLS FIRST, DuckDB to NULLS LAST — every
+#   oracle window/order id key is now explicitly pinned (25 sites), and
+#   sample_fixed_k pins NULLS LAST on BOTH sides at its LIMIT boundary.
+# - A NULL vec_id is malformed (id IS the identity): excluded by
+#   _well_formed on both engines; numpy int64 had coerced None to
+#   Long.MIN_VALUE and the Pregel kernel crashed on a NULL node.
+# - NULL doc_ids carry no document frequency / postings / tfidf N:
+#   inverted_index, stopword_candidates, tfidf_ml filter them on both
+#   sides (collect_set skips NULLs where DuckDB's list() keeps them;
+#   count(DISTINCT) skips them where row counts don't).
+# - Arrow->pandas dtype poisoning: ONE NULL id flips int64 to float64
+#   and str(5.0) != str(5) changed EVERY row's hash in the
+#   batch-inference stub; jsonl writing rendered Python None instead of
+#   JSON null, silently reclassifying good lines as corrupt.
+# ---------------------------------------------------------------------------
+
+NULL_IDS_OPS = [
+    "llm_knn_self_join", "llm_semdedup", "graph_components",
+    "graph_pagerank", "graph_degrees", "graph_bfs_distance",
+    "mr_sort_within", "win_lag_lead", "ts_resample_ohlc",
+    "ts_max_drawdown", "ts_repurchase_gap", "ts_rolling_corr", "ts_rsi",
+    "win_rolling_median", "llm_pack_sequences", "llm_batch_inference",
+    "llm_inverted_index", "llm_stopword_candidates", "llm_tfidf_ml",
+    "scan_jsonl_permissive", "sample_fixed_k",
+]
+
+
+@pytest.fixture(scope="module")
+def null_ids_sf(tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("sf_null_ids")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            ids = tb["event_id"].to_pylist()
+            ts = tb["ts"].to_pylist()
+            for j in (3, 40, 41, 200, 201):
+                ids[j] = None
+            ts[3] = ts[2]
+            ts[41] = ts[40]
+            ts[200] = ts[199]
+            ts[201] = ts[199]
+            tb = tb.set_column(
+                tb.schema.get_field_index("event_id"), "event_id",
+                pa.array(ids, type=tb.schema.field("event_id").type),
+            )
+            tb = tb.set_column(
+                tb.schema.get_field_index("ts"), "ts",
+                pa.array(ts, type=tb.schema.field("ts").type),
+            )
+        elif t == "documents":
+            ids = tb["doc_id"].to_pylist()
+            ids[7] = None
+            ids[8] = None
+            tb = tb.set_column(
+                tb.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(ids, type=tb.schema.field("doc_id").type),
+            )
+        elif t == "embeddings":
+            ids = tb["vec_id"].to_pylist()
+            ids[30] = None
+            ids[31] = None
+            tb = tb.set_column(
+                tb.schema.get_field_index("vec_id"), "vec_id",
+                pa.array(ids, type=tb.schema.field("vec_id").type),
+            )
+        pq.write_table(tb, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_null_ids_fixture_matches_oracle(spark, null_ids_sf):
+    bad = _compare(spark, null_ids_sf, NULL_IDS_OPS)
+    assert not bad, "NULL-id divergence:\n" + "\n".join(bad)

@@ -158,6 +158,43 @@ def build_dup_ids(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_null_ids(out: str, rows: int) -> None:
+    """NULL-primary-key axis (round 8): NULL doc_id / vec_id /
+    event_id / user_id rows. The sharp edge is ORDERING: every
+    (ts, event_id) window tie-break compares NULL ids, and Spark
+    defaults ASC to NULLS FIRST while DuckDB defaults to NULLS LAST —
+    so ties are engineered (NULL-id events share their ts with a
+    neighboring real row). Grouping pools NULL keys identically in
+    both engines; equi-joins drop them identically; ordering is where
+    the engines' defaults genuinely differ."""
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            ids = tb["event_id"].to_pylist()
+            ts = tb["ts"].to_pylist()
+            for j in (3, 40, 41, 200, 201):
+                ids[j] = None
+            # force order ties: the NULL-id rows share a ts with a
+            # real-id neighbor (and 40/41 are BOTH null, same ts)
+            ts[3] = ts[2]
+            ts[41] = ts[40]
+            ts[200] = ts[199]
+            ts[201] = ts[199]
+            tb = _set(tb, "event_id", ids)
+            tb = _set(tb, "ts", ts)
+        elif t == "documents":
+            ids = tb["doc_id"].to_pylist()
+            ids[7] = None
+            ids[8] = None  # two NULL-id docs with different texts
+            tb = _set(tb, "doc_id", ids)
+        elif t == "embeddings":
+            ids = tb["vec_id"].to_pylist()
+            ids[30] = None
+            ids[31] = None  # two NULL-id vectors with different payloads
+            tb = _set(tb, "vec_id", ids)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 def build_tiny(out: str, rows: int) -> None:
     for t in TABLES:
         tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
@@ -413,6 +450,7 @@ AXES = {
     "zero_embed": build_zero_embed,
     "ragged_embed": build_ragged_embed,
     "dup_ids": build_dup_ids,
+    "null_ids": build_null_ids,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
     "combined2": build_combined2,
