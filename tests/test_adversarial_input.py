@@ -1700,3 +1700,32 @@ def null_ids_sf(tmp_path_factory) -> str:
 def test_null_ids_fixture_matches_oracle(spark, null_ids_sf):
     bad = _compare(spark, null_ids_sf, NULL_IDS_OPS)
     assert not bad, "NULL-id divergence:\n" + "\n".join(bad)
+
+
+def test_combined_id_corruption_matches_oracle(spark, tmp_path_factory):
+    """Composition pin: the three id doctrines interacting on the SAME
+    rows (a ragged duplicate of a real id — well-formed filter must run
+    BEFORE the canonical pick; a whole-NULL duplicate — NULLS LAST must
+    prefer the real vector; a NULL id that is also ragged; NULL-id
+    events tied on ts both with identical and different payloads; a
+    duplicated doc_id with NULL text). Reuses the combined_ids axis
+    builder from tools/adversarial_audit.py; the full 305-query sweep
+    ran 0/305 on round 8 — this pins the doctrine-owning ops in CI."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "adversarial_audit.py"
+        ),
+    )
+    aa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(aa)
+    out = str(tmp_path_factory.mktemp("sf_combined_ids"))
+    aa.build_combined_ids(out, 3)
+    bad = _compare(spark, out, [
+        "llm_knn_self_join", "llm_semdedup", "graph_components",
+        "ts_resample_ohlc", "win_rolling_median", "llm_dedup_fuzzy",
+        "llm_tfidf_ml", "sample_fixed_k", "llm_sim_search",
+    ])
+    assert not bad, "combined id-corruption divergence:\n" + "\n".join(bad)

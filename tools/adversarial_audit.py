@@ -8,25 +8,34 @@ finds get fixed and then pinned as fast per-op regression tests in
 ``tests/test_adversarial_input.py`` (the sweep itself is too slow for
 CI).
 
-Axes (round 7):
+Axes (rounds 7-8; each builder's docstring carries the details):
 
-- ``nan_inf``   — IEEE NaN / +-Infinity injected into the double
-  measure columns (events.value, lineitem.l_discount stays in-envelope
-  because TPC-H revenue sums would otherwise all collapse to NaN and
-  compare trivially). Hunts pandas-NaN-vs-SQL-NULL conflation, ANSI
-  cast crashes, and ordering/grouping splits (both engines group NaNs
-  together and sort them greatest, but intermediate pandas stages drop
-  them as if NULL).
-- ``zero_embed`` — all-zero vectors, huge-magnitude (1e30) and
-  subnormal-magnitude components, and exact-duplicate vectors in
-  ``embeddings.embedding``. Hunts division-by-zero-norm NaNs and
-  argmax ties in the numpy/cosine kernels.
-- ``tiny``      — every table truncated to its first 3 rows (and
-  ``--rows 1`` for the single-row variant). Hunts sample-variance /
-  correlation NULL-vs-NaN splits, k>n in kNN/IVF/k-means, log(0) in
-  idf/entropy, and empty-group percentile crashes.
+- ``nan_inf``   — IEEE NaN / +-Infinity in double measure columns:
+  pandas-NaN-vs-SQL-NULL conflation, ANSI cast crashes, NaN
+  grouping/sorting splits.
+- ``zero_embed``   — zero / 1e30 / subnormal / duplicate vectors:
+  zero-norm NaNs, argmax ties.
+- ``ragged_embed`` — wrong-dimension / NULL-element / empty vectors:
+  the well-formed-scan doctrine.
+- ``dup_ids``   — duplicate primary keys with DIFFERENT payloads:
+  canonical-row-per-id, measure-column tie-breaks, doc pooling.
+- ``null_ids``  — NULL primary keys with engineered order ties:
+  NULLS pinning (engine defaults differ), identity-is-part-of-
+  well-formedness, Arrow dtype poisoning.
+- ``combined_ids`` — the three id doctrines composed on the same rows.
+- ``tiny``      — 3-row (or --rows 1) tables: k>n, log(0),
+  sample-variance NULL-vs-NaN.
+- ``huge_doc``  — 500 KB docs, 100 KB unbroken tokens, 10k identical
+  tokens: per-document quadratics (see plan_audit's hof-in-filter /
+  producer-above-generate flags).
+- ``unicode_keys`` / ``control_chars`` — hostile group/join keys and
+  CSV/JSON metacharacters.
+- ``negative`` / ``one_key`` / ``null_ts`` / ``clock_tz`` /
+  ``combined2`` — negative measures, monster partitions, NULL event
+  times, hostile timezones, and round-5-7 axis interactions.
 
 Run:  python tools/adversarial_audit.py AXIS [--rows N] [--only name,..]
+                                             [--tz ZONE] [--time]
 Exit: number of divergent/crashed queries (0 = clean sweep).
 """
 
@@ -192,6 +201,48 @@ def build_null_ids(out: str, rows: int) -> None:
             ids[30] = None
             ids[31] = None  # two NULL-id vectors with different payloads
             tb = _set(tb, "vec_id", ids)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
+def build_combined_ids(out: str, rows: int) -> None:
+    """Identity-corruption COMPOSITION axis (round 8): the three id
+    doctrines interacting on the same rows — a vec_id duplicated where
+    one copy is ragged (the well-formed filter must run BEFORE
+    canonicalization picks), a NULL id that is also ragged, duplicate
+    ids where one copy is whole-NULL (canonical pick must prefer the
+    real vector via NULLS LAST), NULL event_ids that are ALSO value
+    duplicates at a tied ts (the full tie-break chain engages), and a
+    doc_id that is both duplicated and NULL-texted."""
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "embeddings":
+            rows_l = tb.to_pylist()
+            r0 = dict(rows_l[0])
+            r0["embedding"] = r0["embedding"][:16]   # ragged dup of id 0
+            r1 = dict(rows_l[1])
+            r1["embedding"] = None                   # whole-NULL dup of 1
+            r1["label"] = 2
+            rn = dict(rows_l[2])
+            rn["vec_id"] = None
+            rn["embedding"] = rn["embedding"][:8]    # NULL id AND ragged
+            rows_l += [r0, r1, rn]
+            tb = pa.Table.from_pylist(rows_l, schema=tb.schema)
+        elif t == "events":
+            rows_l = tb.to_pylist()
+            d = dict(rows_l[5])
+            d["event_id"] = None                     # NULL id, tied ts,
+            rows_l.append(d)                         # identical payload
+            d2 = dict(rows_l[6])
+            d2["event_id"] = None
+            d2["value"] = (d2["value"] or 0) + 7.0   # NULL id, tied ts,
+            rows_l.append(d2)                        # different payload
+            tb = pa.Table.from_pylist(rows_l, schema=tb.schema)
+        elif t == "documents":
+            rows_l = tb.to_pylist()
+            d = dict(rows_l[4])
+            d["text"] = None                         # dup id, NULL text
+            rows_l.append(d)
+            tb = pa.Table.from_pylist(rows_l, schema=tb.schema)
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
@@ -451,6 +502,7 @@ AXES = {
     "ragged_embed": build_ragged_embed,
     "dup_ids": build_dup_ids,
     "null_ids": build_null_ids,
+    "combined_ids": build_combined_ids,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
     "combined2": build_combined2,
