@@ -573,6 +573,79 @@ def x100_section(spark) -> dict:
                 "topk_user": topk_user}
 
     k10, k100 = kernels(ev10), kernels(ev100)
+
+    # the LLM-text kernels at x100: tokenize-count (the one-shuffle
+    # wordcount every curation pass starts with) and minhash band
+    # bucketing (the candidate-generation cost driver of fuzzy dedup —
+    # the stage that would go quadratic first if banding broke)
+    dpath = os.path.join(OUT, "documents_x100")
+    if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+        dbase = load_table(spark, BASE_SF, "documents")
+        reps = [
+            dbase.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            for i in range(100)
+        ]
+        dout = reps[0]
+        for r in reps[1:]:
+            dout = dout.unionByName(r)
+        dout.repartition(64).write.mode("overwrite").parquet(dpath)
+
+    dc10 = spark.read.parquet(os.path.join(OUT, "documents"))
+    dc100 = spark.read.parquet(dpath)
+
+    def text_kernels(dc):
+        def tokenize_count():
+            return (
+                dc.select(F.explode(F.split("text", " ")).alias("w"))
+                .groupBy("w")
+                .agg(F.count("*").alias("n"))
+                .agg(F.count("*").alias("vocab"), F.sum("n").alias("tokens"))
+            )
+
+        def minhash_bands():
+            sig = F.expr(
+                """
+                transform(sequence(0, 15), i ->
+                    array_min(transform(sh, s ->
+                        substr(md5(concat(s, '#', cast(i AS string))), 1, 16))))
+                """
+            )
+            bands = (
+                dc.withColumn("words", F.split("text", " "))
+                .select(
+                    "doc_id",
+                    F.expr(
+                        "array_distinct(transform("
+                        " sequence(1, greatest(size(words) - 2, 1)), i ->"
+                        " concat_ws(' ', element_at(words, i),"
+                        "  element_at(words, least(i + 1, size(words))),"
+                        "  element_at(words, least(i + 2, size(words))))))"
+                    ).alias("sh"),
+                )
+                .withColumn("sig", sig)
+                .select(
+                    F.posexplode(
+                        F.expr(
+                            "transform(sequence(0, 7), b ->"
+                            " concat_ws('|', slice(sig, b * 2 + 1, 2)))"
+                        )
+                    ).alias("band_idx", "band_key")
+                )
+            )
+            return (
+                bands.groupBy("band_idx", "band_key")
+                .agg(F.count("*").alias("c"))
+                .groupBy("band_idx")
+                .agg(F.max("c").alias("max_bucket"), F.count("*").alias("n"))
+            )
+
+        return {
+            "llm_tokenize_count": tokenize_count,
+            "llm_minhash_bands": minhash_bands,
+        }
+
+    k10.update(text_kernels(dc10))
+    k100.update(text_kernels(dc100))
     res: dict = {}
     for name in k10:
         s10 = timed(k10[name], n=2)
