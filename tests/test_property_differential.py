@@ -947,3 +947,89 @@ def _run_bucket_spec(spark, duck, sf_dir, spec):
 @given(spec=bucket_spec())
 def test_random_time_bucket_queries_match_duckdb(spark, duck, sf_dir, spec):
     _run_bucket_spec(spark, duck, sf_dir, spec)
+
+
+# ---- string-expression space: the llm family's most-used surface ---
+# Generated CHAINS of string transforms (1-3 deep) over documents.text,
+# reduced to a small exact terminal (length / find-position / an md5
+# nibble) and group-counted. Each op carries BOTH engines' SQL fragment
+# builders because the dialects name things differently (instr/strpos,
+# md5-over-binary vs md5-over-text); semantics were probed to be
+# identical on ASCII corpus text (unicode case-folding splits engines —
+# that hazard is pinned separately by the unicode axis, so the space
+# stays inside ASCII fixtures by construction).
+
+_STR_TRANSFORMS = [
+    ("upper", lambda e: f"upper({e})", lambda e: f"upper({e})"),
+    ("lower", lambda e: f"lower({e})", lambda e: f"lower({e})"),
+    ("reverse", lambda e: f"reverse({e})", lambda e: f"reverse({e})"),
+    ("trim", lambda e: f"trim({e})", lambda e: f"trim({e})"),
+    ("sub5", lambda e: f"substr({e}, 3, 12)", lambda e: f"substr({e}, 3, 12)"),
+    ("left7", lambda e: f"left({e}, 7)", lambda e: f"left({e}, 7)"),
+    ("repl", lambda e: f"replace({e}, 'a', '#')",
+     lambda e: f"replace({e}, 'a', '#')"),
+    ("lpad9", lambda e: f"lpad({e}, 9, '_')",
+     lambda e: f"lpad({e}, 9, '_')"),
+]
+
+_STR_TERMINALS = [
+    ("len", lambda e: f"length({e})", lambda e: f"length({e})"),
+    ("findpos", lambda e: f"instr({e}, 'data')",
+     lambda e: f"strpos({e}, 'data')"),
+    ("md5nib", lambda e: f"substr(md5(cast({e} AS binary)), 1, 2)",
+     lambda e: f"substr(md5({e}), 1, 2)"),
+]
+
+
+@st.composite
+def string_chain_spec(draw):
+    chain = draw(
+        st.lists(
+            st.sampled_from([t[0] for t in _STR_TRANSFORMS]),
+            min_size=1, max_size=3,
+        )
+    )
+    terminal = draw(st.sampled_from([t[0] for t in _STR_TERMINALS]))
+    return chain, terminal
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=string_chain_spec())
+def test_random_string_chains_match_duckdb(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    chain, terminal = spec
+    tmap = {t[0]: t for t in _STR_TRANSFORMS}
+    mmap = {t[0]: t for t in _STR_TERMINALS}
+    s_expr, d_expr = "text", "text"
+    for name in chain:
+        _, s_fn, d_fn = tmap[name]
+        s_expr, d_expr = s_fn(s_expr), d_fn(d_expr)
+    _, s_fn, d_fn = mmap[terminal]
+    s_expr, d_expr = s_fn(s_expr), d_fn(d_expr)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    sdf = (
+        docs.select(F.expr(s_expr).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+    sql = (
+        f"SELECT {d_expr} AS k, count(*) AS n FROM documents "
+        "WHERE text IS NOT NULL GROUP BY 1"
+    )
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nspark {s_expr}\nduck {d_expr}"
