@@ -77,7 +77,8 @@ def _well_formed():
 
 #: The oracle twin of _well_formed(), spliced by _wf().
 _WF_SQL = (
-    "(vec_id IS NOT NULL AND (embedding IS NULL OR (len(embedding) = 64 "
+    "(vec_id IS NOT NULL AND (embedding IS NULL OR "
+    f"(len(embedding) = {EMBED_DIM} "
     "AND len(list_filter(embedding, x -> x IS NULL)) = 0)))"
 )
 
