@@ -236,8 +236,12 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- TRY_CAST align the engines (malformed-JSON audit)
     SELECT event_id,
            CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
-           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) AS k_int,
-           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) * 2 AS k_doubled
+           TRY_CAST(CASE WHEN json_valid(props)
+                          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN json_extract(props, '$.k') END AS INT) AS k_int,
+           TRY_CAST(CASE WHEN json_valid(props)
+                          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN json_extract(props, '$.k') END AS INT) * 2 AS k_doubled
     FROM events
     """,
 )
@@ -254,18 +258,26 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json(F.col("props"), "k INT")
     valid = F.try_parse_json(F.col("props")).isNotNull()
+    # typed extraction is gated on the SAME strict validity as k_str:
+    # Jackson's from_json leniently parses single-quoted JSON that
+    # every strict parser rejects (round-8 hostile_json axis), and its
+    # int-typed-only semantics (no string/bool/double coercion, int32
+    # overflow -> NULL) is mirrored by the oracle's json_type gate
+    k_int = F.when(valid, parsed.getField("k"))
     return ev.select(
         "event_id",
         F.when(valid, F.get_json_object("props", "$.k")).alias("k_str"),
-        parsed.getField("k").alias("k_int"),
-        (parsed.getField("k") * 2).alias("k_doubled"),
+        k_int.alias("k_int"),
+        (k_int * 2).alias("k_doubled"),
     )
 
 
 @query(
     "fn_json_agg",
     oracle="""
-    SELECT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) AS k,
+    SELECT TRY_CAST(CASE WHEN json_valid(props)
+                          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN json_extract(props, '$.k') END AS INT) AS k,
            count(*) AS n_events,
            sum(TRY_CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
@@ -278,11 +290,17 @@ def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymapreduce_spark.functions.checked import cents
 
     ev = load_table(spark, sf_dir, "events")
+    valid = F.try_parse_json(F.col("props")).isNotNull()
     return (
         ev.withColumn(
-            # try_cast: a non-numeric $.k is NULL, matching the
-            # oracle's TRY_CAST — a plain cast throws under ANSI
-            "k", F.get_json_object("props", "$.k").try_cast("int")
+            # int-typed JSON doctrine (round-8 hostile_json axis): the
+            # strict-validity gate stops Jackson's lenient single-quote
+            # parse, and from_json's k INT keeps int-typed values only
+            # (get_json_object + try_cast would also admit string-typed
+            # "5" and round nothing — but the engines' string->int casts
+            # disagree on '1.9': Spark NULLs, DuckDB rounds)
+            "k", F.when(valid, F.from_json(F.col("props"), "k INT")
+                        .getField("k"))
         )
         .groupBy("k")
         .agg(
@@ -579,9 +597,15 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_total,
-           min(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_min,
-           max(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_max,
+           sum(TRY_CAST(CASE WHEN json_valid(props)
+                          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_total,
+           min(TRY_CAST(CASE WHEN json_valid(props)
+                          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_min,
+           max(TRY_CAST(CASE WHEN json_valid(props)
+                          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_max,
            count(*) FILTER (
                CASE WHEN json_valid(props)
                     THEN json_extract(props, '$.missing') END IS NULL)
@@ -605,7 +629,16 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # throws; malformed-JSON audit), downstream try_variant_get then
     # yields NULLs that match the oracle's json_valid guards
     v = F.try_parse_json(F.col("props"))
-    k = F.try_variant_get(v, "$.k", "bigint")
+    # int-typed doctrine (round-8 hostile_json axis): try_variant_get
+    # 'bigint' COERCES string/bool/double variants ("5" -> 5, true -> 1,
+    # 1.9 -> 2) while the oracle's TRY_CAST-from-JSON differs per class;
+    # gating on the variant's own type keeps both engines on the one
+    # defined surface (ints), same as fn_json's from_json semantics
+    kv = F.try_variant_get(v, "$.k", "variant")
+    k = F.when(
+        F.schema_of_variant(kv) == "BIGINT",
+        F.try_variant_get(kv, "$", "bigint"),
+    )
     missing = F.try_variant_get(v, "$.missing", "bigint")
     return ev.select(
         "event_type", k.alias("k"), missing.alias("m")

@@ -511,7 +511,9 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_total
+           sum(TRY_CAST(CASE WHEN json_valid(props)
+                          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN json_extract(props, '$.k') END AS BIGINT))::BIGINT AS k_total
     FROM events
     WHERE event_id < 2000
     GROUP BY event_type
@@ -549,10 +551,15 @@ def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.select(
             F.col("meta.type").alias("event_type"),
-            # try_cast: malformed/non-numeric props survive as NULL
-            F.get_json_object(F.col("payload.props"), "$.k")
-            .try_cast("long")
-            .alias("k"),
+            # int-typed doctrine (round-8 hostile_json axis): strict
+            # validity gate + from_json's int-typed-only extraction —
+            # Jackson's lenient get_json_object admits single-quoted
+            # JSON, and string->long casts disagree across engines
+            F.when(
+                F.try_parse_json(F.col("payload.props")).isNotNull(),
+                F.from_json(F.col("payload.props"), "k BIGINT")
+                .getField("k"),
+            ).alias("k"),
         )
         .groupBy("event_type")
         .agg(

@@ -1729,3 +1729,45 @@ def test_combined_id_corruption_matches_oracle(spark, tmp_path_factory):
         "llm_tfidf_ml", "sample_fixed_k", "llm_sim_search",
     ])
     assert not bad, "combined id-corruption divergence:\n" + "\n".join(bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 hostile_json axis: the props payloads a scraped event stream
+# carries, restricted to classes with a DEFINABLE cross-engine outcome
+# (single-quoted JSON, bare scalars, empty/whitespace, null/missing k,
+# deep nesting, unicode escapes, -0, double/bool/string-typed k, int32
+# overflow, malformed, array roots). Four ops failed: Jackson's
+# get_json_object/from_json leniently parse single-quoted JSON that
+# every strict parser rejects, and the engines' JSON->int coercions
+# disagree per class (DuckDB TRY_CAST rounds '1.9' to 2 and casts
+# true to 1; Spark NULLs both). Doctrine: typed JSON extraction is
+# gated on strict validity AND int-typedness on BOTH engines (Spark:
+# valid-gated from_json k INT / schema_of_variant == 'BIGINT'; oracle:
+# json_valid + json_type IN ('BIGINT','UBIGINT')). The undefinable
+# classes — trailing commas, duplicate keys, NaN/Infinity literals,
+# out-of-int64 numbers — are documented out-of-envelope in
+# tools/adversarial_audit.py:_HOSTILE_JSON (engines disagree
+# irreconcilably; Spark's own three JSON APIs even disagree with each
+# other on duplicate keys).
+# ---------------------------------------------------------------------------
+
+HOSTILE_JSON_OPS = [
+    "fn_json", "fn_json_agg", "fn_variant", "scan_jsonl_nested",
+]
+
+
+def test_hostile_json_fixture_matches_oracle(spark, tmp_path_factory):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "adversarial_audit.py"
+        ),
+    )
+    aa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(aa)
+    out = str(tmp_path_factory.mktemp("sf_hostile_json"))
+    aa.build_hostile_json(out, 3)
+    bad = _compare(spark, out, HOSTILE_JSON_OPS)
+    assert not bad, "hostile-JSON divergence:\n" + "\n".join(bad)

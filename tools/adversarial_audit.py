@@ -246,6 +246,52 @@ def build_combined_ids(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+#: Hostile JSON payloads with a cross-engine-DEFINABLE outcome. The
+#: engine-DEFINED classes are deliberately excluded and documented in
+#: fn_json's docstring: trailing commas and duplicate keys (DuckDB's
+#: json_valid accepts both, Spark's try_parse_json rejects both — and
+#: Spark's own three JSON APIs disagree with each other on dup keys:
+#: get_json_object picks the FIRST, from_json the LAST), NaN/Infinity
+#: literals, and out-of-int64 numbers (DuckDB re-renders 1e20 through a
+#: double, Spark returns the raw token).
+_HOSTILE_JSON = [
+    "{'k': 1}",            # single quotes (invalid both; Jackson would
+                           # leniently extract — the validity gate must
+                           # stop it on BOTH the string and typed paths)
+    "5",                   # bare scalar (valid JSON, no $.k)
+    "",                    # empty string
+    "   ",                 # whitespace only
+    '{"k": null}',
+    '{"j": 3}',            # missing k
+    '{"k": ' + "[" * 39 + "]" * 39 + "}",   # deep nesting
+    '{"k": "\\u0041"}',    # unicode escape
+    '{"k": -0}',
+    '{"k": 1.9}',          # double-typed k (typed INT extraction must
+                           # NOT round: DuckDB TRY_CAST('1.9') -> 2,
+                           # Spark from_json k INT -> NULL)
+    '{"k": true}',
+    '{"k": "5"}',          # string-typed k
+    '{"k": 3000000000}',   # int64-ok, int32-overflow
+    "{broken",             # malformed
+    "[1, 2]",              # array root
+]
+
+
+def build_hostile_json(out: str, rows: int) -> None:
+    """Hostile-JSON axis (round 8): the props payloads a scraped event
+    stream actually carries, restricted to classes where a consistent
+    cross-engine doctrine EXISTS (see _HOSTILE_JSON; the undefinable
+    classes are documented out-of-envelope instead)."""
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            pr = tb["props"].to_pylist()
+            for j, payload in enumerate(_HOSTILE_JSON):
+                pr[j * 3] = payload        # spread across rows/groups
+            tb = _set(tb, "props", pr)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 def build_tiny(out: str, rows: int) -> None:
     for t in TABLES:
         tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
@@ -503,6 +549,7 @@ AXES = {
     "dup_ids": build_dup_ids,
     "null_ids": build_null_ids,
     "combined_ids": build_combined_ids,
+    "hostile_json": build_hostile_json,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
     "combined2": build_combined2,
