@@ -902,12 +902,14 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_tfidf_ml",
     oracle="""
     WITH docs AS (
-        -- identity-less or text-less rows are not documents here: the
-        -- output is keyed by doc_id and N/df must agree across engines
-        -- (count(DISTINCT doc_id) skips NULLs; a pooled NULL-id group
-        -- would still count rows — null_ids axis)
-        SELECT doc_id, text FROM documents
+        -- the doc_id doctrine, uniform with llm_dedup_fuzzy: one
+        -- canonical text per id (min text — bounded at any dup count,
+        -- unlike pooling), identity-less or text-less rows excluded
+        -- (dup_ids + null_ids axes; count(DISTINCT doc_id) skips NULLs
+        -- where row counts don't)
+        SELECT doc_id, min(text) AS text FROM documents
         WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        GROUP BY doc_id
     ), tf AS (
         SELECT doc_id, word, count(*)::DOUBLE AS tf
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
@@ -916,9 +918,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), df AS (
         SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
     ), n AS (
-        -- the DOCUMENT is the doc_id, not the row: duplicate ids
-        -- (dup_ids axis) pool into one document on both sides
-        SELECT count(DISTINCT doc_id) AS n_docs FROM docs
+        SELECT count(*) AS n_docs FROM docs
     ), w AS (
         SELECT tf.doc_id, tf.word,
                tf.tf * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0)) AS weight
@@ -958,8 +958,9 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text: a token-free doc has no top term — filter, don't crash.
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
         .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
     )
     # CountVectorizer.fit on an empty (or all-NULL-text) corpus has no
     # vocabulary to learn
@@ -967,16 +968,11 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, top_term string, top_weight double"
         )
-    # the DOCUMENT is the doc_id: rows colliding on doc_id (dup_ids
-    # axis) pool into one document before the fit, or CountVectorizer's
-    # row-based doc frequencies and N diverge from the id-based oracle.
-    # sort_array makes the pooled multiset's ARRAY deterministic (tf is
-    # order-insensitive, but the fitted vocabulary order is not).
-    words = (
-        docs.select("doc_id", F.split("text", " ").alias("w0"))
-        .groupBy("doc_id")
-        .agg(F.flatten(F.sort_array(F.collect_list("w0"))).alias("words"))
-    )
+    # docs is already one canonical row per doc_id (min text — the
+    # uniform doc_id doctrine, bounded at any dup count unlike pooling;
+    # CountVectorizer's row-based doc frequencies and N then agree with
+    # the id-based oracle by construction)
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
     # vocabSize must exceed the corpus vocabulary: CountVectorizer
     # silently truncates to the top-frequency vocabSize terms, which
     # would drop rare terms from the idf table while the oracle keeps
