@@ -67,11 +67,22 @@ def _well_formed():
     # a NULL vec_id is malformed too (round-8 null_ids axis): the id IS
     # the row's identity, and an identity-less vector poisons every
     # id-indexed kernel downstream (numpy int64 coerces None to
-    # Long.MIN_VALUE; the Pregel kernel crashes on a NULL node)
+    # Long.MIN_VALUE; the Pregel kernel crashes on a NULL node).
+    # Non-finite elements (NaN/±Inf — a failed float cast upstream) are
+    # as malformed as NULL elements: ONE NaN component makes the vector
+    # the NaN-cosine top neighbor of EVERY query in a SQL engine (NaN
+    # sorts greatest), collapsing the 1-NN graph into a single
+    # component, while the numpy kernels order NaN differently and IVF
+    # crashes — there is no consistent similarity for a non-finite
+    # vector. `abs(x) < inf` is false for NaN and ±Inf in BOTH engines.
     return F.col("vec_id").isNotNull() & (
         F.col("embedding").isNull() | (
             (F.size("embedding") == EMBED_DIM)
-            & ~F.exists("embedding", lambda x: x.isNull())
+            & ~F.exists(
+                "embedding",
+                lambda x: x.isNull()
+                | ~(F.abs(x) < F.lit(float("inf"))),
+            )
         )
     )
 
@@ -79,7 +90,8 @@ def _well_formed():
 _WF_SQL = (
     "(vec_id IS NOT NULL AND (embedding IS NULL OR "
     f"(len(embedding) = {EMBED_DIM} "
-    "AND len(list_filter(embedding, x -> x IS NULL)) = 0)))"
+    "AND len(list_filter(embedding, x -> x IS NULL "
+    "OR NOT (abs(x) < 'infinity'::DOUBLE))) = 0)))"
 )
 
 

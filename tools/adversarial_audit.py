@@ -117,6 +117,12 @@ def build_ragged_embed(out: str, rows: int) -> None:
             e[100] = w                               # NULL element, corpus
             e[101] = e[101][:16]                     # short corpus vector
             e[102] = []                              # empty corpus vector
+            x = list(e[103])
+            x[9] = float("nan")
+            e[103] = x                               # NaN element (well-
+            # formed by the doctrine: NaN is a FLOAT, not a NULL — it
+            # flows into dot products, where both engines sort NaN
+            # cosines greatest)
             tb = _set(tb, "embedding", e)
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
@@ -225,7 +231,12 @@ def build_combined_ids(out: str, rows: int) -> None:
             rn = dict(rows_l[2])
             rn["vec_id"] = None
             rn["embedding"] = rn["embedding"][:8]    # NULL id AND ragged
-            rows_l += [r0, r1, rn]
+            r3 = dict(rows_l[3])
+            v3 = list(r3["embedding"])
+            v3[7] = float("nan")                     # NaN-element dup:
+            r3["embedding"] = v3                     # non-finite => not
+            rows_l += [r0, r1, rn, r3]               # well-formed, so
+            # the canonical pick sees only the NaN-free original
             tb = pa.Table.from_pylist(rows_l, schema=tb.schema)
         elif t == "events":
             rows_l = tb.to_pylist()
