@@ -114,7 +114,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT s_suppkey,
-           round(s_acctbal::DECIMAL(12,2), 1)::DOUBLE AS bal_round1,
+           round(TRY_CAST(CASE WHEN isnan(s_acctbal) THEN NULL ELSE s_acctbal END AS DECIMAL(12,2)), 1)::DOUBLE AS bal_round1,
            abs(s_acctbal) AS bal_abs,
            ceil(s_acctbal)::DOUBLE AS bal_ceil,
            floor(s_acctbal)::DOUBLE AS bal_floor,
@@ -133,15 +133,25 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     round1 goes through exact DECIMAL."""
     supplier = load_table(spark, sf_dir, "supplier")
     bal = F.col("s_acctbal")
+    # Spark's ceil/floor return LONG — NaN collapses to 0 and ±Inf
+    # saturates to Long.MAX/MIN — while DuckDB's stay DOUBLE (NaN in,
+    # NaN out). Route non-finite inputs around the integer step
+    # (round-8 extreme_measures axis); ceil/floor of a non-finite is
+    # the input itself under IEEE anyway.
+    finite = F.abs(bal) < F.lit(float("inf"))
     return supplier.select(
         "s_suppkey",
-        bal.cast("decimal(12,2)")
+        bal.try_cast("decimal(12,2)")
         .cast("decimal(12,1)")
         .cast("double")
         .alias("bal_round1"),
         F.abs(bal).alias("bal_abs"),
-        F.ceil(bal).cast("double").alias("bal_ceil"),
-        F.floor(bal).cast("double").alias("bal_floor"),
+        F.when(finite, F.ceil(bal).cast("double"))
+        .otherwise(bal)
+        .alias("bal_ceil"),
+        F.when(finite, F.floor(bal).cast("double"))
+        .otherwise(bal)
+        .alias("bal_floor"),
         F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
         F.round(F.pow("s_nationkey", F.lit(2)), 1).alias("nation_sq"),
         F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
@@ -198,7 +208,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_totalprice AS price_val,
-           (o_totalprice::DECIMAL(12,2) * 0.1::DECIMAL(2,1))::DOUBLE AS tax_val,
+           (TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(12,2)) * 0.1::DECIMAL(2,1))::DOUBLE AS tax_val,
            'price|tax' AS metric_keys
     FROM orders
     """,

@@ -179,9 +179,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT o_orderstatus,
-           round(median(o_totalprice), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.90), 4) AS p90_price,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+           round(median(CASE WHEN isfinite(o_totalprice)
+                        THEN o_totalprice END), 4) AS median_price,
+           round(quantile_cont(CASE WHEN isfinite(o_totalprice)
+                               THEN o_totalprice END, 0.90), 4) AS p90_price,
+           round(quantile_cont(CASE WHEN isfinite(o_totalprice)
+                               THEN o_totalprice END, 0.99), 4) AS p99_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -189,12 +192,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / interpolated percentiles (Spark `percentile` ≡
     DuckDB `quantile_cont`). The approx variant for 100 TB is
-    percentile_approx — exercised in agg_percentile_approx."""
+    percentile_approx — exercised in agg_percentile_approx.
+
+    Order statistics are defined over FINITE observations (the
+    agg_histogram doctrine, extended corpus-wide by the round-8
+    extreme_measures axis): the engines interpolate against NaN/±Inf
+    differently, and a percentile of Inf is meaningless anyway."""
     orders = load_table(spark, sf_dir, "orders")
+    v = finite("o_totalprice")
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.median("o_totalprice"), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90_price"),
-        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99_price"),
+        F.round(F.median(v), 4).alias("median_price"),
+        F.round(F.percentile(v, 0.90), 4).alias("p90_price"),
+        F.round(F.percentile(v, 0.99), 4).alias("p99_price"),
     )
 
 
@@ -264,25 +273,30 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), 4) AS std_price,
+           round(stddev_samp((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END)), 4) AS std_price,
            round(var_pop(l_quantity), 4) AS var_qty,
-           round(covar_pop(l_quantity, l_extendedprice)
-                 / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice)),
+           round(covar_pop(l_quantity, (CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END))
+                 / (stddev_pop(l_quantity) * stddev_pop((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END))),
                  4) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(covar_samp(l_quantity, (CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END)), 4) AS covar_qty_price,
            round(CASE
-                     WHEN count(*) >= 3
-                     THEN skewness(l_extendedprice) * (count(*) - 2)
-                          / sqrt(count(*) * (count(*) - 1.0))
+                     -- n = FINITE price observations (they are what
+                     -- Spark's skewness actually aggregates)
+                     WHEN count(CASE WHEN isfinite(l_extendedprice) THEN 1 END) >= 3
+                     THEN skewness((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END))
+                          * (count(CASE WHEN isfinite(l_extendedprice) THEN 1 END) - 2)
+                          / sqrt(count(CASE WHEN isfinite(l_extendedprice) THEN 1 END)
+                                 * (count(CASE WHEN isfinite(l_extendedprice) THEN 1 END) - 1.0))
                      -- population g1 of TWO distinct points is exactly
                      -- 0 (symmetric deviations cube away); Spark emits
                      -- it while sample G1 needs n>=3 and returns NULL
                      -- (round-7 tiny axis). Two EQUAL points: zero
                      -- variance, NULL in both engines.
-                     WHEN count(*) = 2 AND var_pop(l_extendedprice) > 0
+                     WHEN count(CASE WHEN isfinite(l_extendedprice) THEN 1 END) = 2
+                          AND var_pop((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END)) > 0
                      THEN 0.0
                  END, 4) AS skew_price,
-           round(kurtosis_pop(l_extendedprice), 4) AS kurt_price
+           round(kurtosis_pop((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END)), 4) AS kurt_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -306,22 +320,26 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the identical formula so both engines associate the same
     FP operations."""
     li = load_table(spark, sf_dir, "lineitem")
+    # moments are defined over FINITE observations (extreme_measures
+    # axis: DuckDB's stddev raises Out of Range on ±Inf, Spark emits
+    # NaN — neither is a statistic)
+    price = finite("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.stddev_samp(price), 4).alias("std_price"),
         F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
         F.round(
             F.try_divide(
-                F.covar_pop("l_quantity", "l_extendedprice"),
+                F.covar_pop("l_quantity", price),
                 F.stddev_pop("l_quantity")
-                * F.stddev_pop("l_extendedprice"),
+                * F.stddev_pop(price),
             ),
             4,
         ).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+        F.round(F.covar_samp("l_quantity", price), 4).alias(
             "covar_qty_price"
         ),
-        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
-        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+        F.round(F.skewness(price), 4).alias("skew_price"),
+        F.round(F.kurtosis(price), 4).alias("kurt_price"),
     )
 
 
@@ -843,8 +861,12 @@ def sketch_quantiles_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sketch_quantiles",
     oracle="""
     SELECT l_returnflag,
-           count(*) AS n_rows,
-           round(median(l_extendedprice), 4) AS exact_p50_price,
+           -- the KLL sketch's own n counts FINITE observations only
+           -- (extreme_measures axis: it skips NaN and ±Inf)
+           count(CASE WHEN isfinite(l_extendedprice) THEN 1 END)
+               AS n_rows,
+           round(median(CASE WHEN isfinite(l_extendedprice)
+                        THEN l_extendedprice END), 4) AS exact_p50_price,
            true AS within_tol
     FROM lineitem
     GROUP BY l_returnflag
@@ -880,7 +902,9 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     approx = _kll_p50_approx(spark, sf_dir)
     exact = li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 4).alias("exact_p50_price")
+        F.round(F.median(finite("l_extendedprice")), 4).alias(
+            "exact_p50_price"
+        )
     )
     abs_err = F.abs(F.col("p50_price") - F.col("exact_p50_price"))
     return approx.join(F.broadcast(exact), "l_returnflag").select(
@@ -1040,10 +1064,14 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_gini",
     oracle="""
     WITH c AS (
+        -- non-finite prices have no cents and are NOT observations:
+        -- a NULL in the rank window orders NULLS FIRST in Spark and
+        -- NULLS LAST in DuckDB (extreme_measures axis)
         SELECT o_orderpriority,
                TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                o_orderkey
         FROM orders
+        WHERE TRY_CAST(round(o_totalprice * 100) AS BIGINT) IS NOT NULL
     ), ranked AS (
         SELECT o_orderpriority, cents,
                row_number() OVER (
@@ -1075,11 +1103,12 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle for the window, one for the group aggregate — the same
     two-exchange shape as any ranked statistic at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
+    # non-finite prices are not observations (extreme_measures axis)
     c = orders.select(
         "o_orderpriority",
         cents("o_totalprice").alias("cents"),
         "o_orderkey",
-    )
+    ).where(F.col("cents").isNotNull())
     w = Window.partitionBy("o_orderpriority").orderBy(
         "cents", "o_orderkey"
     )
@@ -1179,6 +1208,9 @@ def agg_bitmask_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRY_CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
                l_orderkey, l_partkey
         FROM lineitem
+        -- non-finite prices are not observations (extreme_measures
+        -- axis: NULL price_c ranks NULLS FIRST/LAST differently)
+        WHERE TRY_CAST(round(l_extendedprice * 100) AS BIGINT) IS NOT NULL
     ), ranked AS (
         SELECT l_linestatus, price_c, qty_c,
                sum(qty_c) OVER (
@@ -1214,7 +1246,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_quantity").alias("qty_c"),
         "l_orderkey",
         "l_partkey",
-    )
+    ).where(F.col("price_c").isNotNull())
     wp = Window.partitionBy("l_linestatus")
     wo = wp.orderBy("price_c", "l_orderkey", "l_partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -135,12 +135,24 @@ def api_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — ``names.iloc[0]`` here would pick an engine-arbitrary
     survivor the moment a nationkey is duplicated (a CDC feed applied
     twice), which is how the dup-key adversarial axis caught it."""
+    import math
+
+    def _cents(x):
+        # non-finite balances carry no cents (extreme_measures axis:
+        # int(round(NaN)) raises, int(round(inf)) overflows; the SQL
+        # twin's TRY_CAST yields NULL — match it with None)
+        return (
+            int(round(x * 100))
+            if x is not None and math.isfinite(x)
+            else None
+        )
+
     sup = MapReduceJob.from_table(spark, sf_dir, "supplier").map(
         lambda r: {
             "key": int(r["s_nationkey"]),
             "tag": "s",
             "name": "",
-            "bal_cents": int(round(r["s_acctbal"] * 100)),
+            "bal_cents": _cents(r["s_acctbal"]),
         },
         schema="key long, tag string, name string, bal_cents long",
     )

@@ -35,8 +35,8 @@ from pymapreduce_spark.registry import query
     "mr_map",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           (l_extendedprice::DECIMAL(12,2)
-            * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS net_price
+           (TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(12,2))
+            * (1 - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(12,2))))::DOUBLE AS net_price
     FROM lineitem
     """,
 )

@@ -20,7 +20,7 @@ from pymapreduce_spark.registry import query
     oracle="""
     SELECT o_orderkey AS order_id,
            o_orderpriority AS priority,
-           (o_totalprice::DECIMAL(12,2) * 1.1::DECIMAL(2,1))::DOUBLE
+           (TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(12,2)) * 1.1::DECIMAL(2,1))::DOUBLE
                AS taxed_price
     FROM orders
     """,

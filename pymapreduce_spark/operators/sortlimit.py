@@ -39,7 +39,15 @@ def global_sort_index(
 
     Requires ``order`` to be a total order (add a unique tiebreak
     column) — then sort_pos is deterministic regardless of where the
-    sampled range boundaries fall."""
+    sampled range boundaries fall.
+
+    The per-partition position is a row_number window over ``__pid``
+    plus a broadcast join against the tiny offset table — pure
+    Catalyst, whole-stage-codegen throughout. The earlier mapInPandas
+    formulation silently turned NaN measures into NULLs on the return
+    trip (pyarrow's from_pandas treats NaN as null — round-8
+    extreme_measures axis); any Arrow round-trip of raw doubles is a
+    NaN hazard, so the data columns never leave the JVM here."""
     spark = df.sparkSession
     ranked_input = (
         df.repartitionByRange(num_partitions, *order)
@@ -49,27 +57,21 @@ def global_sort_index(
     counts = dict(
         with_pid.groupBy("__pid").count().collect()
     )  # ≤ num_partitions rows on the driver
-    offsets = {}
+    offsets = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    bc = spark.sparkContext.broadcast(offsets)
-
-    out_schema = with_pid.drop("__pid").schema.add("sort_pos", "long")
-
-    def add_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = bc.value.get(pid, 0)
-        for pdf in batches:
-            pdf = pdf.drop(columns=["__pid"])
-            pdf["sort_pos"] = range(seen + 1, seen + 1 + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    return with_pid.mapInPandas(add_pos, out_schema)
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        with_pid.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("sort_pos", (F.col("__off") + F.col("__rn")))
+        .drop("__pid", "__off", "__rn")
+    )
 
 
 @query(

@@ -49,7 +49,7 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 _SHARED_SQL = """
     SELECT n_name,
            count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2
+           sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2
                AS revenue
     FROM orders
     JOIN customer ON c_custkey = o_custkey

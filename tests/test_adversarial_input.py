@@ -1771,3 +1771,47 @@ def test_hostile_json_fixture_matches_oracle(spark, tmp_path_factory):
     aa.build_hostile_json(out, 3)
     bad = _compare(spark, out, HOSTILE_JSON_OPS)
     assert not bad, "hostile-JSON divergence:\n" + "\n".join(bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 extreme_measures axis: NaN / ±Inf / 5e-324 subnormals in EVERY
+# money column (the nan_inf axis poisons events.value only). 12/305
+# failed: DuckDB 1.0's TRY_CAST(NaN AS DECIMAL) throws (worked around
+# with an isnan CASE — nullif can't catch it, NaN != NaN under `=`),
+# Spark's ceil/floor return LONG so NaN collapsed to 0 where DuckDB
+# stays DOUBLE, the dialect-shared SQL front-end needed TRY_CAST, the
+# MapReduce-facade mapper needed a math.isfinite guard, and the order-
+# statistics family (percentile/stats/gini/weighted-median/KLL) now
+# defines moments and quantiles over FINITE observations on both sides
+# (the agg_histogram doctrine, corpus-wide). Biggest structural find:
+# global_sort_index's mapInPandas pass silently turned NaN into NULL on
+# the pandas->Arrow return trip (pa.Array.from_pandas semantics) — the
+# position pass is now a pure-Catalyst window + broadcast offset join,
+# so data columns never leave the JVM. Huge-but-FINITE magnitudes
+# (1e17+) are documented out-of-envelope: beyond exact-integer-cents
+# range a cross-engine double SUM is undefined by IEEE accumulation
+# order itself.
+# ---------------------------------------------------------------------------
+
+EXTREME_MEASURE_OPS = [
+    "mr_map", "proj_select", "fn_map", "fn_math", "sort_multikey",
+    "agg_percentile", "agg_stats", "agg_gini", "agg_weighted_median",
+    "agg_sketch_quantiles", "api_reduce_side_join", "sql_frontend",
+]
+
+
+def test_extreme_measures_fixture_matches_oracle(spark, tmp_path_factory):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "adversarial_audit.py"
+        ),
+    )
+    aa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(aa)
+    out = str(tmp_path_factory.mktemp("sf_extreme_measures"))
+    aa.build_extreme_measures(out, 3)
+    bad = _compare(spark, out, EXTREME_MEASURE_OPS)
+    assert not bad, "extreme-measure divergence:\n" + "\n".join(bad)

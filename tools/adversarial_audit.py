@@ -303,6 +303,48 @@ def build_hostile_json(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_extreme_measures(out: str, rows: int) -> None:
+    """Extreme-measure axis (round 8): NaN / ±Inf AND huge-but-FINITE
+    magnitudes (1e17 — cents overflow int64; 1e308 — rounds to Inf;
+    5e-324 subnormal) planted in EVERY money/measure column, not just
+    events.value (the round-7 nan_inf axis's scope). Directly exercises
+    the integer-cents doctrine corpus-wide: TRY_CAST(round(x*100) AS
+    BIGINT) must resolve each class identically in both engines —
+    Spark's saturating floor/round vs DuckDB's NULLing TRY_CAST was the
+    round-7 ADVICE histogram class, previously untested beyond the
+    fixture's ~560 envelope.
+
+    Huge-but-FINITE magnitudes (1e17+) are deliberately NOT planted:
+    beyond the exact-integer-cents range a cross-engine double SUM is
+    undefined by IEEE itself (accumulation order changes the low bits
+    — the first probe showed ...718 vs ...719 tails in every raw-sum
+    op), and ANSI overflow on the exact-cents paths is the DESIGNED
+    loud failure for out-of-contract magnitudes (FIXTURES.md envelope;
+    ts_rolling_corr docstring). Non-finite values and subnormals, by
+    contrast, have one defined answer everywhere: cents() NULLs them,
+    raw IEEE ops propagate them identically."""
+    spots = {
+        "lineitem": ["l_extendedprice", "l_discount"],
+        "orders": ["o_totalprice"],
+        "supplier": ["s_acctbal"],
+        "customer": ["c_acctbal"],
+        "events": ["value"],
+    }
+    hostile = [float("nan"), float("inf"), float("-inf"), 5e-324]
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        for col in spots.get(t, []):
+            if col not in tb.column_names:
+                continue
+            v = tb[col].to_pylist()
+            for j, h in enumerate(hostile):
+                idx = 5 + j * 11
+                if idx < len(v):
+                    v[idx] = h
+            tb = _set(tb, col, v)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 def build_tiny(out: str, rows: int) -> None:
     for t in TABLES:
         tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
@@ -561,6 +603,7 @@ AXES = {
     "null_ids": build_null_ids,
     "combined_ids": build_combined_ids,
     "hostile_json": build_hostile_json,
+    "extreme_measures": build_extreme_measures,
     "tiny": build_tiny,
     "unicode_keys": build_unicode_keys,
     "combined2": build_combined2,
