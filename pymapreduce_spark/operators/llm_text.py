@@ -34,6 +34,37 @@ _STOPWORDS = ["join", "hash", "row", "batch", "scan"]
 #: (fixture max ≪ cap) untouched.
 _COOC_MAX_DOC_VOCAB = 10_000
 
+#: Largest documents-table row count at which word-keyed marginals
+#: (doc-frequency / IDF / unigram-count / bigram-continuation tables)
+#: may carry an explicit broadcast hint. Vocabulary grows roughly with
+#: corpus^0.5-0.7 (Heaps' law); 2 M docs keeps the marginal in the
+#: tens-of-MB range — comfortably under the 8 GB broadcast hard limit
+#: and typical driver heaps. A web-scale corpus (10⁹ docs → 10⁸-10⁹
+#: distinct tokens from URLs/typos/code) clears the gate and falls
+#: back to whatever AQE picks from the aggregate's ACTUAL runtime size.
+_VOCAB_BROADCAST_MAX_DOCS = 2_000_000
+
+
+def _vocab_broadcast(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Broadcast-hint a vocabulary-cardinality relation only when the
+    corpus is provably small enough that its vocabulary must be too.
+
+    An explicit ``F.broadcast`` hint is honored by the planner
+    REGARDLESS of the relation's size — AQE's broadcast *demotion*
+    applies to statistics-chosen joins, not user hints — so a bare hint
+    on a word-keyed marginal is a driver OOM waiting for a web-scale
+    vocabulary. The gate reads the documents table's parquet-footer row
+    count (no Spark job, same pattern as ``_KNN_BROADCAST_MAX_ROWS`` in
+    llm_vector.py): under ``_VOCAB_BROADCAST_MAX_DOCS`` the hint stays
+    and fixture plans keep their BroadcastHashJoin (pinned in
+    tests/test_plans.py); above it the hint disappears and AQE chooses
+    from the aggregate output's measured shuffle size — broadcast when
+    genuinely small, shuffle join when not.
+    """
+    if table_row_count(sf_dir, "documents") <= _VOCAB_BROADCAST_MAX_DOCS:
+        return F.broadcast(df)
+    return df
+
 
 @query(
     "llm_dedup_exact",
@@ -739,9 +770,11 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the corpus scan was single-file (0.79 s vs 1.06 s); under
     the parallel split layout the double tokenize costs more than the
     materialization and (c) wins (0.88 s → 0.72 s, interleaved A/B of
-    7) — and (c) is also the 100 TB posture: materialize tf once, let
-    AQE demote the dfreq broadcast to a shuffle join when vocab
-    outgrows the threshold."""
+    7) — and (c) is also the 100 TB posture: materialize tf once; the
+    dfreq broadcast hint is count-gated (``_vocab_broadcast``) because
+    an explicit hint is honored regardless of size — past the corpus
+    bound the hint is dropped and AQE picks the join strategy from the
+    aggregate's measured output."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -753,7 +786,7 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
     return (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(_vocab_broadcast(dfreq, sf_dir), "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -996,7 +1029,7 @@ def llm_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    weighted = tf.join(F.broadcast(idf_table), "word").select(
+    weighted = tf.join(_vocab_broadcast(idf_table, sf_dir), "word").select(
         "doc_id", "word", (F.col("tf") * F.col("idf")).alias("weight")
     )
     win = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "word")
@@ -1362,17 +1395,19 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines run (gibberish scores high, boilerplate scores low).
 
     100 TB: the LM is aggregate-then-broadcast — the vocabulary after
-    the first groupBy is tiny relative to the corpus, so the per-word
-    probability join broadcasts; the scoring pass is then map-side only
-    plus one doc_id groupBy. Rounded to 4 decimals (FP summation order,
-    SURVEY §5.4.2)."""
+    the first groupBy is small relative to the corpus, so the per-word
+    probability join broadcasts while the corpus stays under the
+    ``_vocab_broadcast`` gate (past it the hint is dropped and AQE
+    decides from the aggregate's real size); the scoring pass is then
+    map-side only plus one doc_id groupBy. Rounded to 4 decimals (FP
+    summation order, SURVEY §5.4.2)."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     freq = words.groupBy("word").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("n"))
-    scored = words.join(F.broadcast(freq), "word").crossJoin(
+    scored = words.join(_vocab_broadcast(freq, sf_dir), "word").crossJoin(
         F.broadcast(total)
     )
     neg_log2p = -F.log2(F.col("c") / F.col("n"))
@@ -1853,8 +1888,9 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     double op then has bit-identical operands and round(6) is
     cosmetic, not load-bearing. At 100 TB the tf shuffle dominates and
     stays (checkpoint becomes a real materialization or caching layer);
-    AQE demotes the doc_freq broadcast to a shuffle join when vocab
-    outgrows the threshold."""
+    the doc_freq broadcast hint is count-gated (``_vocab_broadcast``) —
+    past the corpus bound AQE chooses the join strategy from the
+    aggregate's measured output size."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "rid", F.monotonically_increasing_id()
     )
@@ -1902,7 +1938,7 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(_vocab_broadcast(dfreq, sf_dir), "word")
         .crossJoin(F.broadcast(st))
         .select("doc_id", "word", "tf", F.round(score, 6).alias("bm25"))
     )
@@ -2023,8 +2059,9 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     V is a scalar broadcast. The bigram-count table feeds two consumers
     (final rows and c1), so it is materialized once via localCheckpoint
     rather than re-extracting bigrams per branch. At 100 TB only the
-    bigram-count shuffle scales with data; both joined sides stay
-    vocabulary-sized."""
+    bigram-count shuffle scales with data; the c(w1,·) side is
+    vocabulary-sized, so its broadcast hint is count-gated
+    (``_vocab_broadcast``) rather than forced."""
     docs = load_table(spark, sf_dir, "documents")
     # split once, reference the array in the lambda — the inline
     # split-inside-transform form is O(words · bytes) per doc (no CSE
@@ -2054,7 +2091,7 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") + 1.0) / (F.col("starts") + F.col("vocab"))
     )
     return (
-        c2.join(F.broadcast(c1), "w1")
+        c2.join(_vocab_broadcast(c1, sf_dir), "w1")
         .crossJoin(F.broadcast(v))
         .select("w1", "w2", "n", F.round(logp, 6).alias("logp"))
     )
@@ -3353,8 +3390,8 @@ def llm_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (1.0 * F.col("df_a") * F.col("df_b"))
     )
     return (
-        pairs.join(F.broadcast(da), "word_a")
-        .join(F.broadcast(db), "word_b")
+        pairs.join(_vocab_broadcast(da, sf_dir), "word_a")
+        .join(_vocab_broadcast(db, sf_dir), "word_b")
         .crossJoin(F.broadcast(n))
         .select(
             "word_a",

@@ -424,3 +424,47 @@ def test_word_cooccurrence_vocab_cap(spark, sf_dir, tmp_path, monkeypatch):
     # result is empty — the point is the capped path runs, bounded)
     out = llm_text.llm_word_cooccurrence(spark, str(tmp_path))
     assert out.count() == 0
+
+
+def test_vocab_broadcast_gate(spark, sf_dir, monkeypatch):
+    """Word-keyed marginals (doc-frequency / IDF / unigram tables) must
+    carry a broadcast hint ONLY while the corpus row count is under
+    _VOCAB_BROADCAST_MAX_DOCS — an explicit hint is honored by the
+    planner regardless of size, so above the bound the relation must be
+    returned un-hinted and the join strategy left to AQE."""
+    from pymapreduce_spark.io import load_table
+    from pymapreduce_spark.operators import llm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    dfreq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+
+    # fixture corpus is far below the bound → the hint is applied
+    hinted = llm_text._vocab_broadcast(dfreq, sf_dir)
+    assert hinted is not dfreq
+    logical = hinted._jdf.queryExecution().logical().toString()
+    assert "broadcast" in logical.lower(), logical
+
+    # above the bound → the relation comes back untouched (no hint node)
+    monkeypatch.setattr(llm_text, "_VOCAB_BROADCAST_MAX_DOCS", 0)
+    assert llm_text._vocab_broadcast(dfreq, sf_dir) is dfreq
+
+    # end-to-end with the gate forced shut: llm_tfidf still returns the
+    # same rows — the hint is a strategy, never a semantics, choice
+    gated_off = {
+        (r.doc_id, r.word): r.tfidf
+        for r in llm_text.llm_tfidf(spark, sf_dir)
+        .where(F.col("doc_id") < 50)
+        .collect()
+    }
+    monkeypatch.setattr(llm_text, "_VOCAB_BROADCAST_MAX_DOCS", 2_000_000)
+    gated_on = {
+        (r.doc_id, r.word): r.tfidf
+        for r in llm_text.llm_tfidf(spark, sf_dir)
+        .where(F.col("doc_id") < 50)
+        .collect()
+    }
+    assert gated_off == gated_on
