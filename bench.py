@@ -25,6 +25,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # name → registry op. Keys mirror BASELINE.md's measured rows.
+#
+# FROZEN at the 60-key r7 set (round-8 verdict task 8): every op added
+# after r7 debuts in NEW_KEYS below instead, so the headline total is
+# comparable round-over-round on an identical key set — at a ~0.5 s
+# local-mode scheduler floor per key, appending ops here would grow the
+# total mechanically and mask real regressions. Do not append.
 HEADLINE = {
     "q1": "q1_pricing_summary",
     "q3": "q3_shipping_priority",
@@ -86,6 +92,12 @@ HEADLINE = {
     "semdedup": "llm_semdedup",
     "partition_pruned": "join_partition_pruned",
     "rolling_corr": "ts_rolling_corr",
+}
+
+#: Post-r7 operators: timed with the same protocol but reported under
+#: a separate "new_keys" map and EXCLUDED from the headline total, so
+#: the total stays comparable across rounds (see HEADLINE note).
+NEW_KEYS = {
     "interval_join": "join_interval_point",
     "cms_heavy_hitters": "agg_cms_heavy_hitters",
     "isoweek_rollup": "ts_isoweek_rollup",
@@ -112,18 +124,49 @@ def fetch(df) -> None:
         df.collect()
 
 
-def main() -> None:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def calibrate(spark) -> float:
+    """Fixed synthetic probe: a constant in-memory shape (range → hash
+    agg → sort → Arrow fetch) that touches NO doctrine code, no parquet,
+    and no registry query — so its round-over-round delta measures the
+    VM and the Spark runtime, nothing this repo changes. When the
+    headline moves N% and calib_sec moves ~N% too, the drift is
+    host-level; when calib_sec is flat, the headline delta is real code
+    cost (round-8's +13 % on shared keys was unattributable without
+    this). Median of 5 after one warm-up, same as the query protocol."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        df = (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(
+                (F.col("id") % 4096).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .orderBy("k")
+        )
+        df.toArrow()
+
+    run()  # warm-up: codegen + JIT
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
+
+
+def time_queries(
+    spark,
+    plan: dict[str, str],
+    timings: dict[str, float],
+    spread: dict[str, list[float]],
+    errors: dict[str, str],
+) -> None:
     from pymapreduce_spark import registry
-    from pymapreduce_spark.session import get_spark
 
-    spark = get_spark(app_name="pymapreduce-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    errors: dict[str, str] = {}
-    for key, op in HEADLINE.items():
+    for key, op in plan.items():
         # One failing query must not take down the whole benchmark —
         # the driver needs the JSON line either way.
         try:
@@ -151,6 +194,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
 
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pymapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="pymapreduce-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    calib = calibrate(spark)
+    timings: dict[str, float] = {}
+    new_timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    time_queries(spark, HEADLINE, timings, spread, errors)
+    time_queries(spark, NEW_KEYS, new_timings, spread, errors)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
         sf_num = float(sf)
@@ -162,7 +221,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
+        # VM-drift attribution probe (round-8 verdict task 2): a fixed
+        # synthetic shape outside all doctrine code — compare across
+        # rounds to separate host drift from code cost.
+        "calib_sec": calib,
     }
+    if new_timings:
+        # post-r7 ops: measured, but outside the comparable total
+        result["new_keys"] = new_timings
     if errors:
         result["errors"] = errors
     try:

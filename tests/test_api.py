@@ -177,3 +177,39 @@ def test_bench_inline_spread_at_realistic_width():
     last = json.loads(lines[-1])
     assert "spr_cs" in last, "realistic-width line must keep the spread"
     assert len(lines[-1]) <= _TAIL_BUDGET, len(lines[-1])
+
+
+def test_bench_headline_frozen_and_new_keys_separate(spark):
+    """Round-8 verdict task 8: the headline is PINNED to the 60-key r7
+    set so the total is comparable round-over-round; post-r7 ops live in
+    NEW_KEYS and their medians ride the artifact outside the total.
+    Task 2: a fixed calibration probe attributes VM drift in-artifact."""
+    import json
+
+    from bench import HEADLINE, NEW_KEYS, calibrate, stdout_lines, _TAIL_BUDGET
+
+    assert len(HEADLINE) == 60, "headline set is frozen — add ops to NEW_KEYS"
+    assert not set(HEADLINE) & set(NEW_KEYS)
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": 28.77,
+        "unit": "sec",
+        "queries": {k: 0.6898 for k in HEADLINE},
+        "sf": 0.1,
+        "calib_sec": 0.4321,
+        "new_keys": {k: 0.6898 for k in NEW_KEYS},
+    }
+    spread = {k: [0.512, 0.6898, 2.4151] for k in list(HEADLINE) + list(NEW_KEYS)}
+    lines = stdout_lines(result, spread)
+    last = json.loads(lines[-1])
+    assert len(lines[-1]) <= _TAIL_BUDGET, len(lines[-1])
+    assert last["calib_sec"] == 0.4321
+    assert set(last["new_keys"]) == set(NEW_KEYS)
+    assert set(last["queries"]) == set(HEADLINE)
+    # spr_cs stays aligned with the HEADLINE key order only
+    assert "spr_cs" in last and len(last["spr_cs"]) == 60
+
+    # the probe itself runs and returns a plausible wall time
+    c = calibrate(spark)
+    assert 0.0 < c < 30.0, c
