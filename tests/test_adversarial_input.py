@@ -1815,3 +1815,104 @@ def test_extreme_measures_fixture_matches_oracle(spark, tmp_path_factory):
     aa.build_extreme_measures(out, 3)
     bad = _compare(spark, out, EXTREME_MEASURE_OPS)
     assert not bad, "extreme-measure divergence:\n" + "\n".join(bad)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ops under hostile axes (round-8 verdict task 4): the 17-axis
+# sweep covers the batch registry; the incremental path (file-stream
+# replay → watermarked state → sink) has its OWN semantics for NULL
+# event times (no position against the watermark → excluded by the
+# replay layout), duplicate event ids under dropDuplicatesWithinWatermark
+# (the delivery-key doctrine), and boundary wall-clocks under a hostile
+# session timezone (read_stream self-heals to UTC per query). Pin the
+# four stateful ops the verdict names on each axis. The full 15-op
+# streaming sweep stays in tools/adversarial_audit.py --only.
+
+STREAM_AXIS_OPS = [
+    "stream_tumbling", "stream_watermark", "stream_dedup",
+    "stream_stateful",
+]
+
+
+def _audit_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "adversarial_audit.py"
+        ),
+    )
+    aa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(aa)
+    return aa
+
+
+def test_streaming_null_ts_matches_oracle(spark, tmp_path_factory):
+    """NULL event times through the incremental path: the replay layout
+    IS the event-time axis (one file per day), so a row with no event
+    time has no day — every stream oracle states the exclusion."""
+    aa = _audit_module()
+    out = str(tmp_path_factory.mktemp("sf_stream_nullts"))
+    aa.build_null_ts(out, 4)
+    bad = _compare(spark, out, STREAM_AXIS_OPS)
+    assert not bad, "stream null-ts divergence:\n" + "\n".join(bad)
+
+
+def test_streaming_dup_ids_matches_oracle(spark, tmp_path_factory):
+    """Colliding event_ids through the watermarked dedup/state path:
+    dropDuplicatesWithinWatermark keys on the DELIVERY
+    (event_id, ts, event_type), so two different events sharing an id
+    both survive — the oracle replays that key exactly."""
+    aa = _audit_module()
+    out = str(tmp_path_factory.mktemp("sf_stream_dupids"))
+    aa.build_dup_ids(out, 4)
+    bad = _compare(spark, out, STREAM_AXIS_OPS)
+    assert not bad, "stream dup-ids divergence:\n" + "\n".join(bad)
+
+
+def test_streaming_clock_tz_matches_oracle(spark, tmp_path_factory):
+    """Boundary wall-clocks (year/ISO-week/leap/DST-ambiguous) replayed
+    under a hostile +05:45 session timezone, re-poisoned before EVERY
+    query: read_stream's ensure_runtime_configs must re-pin UTC each
+    time, or epoch-aligned window buckets shift to :45 alignment."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    aa = _audit_module()
+    out = str(tmp_path_factory.mktemp("sf_stream_clock"))
+    aa.build_clock_tz(out, 4)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{out}/{t}.parquet')"
+        )
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    bad = []
+    try:
+        for name in STREAM_AXIS_OPS:
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+            sdf = queries[name](spark, out)
+            si = sorted(
+                range(len(sdf.columns)), key=lambda i: sdf.columns[i]
+            )
+            got = sorted(
+                tuple(str(r[i]) for i in si) for r in sdf.collect()
+            )
+            cur = con.execute(oracles[name])
+            di = sorted(
+                range(len(cur.description)),
+                key=lambda i: cur.description[i][0],
+            )
+            want = sorted(
+                tuple(str(r[i]) for i in di) for r in cur.fetchall()
+            )
+            if got != want:
+                bad.append(f"{name}: {len(got)} vs {len(want)} rows")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+        con.close()
+    assert not bad, "stream clock-tz divergence:\n" + "\n".join(bad)
