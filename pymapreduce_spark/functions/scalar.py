@@ -296,7 +296,18 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over a JSON-extracted key (BASELINE.md row 'JSON
-    extract + group')."""
+    extract + group').
+
+    The validity gate makes this a DOUBLE parse per row
+    (try_parse_json for strict validity + from_json for typed
+    extraction). A/B'd against a single-parse variant formulation
+    (to_json(variant_get(try_parse_json(props),'$.k')) + integer-regex
+    gate + try_cast — same results on every fixture): interleaved
+    median-of-7 at sf0.1 measured 0.349 s vs 0.347 s — statistically
+    identical, because scan+shuffle dominate and Jackson's second
+    parse of a ~40-byte props string is noise. The r8 bench's +63 %
+    on this key reproduced on NEITHER formulation (host drift; see
+    bench.py calib_sec), so the simpler double-parse form stays."""
     from pymapreduce_spark.functions.checked import cents
 
     ev = load_table(spark, sf_dir, "events")
