@@ -1033,3 +1033,253 @@ def test_random_string_chains_match_duckdb(spark, duck, sf_dir, spec):
     )
     want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
     assert got == want, f"spec {spec}\nspark {s_expr}\nduck {d_expr}"
+
+
+# ---------------------------------------------------------------------------
+# Composed-pipeline chains (round-8 verdict task 6): random 2-4-op
+# chains — lineitem filter → ⋈ orders (optionally filtered) → exact
+# aggregate → optional ranking window — compiled twice from ONE spec.
+# The single-op spaces above can't see cross-stage interactions (a
+# push-down filter changing join selectivity that feeds a window's tie
+# structure); chains exercise exactly that composition surface.
+
+_CH_LI_FILTERS = {
+    "qty_gt": (
+        lambda v: F.col("l_quantity") > v,
+        lambda v: f"l_quantity > {v}",
+    ),
+    "flag_eq": (
+        lambda s: F.col("l_returnflag") == s,
+        lambda s: f"l_returnflag = '{s}'",
+    ),
+    "disc_ge": (
+        # literals from a fixed small set both engines parse to the
+        # identical IEEE double (§5.4)
+        lambda d: F.col("l_discount") >= d,
+        lambda d: f"l_discount >= {d}",
+    ),
+}
+
+_CH_O_FILTERS = {
+    "ostatus_eq": (
+        lambda s: F.col("o_orderstatus") == s,
+        lambda s: f"o_orderstatus = '{s}'",
+    ),
+    "cust_mod": (
+        lambda kr: (F.col("o_custkey") % kr[0]) == kr[1],
+        lambda kr: f"o_custkey % {kr[0]} = {kr[1]}",
+    ),
+}
+
+_CH_KEYS = {
+    "l_linestatus": (lambda: F.col("l_linestatus"), "l_linestatus"),
+    "o_status": (
+        lambda: F.col("o_orderstatus").alias("o_status"),
+        "o_orderstatus",
+    ),
+    "cust_b": (
+        lambda: (F.col("o_custkey") % 10).alias("cust_b"),
+        "o_custkey % 10",
+    ),
+    "prio": (
+        lambda: F.col("o_orderpriority").alias("prio"),
+        "o_orderpriority",
+    ),
+}
+
+_CH_AGGS = {
+    "n": (lambda: F.count(F.lit(1)).alias("n"), "count(*)::BIGINT AS n"),
+    "cents": (
+        lambda: F.coalesce(
+            F.sum(F.round(F.col("l_extendedprice") * 100).try_cast("long")),
+            F.lit(0),
+        ).alias("cents"),
+        "coalesce(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)), 0)"
+        "::BIGINT AS cents",
+    ),
+    "qmax": (lambda: F.max("l_quantity").alias("qmax"),
+             "max(l_quantity) AS qmax"),
+    "orders_n": (
+        lambda: F.count_distinct("o_orderkey").alias("orders_n"),
+        "count(DISTINCT o_orderkey)::BIGINT AS orders_n",
+    ),
+}
+
+
+@st.composite
+def chain_spec(draw):
+    li_filters = []
+    if draw(st.booleans()):
+        li_filters.append(("qty_gt", float(draw(st.integers(1, 45)))))
+    if draw(st.booleans()):
+        li_filters.append(("flag_eq", draw(st.sampled_from("ANR"))))
+    if draw(st.booleans()):
+        li_filters.append(
+            ("disc_ge", draw(st.sampled_from([0.02, 0.05, 0.08])))
+        )
+    o_filters = []
+    if draw(st.booleans()):
+        o_filters.append(("ostatus_eq", draw(st.sampled_from("POF"))))
+    if draw(st.booleans()):
+        o_filters.append(
+            ("cust_mod", (draw(st.integers(2, 7)), draw(st.integers(0, 1))))
+        )
+    keys = sorted(
+        draw(
+            st.lists(
+                st.sampled_from(sorted(_CH_KEYS)),
+                min_size=1, max_size=2, unique=True,
+            )
+        )
+    )
+    aggs = sorted(
+        draw(
+            st.lists(
+                st.sampled_from(sorted(_CH_AGGS)),
+                min_size=1, max_size=2, unique=True,
+            )
+        )
+    )
+    use_window = draw(st.booleans())
+    rank_by = draw(st.sampled_from(aggs))
+    return li_filters, o_filters, keys, aggs, use_window, rank_by
+
+
+def _run_chain_spec(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+    from pyspark.sql import Window
+
+    li_filters, o_filters, keys, aggs, use_window, rank_by = spec
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_sql, o_sql = [], []
+    for name, arg in li_filters:
+        build, sql = _CH_LI_FILTERS[name]
+        li = li.where(build(arg))
+        li_sql.append(sql(arg))
+    for name, arg in o_filters:
+        build, sql = _CH_O_FILTERS[name]
+        o = o.where(build(arg))
+        o_sql.append(sql(arg))
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    sdf = j.groupBy(*[_CH_KEYS[k][0]() for k in keys]).agg(
+        *[_CH_AGGS[a][0]() for a in aggs]
+    )
+    if use_window:
+        # rank groups globally: the agg column may tie, so the full key
+        # list tie-breaks to a total (deterministic) order in BOTH
+        # engines. The window input is the aggregate (group-cardinality
+        # rows), so the single-partition window is bounded by design.
+        w = Window.orderBy(F.desc(rank_by), *keys)
+        sdf = sdf.withColumn("rk", F.row_number().over(w))
+
+    conds = " AND ".join(li_sql + o_sql)
+    base = "SELECT "
+    base += ", ".join(
+        [f"{_CH_KEYS[k][1]} AS {k}" for k in keys]
+        + [_CH_AGGS[a][1] for a in aggs]
+    )
+    base += " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    if conds:
+        base += f" WHERE {conds}"
+    base += " GROUP BY " + ", ".join(_CH_KEYS[k][1] for k in keys)
+    if use_window:
+        order = ", ".join([f"{rank_by} DESC"] + keys)
+        sql = (
+            f"SELECT *, row_number() OVER (ORDER BY {order}) AS rk"
+            f" FROM ({base})"
+        )
+    else:
+        sql = base
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=chain_spec())
+def test_random_chain_pipelines_match_duckdb(spark, duck, sf_dir, spec):
+    _run_chain_spec(spark, duck, sf_dir, spec)
+
+
+@st.composite
+def event_chain_spec(draw):
+    """filter → agg → window over events, reusing the single-op agg
+    space: ranks grouped results by one drawn aggregate."""
+    filters, keys, aggs = draw(query_spec())
+    if not keys:
+        keys = ["event_type"]  # the window needs keys for a total order
+    rank_by = draw(st.sampled_from(aggs))
+    return filters, keys, aggs, rank_by
+
+
+def _run_event_chain_spec(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+    from pyspark.sql import Window
+
+    filters, keys, aggs, rank_by = spec
+    fmap = {f[0]: f for f in _FILTERS}
+    kmap = {k[0]: k for k in _KEYS}
+    amap = {a[0]: a for a in _AGGS}
+
+    df = load_table(spark, sf_dir, "events")
+    conds = []
+    for name, arg in filters:
+        _, build, sql = fmap[name]
+        df = df.where(build(arg))
+        conds.append(sql(arg))
+    sdf = df.groupBy(*[kmap[k][1]() for k in keys]).agg(
+        *[amap[a][1]() for a in aggs]
+    )
+    # NULL group keys are real groups (a NULL ts hour, etc.): order
+    # them identically in both engines (Spark ASC = NULLS FIRST;
+    # DuckDB defaults NULLS LAST) — pin NULLS FIRST in the SQL.
+    w = Window.orderBy(F.desc(rank_by), *[F.asc(k) for k in keys])
+    sdf = sdf.withColumn("rk", F.row_number().over(w))
+
+    base = "SELECT "
+    base += ", ".join(
+        [f"{kmap[k][2]} AS {k}" for k in keys] + [amap[a][2] for a in aggs]
+    )
+    base += " FROM events"
+    if conds:
+        base += " WHERE " + " AND ".join(conds)
+    base += " GROUP BY " + ", ".join(kmap[k][2] for k in keys)
+    order = ", ".join(
+        [f"{rank_by} DESC"] + [f"{k} ASC NULLS FIRST" for k in keys]
+    )
+    sql = (
+        f"SELECT *, row_number() OVER (ORDER BY {order}) AS rk"
+        f" FROM ({base})"
+    )
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=event_chain_spec())
+def test_random_event_chain_pipelines_match_duckdb(spark, duck, sf_dir, spec):
+    _run_event_chain_spec(spark, duck, sf_dir, spec)
