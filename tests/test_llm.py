@@ -305,8 +305,10 @@ def test_kll_sketch_quantile_tolerance(spark, duck, sf_dir):
 
 def test_knn_self_join_scale_guard(spark, sf_dir, monkeypatch):
     """Above _KNN_BROADCAST_MAX_ROWS the kNN self-join must NOT collect
-    the corpus to the driver — it switches to the LSH bucket-join path.
-    Force the guard and check the fallback's recall@5 vs the exact path."""
+    the whole corpus to the driver — it switches to the exact tiled
+    path (one bounded tile broadcast at a time). Force the guard and
+    check the fallback's recall@5 vs the single-broadcast path (exact
+    tiling ⇒ recall 1.0)."""
     from pymapreduce_spark.operators import llm_vector
     from pymapreduce_spark.registry import QUERIES
 
@@ -329,10 +331,12 @@ def test_knn_self_join_scale_guard(spark, sf_dir, monkeypatch):
 
 
 def test_dedup_embed_scale_guard(spark, sf_dir, monkeypatch):
-    """Above _DEDUP_EMBED_MAX_ROWS the near-dup pair search must use the
-    LSH candidate path, never the O(N^2) pair join. Force the guard and
-    check the fallback recovers the exact pair set with high recall and
-    zero false positives (candidate filtering is exact)."""
+    """Above _DEDUP_EMBED_MAX_ROWS the near-dup pair search must never
+    run the single-node O(N^2) pair join. At this op's 0.45 threshold
+    the dispatcher picks the exact tiled pair scan (banding can't
+    amplify inside the random-cosine noise band), so the fallback must
+    recover the exact pair set completely — recall 1.0, zero false
+    positives."""
     from pymapreduce_spark.operators import llm_vector
     from pymapreduce_spark.registry import QUERIES
 
@@ -468,3 +472,59 @@ def test_vocab_broadcast_gate(spark, sf_dir, monkeypatch):
         .collect()
     }
     assert gated_off == gated_on
+
+
+def test_knn_tiled_path_matches_exact(spark, sf_dir, monkeypatch):
+    """The above-broadcast-bound kNN path is EXACT tiling, not an
+    approximation: forced to 4 tiles on the fixture corpus it must
+    reproduce the registered op's broadcast-kernel result row for row
+    (same tie-break, same rounding)."""
+    from pymapreduce_spark.operators import llm_vector as lv
+
+    exact = {
+        tuple(map(str, r))
+        for r in lv.llm_knn_self_join(spark, sf_dir).collect()
+    }
+    emb = lv.load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    monkeypatch.setattr(lv, "_KNN_TILE_ROWS", max(1, n // 4))
+    tiled = {
+        tuple(map(str, r))
+        for r in lv._knn_self_join_tiled(spark, emb, n, k=5).collect()
+    }
+    assert tiled == exact
+
+
+def test_dedup_embed_srp_precision_and_exact_dup_recall(spark, sf_dir):
+    """The SRP band-join near-dup path (production thresholds): every
+    reported pair must be a true >= threshold pair (exact verify —
+    zero false positives), and an exact duplicate must ALWAYS be found
+    (identical sign bits in every band). 0.95 solves to the banded
+    regime; the fixture's marginal 0.45 dispatches to the exact tiled
+    scan instead (covered by test_dedup_embed_scale_guard)."""
+    from pymapreduce_spark.operators import llm_vector as lv
+
+    bits, n_bands = lv._srp_params(0.95, 501)
+    assert n_bands <= lv._SRP_MAX_BANDS, "0.95 must solve to banding"
+    bits, n_bands = lv._srp_params(0.45, 501)
+    assert n_bands > lv._SRP_MAX_BANDS, "0.45 must dispatch to tiled"
+
+    base = lv.load_embeddings(spark, sf_dir).select(
+        "vec_id", lv._as_double("embedding").alias("e")
+    )
+    # plant an exact copy of the lowest-id vector under a fresh high id
+    first = base.orderBy("vec_id").limit(1)
+    planted = first.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "e"
+    )
+    emb = base.unionByName(planted)
+    n = emb.count()
+
+    got = lv._dedup_embed_lsh(emb, 0.95, n_rows=n).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    # exact-dup guarantee (banded path: copies collide in every band)
+    lo = first.collect()[0].vec_id
+    assert (lo, lo + 10_000_000) in pairs
+    # zero false positives: re-verify every reported cosine exactly
+    for r in got:
+        assert r.cosine >= 0.95, r
