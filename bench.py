@@ -101,6 +101,7 @@ NEW_KEYS = {
     "interval_join": "join_interval_point",
     "cms_heavy_hitters": "agg_cms_heavy_hitters",
     "isoweek_rollup": "ts_isoweek_rollup",
+    "bitmap_distinct": "agg_bitmap_distinct",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

@@ -633,6 +633,78 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitmap_distinct_buckets(ev: DataFrame) -> DataFrame:
+    """The per-(group, bucket) bitmap build stage of
+    :func:`agg_bitmap_distinct` — factored out so its plan shape (one
+    hash aggregate folding OR-able bitmaps, NO Expand) is assertable
+    in tests/test_plans.py even though the operator materializes this
+    stage (at 100 TB the per-bucket bitmap table is what you persist;
+    every downstream slice reads it instead of raw events)."""
+    return ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(user_id))"
+        ).alias("bm"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*) AS n_obs,
+           (SELECT count(DISTINCT user_id) FROM events
+            WHERE user_id IS NOT NULL)::BIGINT AS n_users_corpus
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via bitmap aggregation
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    — the roaring-bitmap pattern, agg_hll_mergeable's exact sibling):
+    ids hash-place into 32k-bit bucket bitmaps, the per-bucket OR-fold
+    is a fully partial-aggregable single-buffer accumulator, and the
+    distinct count is Σ bitmap_count per bucket. At 100 TB this beats
+    count_distinct's shuffle-every-id expansion whenever ids repeat:
+    the exchange carries one ≤4 KB bitmap per (group, bucket) instead
+    of every distinct id, and — unlike HLL — with zero error.
+
+    Mergeability is exercised, not just claimed: the same per-bucket
+    bitmaps (:func:`bitmap_distinct_buckets`, materialized ONCE — the
+    persisted-bitmap-table pattern; Catalyst would otherwise plan a
+    second events scan since the two consumers prune different
+    columns) feed TWO consumers — the per-type counts, and a
+    corpus-wide distinct-user count re-derived by bitmap_or_agg across
+    types (exactly how persisted per-partition bitmaps answer
+    cross-slice questions without re-scanning raw data). NULL user_ids
+    carry no identity and are excluded on both sides; a NULL
+    event_type is a real group and kept. Verified exact against
+    count(DISTINCT) for negative / zero / >2³² ids (buckets are
+    signed-value-ranged)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    per_bucket = bitmap_distinct_buckets(ev).localCheckpoint(eager=True)
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
+        F.sum("n_rows").alias("n_obs"),
+    )
+    corpus = (
+        per_bucket.groupBy("bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .agg(F.sum("c").alias("n_users_corpus"))
+    )
+    return per_type.crossJoin(F.broadcast(corpus)).select(
+        "event_type", "n_users", "n_obs", "n_users_corpus"
+    )
+
+
 @query(
     "agg_mode_deterministic",
     oracle="""

@@ -807,3 +807,32 @@ def test_plan_audit_flags_hof_producer_in_filter(spark, sf_dir):
         assert not pa._hof_in_filter(
             formatted_plan_of(name, spark, sf_dir)
         ), name
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir):
+    """agg_bitmap_distinct's whole point: exact distinct WITHOUT
+    count_distinct's Expand/per-id shuffle — the exchange carries
+    per-bucket bitmaps. The operator checkpoints the bucket stage (the
+    persisted-bitmap-table pattern), so assert the shape on the SHARED
+    builder it materializes plus a downstream count: the bitmap fold
+    is present, partial-aggregated map-side, and no Expand node (the
+    multi-distinct rewrite marker) appears anywhere."""
+    from pyspark.sql import functions as F
+
+    from pymapreduce_spark.io import load_table
+    from pymapreduce_spark.operators.aggregates import (
+        bitmap_distinct_buckets,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    df = (
+        bitmap_distinct_buckets(ev)
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bitmap_construct_agg" in plan, plan
+    assert "partial_bitmap_construct_agg" in plan, plan
+    assert "Expand" not in plan, plan
