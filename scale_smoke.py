@@ -662,6 +662,124 @@ def x100_section(spark) -> dict:
     return res
 
 
+def x100_join_section(spark) -> dict:
+    """Optional section (--x100join): the JOIN surface one more order
+    of magnitude up — 100 shifted replicas of sf0.1 lineitem (~60 M
+    rows) and orders (~15 M), the largest fact-fact join this sandbox
+    holds. Two kernels, x10 vs x100 step-ratio-checked like the other
+    x100 sections:
+
+    - fact-fact: filtered lineitem ⋈ orders on the key, grouped exact
+      aggregate — the shuffle-join shape every TPC-H plan reduces to.
+    - fact-dim: lineitem ⋈ supplier with the dim FIXED while the fact
+      scales (the realistic 100 TB shape — dims don't grow with the
+      crawl); the plan must stay a broadcast join at both scales, so
+      the step cost is scan+partial-agg only.
+
+    Row-count invariants make the join results provable: shifted keys
+    mean each replica joins only its own replica (l_orderkey and
+    o_orderkey shift by the same stride), so the x100 fact-fact group
+    counts are exactly 100× the base fixture's."""
+    path_li = os.path.join(OUT, "lineitem_x100")
+    path_o = os.path.join(OUT, "orders_x100")
+    for src, path, shifts in (
+        ("lineitem", path_li, {"l_orderkey": 10_000_000}),
+        ("orders", path_o, {"o_orderkey": 10_000_000, "o_custkey": 1_000_000}),
+    ):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        base = load_table(spark, BASE_SF, src)
+        reps = []
+        for i in range(100):
+            r = base
+            for col, stride in shifts.items():
+                r = r.withColumn(col, F.col(col) + F.lit(i * stride))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(64).write.mode("overwrite").parquet(path)
+
+    li10 = spark.read.parquet(os.path.join(OUT, "lineitem"))
+    o10 = spark.read.parquet(os.path.join(OUT, "orders"))
+    li100 = spark.read.parquet(path_li)
+    o100 = spark.read.parquet(path_o)
+    sup = load_table(spark, BASE_SF, "supplier")
+
+    def fact_fact(li, o):
+        def run():
+            return (
+                li.where(F.col("l_quantity") > 10)
+                .join(o, li["l_orderkey"] == o["o_orderkey"])
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100)
+                        .try_cast("long")
+                    ).alias("cents"),
+                )
+            )
+
+        return run
+
+    def fact_dim(li):
+        def run():
+            return (
+                li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+                .groupBy("s_nationkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        return run
+
+    res: dict = {}
+    # provable row counts: base fixture group totals × replica factor
+    base_n = (
+        load_table(spark, BASE_SF, "lineitem")
+        .where(F.col("l_quantity") > 10)
+        .join(
+            load_table(spark, BASE_SF, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    for tag, ff, fd, factor in (
+        ("x10", fact_fact(li10, o10), fact_dim(li10), 10),
+        ("x100", fact_fact(li100, o100), fact_dim(li100), 100),
+    ):
+        t0 = time.perf_counter()
+        rows = ff().collect()
+        ff_s = time.perf_counter() - t0
+        total = sum(r["n"] for r in rows)
+        t0 = time.perf_counter()
+        fd().collect()
+        fd_s = time.perf_counter() - t0
+        plan = fd()._jdf.queryExecution().executedPlan().toString()
+        res[tag] = {
+            "fact_fact_s": round(ff_s, 2),
+            "fact_dim_s": round(fd_s, 2),
+            "join_rows": total,
+            "rows_exact": bool(total == factor * base_n),
+            "dim_broadcast": "BroadcastHashJoin" in plan,
+        }
+    res["steps"] = {
+        "fact_fact": round(res["x100"]["fact_fact_s"]
+                           / max(res["x10"]["fact_fact_s"], 0.01), 2),
+        "fact_dim": round(res["x100"]["fact_dim_s"]
+                          / max(res["x10"]["fact_dim_s"], 0.01), 2),
+    }
+    res["checks"] = {
+        "join_fact_fact_step_ok": res["steps"]["fact_fact"] < 35,
+        "join_fact_dim_step_ok": res["steps"]["fact_dim"] < 35,
+        "join_rows_exact_x10": res["x10"]["rows_exact"],
+        "join_rows_exact_x100": res["x100"]["rows_exact"],
+        "join_dim_broadcast_x10": res["x10"]["dim_broadcast"],
+        "join_dim_broadcast_x100": res["x100"]["dim_broadcast"],
+    }
+    return res
+
+
 def _vec_sfdir(n: int) -> str:
     """Synthesize an sf-dir-shaped fixture with n seeded L2-normalized
     64-d float32 vectors, 5 % of which are PLANTED exact duplicates
@@ -875,11 +993,14 @@ def main() -> None:
         payload["x100"] = x100_section(spark)
     if "--vectors" in sys.argv:
         payload["vectors"] = vectors_section(spark)
+    if "--x100join" in sys.argv:
+        payload["x100join"] = x100_join_section(spark)
     print(json.dumps(payload))
     checks = {
         **(payload.get("graph") or {}).get("checks", {}),
         **(payload.get("x100") or {}).get("checks", {}),
         **(payload.get("vectors") or {}).get("checks", {}),
+        **(payload.get("x100join") or {}).get("checks", {}),
         **{
             f"streaming_{k}": v
             for k, v in (payload.get("streaming") or {})
