@@ -1283,3 +1283,21 @@ def _run_event_chain_spec(spark, duck, sf_dir, spec):
 @given(spec=event_chain_spec())
 def test_random_event_chain_pipelines_match_duckdb(spark, duck, sf_dir, spec):
     _run_event_chain_spec(spark, duck, sf_dir, spec)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=event_chain_spec())
+def test_random_event_chain_pipelines_match_duckdb_hostile(
+    spark, hostile_duck, hostile_events_sf, spec
+):
+    """The chain space over the hostile events fixture: NULL keys/
+    measures and non-finite values flowing through filter → agg →
+    rank compositions — the interaction the per-op hostile twins
+    can't see (a NULL group surviving the filter changes every
+    downstream rank)."""
+    _run_event_chain_spec(spark, hostile_duck, hostile_events_sf, spec)
