@@ -450,14 +450,23 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            e_id & 255 AS low_byte,
            e_id | 15 AS with_low_bits,
            xor(e_id, 21845) AS xored,
-           e_id << 2 AS shifted_left,
+           -- mask BEFORE shifting: Spark's shiftleft silently WRAPS
+           -- int64 overflow while DuckDB's << raises Out of Range —
+           -- at boundary ids (extreme_ids axis) the unmasked shift is
+           -- an engine split by construction. Real bucketing code
+           -- masks first anyway.
+           (e_id & 1152921504606846975) << 2 AS shifted_left,
            e_id >> 3 AS shifted_right
     FROM (SELECT event_id AS e_id FROM events)
     """,
 )
 def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise family: AND/OR/XOR and shifts on integer ids (the
-    primitives hash-bucketing and bloom-style filters are built from)."""
+    primitives hash-bucketing and bloom-style filters are built from).
+    The left shift masks to 60 bits first (2⁶⁰−1, so the shifted value tops out at 2⁶²−4): Spark shiftleft
+    wraps on int64 overflow where DuckDB << errors, so an unmasked
+    shift of a ±Long.MAX id splits the engines (extreme_ids axis);
+    masking is what real hash-bucketing does before shifting anyway."""
     ev = load_table(spark, sf_dir, "events")
     e = F.col("event_id")
     return ev.select(
@@ -465,7 +474,9 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.bitwiseAND(F.lit(255)).alias("low_byte"),
         e.bitwiseOR(F.lit(15)).alias("with_low_bits"),
         e.bitwiseXOR(F.lit(21845)).alias("xored"),
-        F.shiftleft(e, 2).alias("shifted_left"),
+        F.shiftleft(
+            e.bitwiseAND(F.lit(1152921504606846975)), 2
+        ).alias("shifted_left"),
         F.shiftright(e, 3).alias("shifted_right"),
     )
 

@@ -115,7 +115,13 @@ def connected_components(
         # Labels only ever decrease, so Σ label is strictly monotone:
         # an unchanged sum ⟺ a fixed point — convergence in one cheap
         # aggregate over the just-checkpointed table, no compare join.
-        cur_sum = jumped.agg(F.sum("label").alias("s")).first()["s"]
+        # Summed in DECIMAL(38,0): node ids span the full int64 range
+        # (hash-minted ids at ±Long.MAX — the extreme_ids axis), where
+        # a bigint Σ overflows ANSI; 38 digits holds 10¹⁹ ids × 10¹⁹
+        # nodes exactly, and the sum is driver-side only.
+        cur_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = jumped
         if cur_sum == prev_sum:
             converged = True

@@ -274,18 +274,23 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_upsert",
     oracle="""
     WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+    -- keys carried as DECIMAL(38,0): the insert-key mint (key + max)
+    -- overflows int64 at boundary ids (extreme_ids axis) — Spark ANSI
+    -- throws while DuckDB silently promotes to INT128, so BOTH engines
+    -- mint in 38-digit decimal, where any int64 pair sums exactly
     upd AS (
-        SELECT o_orderkey, o_custkey, o_orderstatus,
+        SELECT o_orderkey::DECIMAL(38,0) AS o_orderkey, o_custkey, o_orderstatus,
                (TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 2) / 100.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 150 = 0
     ),
     ins AS (
-        SELECT o_orderkey + mx.m AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+        SELECT o_orderkey::DECIMAL(38,0) + mx.m::DECIMAL(38,0) AS o_orderkey,
+               o_custkey, 'N' AS o_orderstatus,
                (TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS o_totalprice
         FROM orders, mx WHERE o_orderkey % 300 = 0
     ),
     kept AS (
-        SELECT o_orderkey, o_custkey, o_orderstatus,
+        SELECT o_orderkey::DECIMAL(38,0) AS o_orderkey, o_custkey, o_orderstatus,
                (TRY_CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 150 != 0
     ),
@@ -306,27 +311,41 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join + union, written to a parquet sink, and read back for a
     fingerprint. At scale this is partition-overwrite: the anti-join
     touches only partitions containing updated keys; Delta/Iceberg
-    MERGE INTO is the same dataflow with a transaction log on top."""
+    MERGE INTO is the same dataflow with a transaction log on top.
+
+    Keys ride as DECIMAL(38,0): minting an insert key as key + max(key)
+    overflows int64 at boundary ids — Spark ANSI throws where DuckDB
+    silently promotes to INT128 (extreme_ids axis) — so both engines
+    mint in 38-digit decimal, exact for any int64 pair. The decimal is
+    internal (sink column); every checked output column stays
+    bigint/double."""
     from pymapreduce_spark.functions.checked import cents
 
-    base = load_table(spark, sf_dir, "orders").select(
+    d38 = "decimal(38,0)"
+    raw = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
         (cents("o_totalprice") / 100.0).alias("o_totalprice"),
     )
+    base = raw.select(
+        F.col("o_orderkey").cast(d38).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
     mx = base.agg(F.max("o_orderkey").alias("m"))
-    updates = base.where(F.col("o_orderkey") % 150 == 0).select(
-        "o_orderkey",
+    updates = raw.where(F.col("o_orderkey") % 150 == 0).select(
+        F.col("o_orderkey").cast(d38).alias("o_orderkey"),
         "o_custkey",
         "o_orderstatus",
         ((cents("o_totalprice") * 2) / 100.0).alias("o_totalprice"),
     )
     inserts = (
-        base.where(F.col("o_orderkey") % 300 == 0)
+        raw.where(F.col("o_orderkey") % 300 == 0)
         .crossJoin(F.broadcast(mx))
         .select(
-            (F.col("o_orderkey") + F.col("m")).alias("o_orderkey"),
+            (F.col("o_orderkey").cast(d38) + F.col("m")).alias("o_orderkey"),
             "o_custkey",
             F.lit("N").alias("o_orderstatus"),
             "o_totalprice",

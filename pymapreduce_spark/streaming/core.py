@@ -174,7 +174,7 @@ def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     "stream_source",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(event_id)::BIGINT AS id_sum,
+           bit_xor(event_id)::BIGINT AS id_xor,
            min(ts::TIMESTAMP) AS min_ts,
            max(ts::TIMESTAMP) AS max_ts
     FROM events
@@ -185,13 +185,16 @@ def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
 )
 def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a file stream and prove lossless
-    delivery: global fingerprint (count + exact id-sum + ts range)
-    equals the batch table's. (COUNT DISTINCT is unsupported on
-    streams, so the fingerprint uses an integer id-sum instead.)"""
+    delivery: global fingerprint (count + id-XOR + ts range) equals
+    the batch table's. (COUNT DISTINCT is unsupported on streams; the
+    fingerprint folds ids with bit_xor — order-insensitive and exact
+    like a sum, but overflow-free at ±Long.MAX ids, where Σ id crashed
+    the stream under ANSI on the extreme_ids axis. Ids are unique, so
+    a lost or duplicated row always flips the fold.)"""
     s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
     agg = s.agg(
         F.count("*").alias("n_rows"),
-        F.sum("event_id").alias("id_sum"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )

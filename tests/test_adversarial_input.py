@@ -1916,3 +1916,29 @@ def test_streaming_clock_tz_matches_oracle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.session.timeZone", prior)
         con.close()
     assert not bad, "stream clock-tz divergence:\n" + "\n".join(bad)
+
+
+def test_extreme_ids_fixture_matches_oracle(spark, tmp_path_factory):
+    """Int64-BOUNDARY ids (round-9 axis): ±Long.MAX/MIN-adjacent values
+    in every id column — the class that found four id-arithmetic
+    overflows (graph convergence Σ label, the stream fingerprint Σ id,
+    DuckDB's << raising where Spark's wraps, and the upsert insert-key
+    mint key + max(key)). Pin the fixed ops plus the id-heavy surface
+    around them."""
+    aa = _audit_module()
+    out = str(tmp_path_factory.mktemp("sf_extreme_ids"))
+    aa.build_extreme_ids(out, 4)
+    ops = [
+        "fn_bitwise", "sink_upsert", "stream_source",
+        "agg_bitmap_distinct", "fn_hash", "mr_partition",
+        "agg_salted_twophase", "llm_dedup_exact", "win_ranking",
+        "join_inner_equi",
+    ]
+    bad = _compare(spark, out, ops)
+    assert not bad, "extreme-id divergence:\n" + "\n".join(bad)
+    # graph_components' oracle needs the graph edge derivation —
+    # covered by the full-registry audit sweep; here pin that the
+    # decimal convergence sum at least executes on boundary ids
+    import __spark_entry__ as entry
+
+    assert entry.queries()["graph_components"](spark, out).count() > 0

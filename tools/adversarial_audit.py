@@ -593,7 +593,48 @@ def build_huge_doc(out: str, rows: int) -> None:
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 
+def build_extreme_ids(out: str, rows: int) -> None:
+    """Int64-BOUNDARY ids (round 9): ±Long.MAX/MIN-adjacent values in
+    every id column — the id class no prior axis touched (negative ids
+    exist in the `negative` axis, but boundary magnitudes are their
+    own failure class: Spark ANSI id arithmetic THROWS on overflow
+    where DuckDB silently promotes to INT128, numpy int64 wraps, and
+    truncated `%` at Long.MIN yields negative group keys). Ids a real
+    pipeline mints from hashes (xxhash64 spans the full int64 range)
+    look exactly like this. Order keys are remapped VALUE-wise on both
+    orders and lineitem so join semantics survive."""
+    LMAX = (1 << 63) - 1
+    LMIN = -(1 << 63)
+    extremes = [LMAX, LMIN, LMAX - 1, LMIN + 1, LMAX - 7, -1]
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        id_cols = {
+            "events": ["event_id", "user_id"],
+            "documents": ["doc_id"],
+            "embeddings": ["vec_id"],
+            "customer": ["c_custkey"],
+        }.get(t, [])
+        for col in id_cols:
+            v = tb[col].to_pylist()
+            for j, x in enumerate(extremes):
+                if j < len(v):
+                    v[j] = x
+            tb = _set(tb, col, v)
+        if t in ("orders", "lineitem"):
+            col = "o_orderkey" if t == "orders" else "l_orderkey"
+            v = tb[col].to_pylist()
+            lo = sorted({x for x in v if x is not None})[:2]
+            remap = {}
+            if lo:
+                remap[lo[0]] = LMAX
+            if len(lo) > 1:
+                remap[lo[1]] = LMIN + 1
+            tb = _set(tb, col, [remap.get(x, x) for x in v])
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
 AXES = {
+    "extreme_ids": build_extreme_ids,
     "nan_inf": build_nan_inf,
     "clock_tz": build_clock_tz,
     "huge_doc": build_huge_doc,
