@@ -438,6 +438,48 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_bitmap_distinct",
+    oracle="""
+    SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS window_start,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per hourly window over the replay stream.
+    COUNT DISTINCT is unsupported in streaming aggregates (state would
+    have to hold every id), but the bitmap fold (agg_bitmap_distinct's
+    pattern) IS streamable: bitmap_construct_agg is a mergeable
+    single-buffer accumulator, so the state store carries one ≤4 KB
+    bitmap per (window, id-bucket) — bounded by key space, not stream
+    length — and the per-window count is exact, not an HLL estimate.
+    Complete-mode drain == the batch distinct count (the oracle).
+    NULL user_ids carry no identity and are excluded on both sides;
+    NULL event times have no window (null-ts doctrine)."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10).where(
+        F.col("user_id").isNotNull()
+    )
+    per_bucket = (
+        s.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm")
+        )
+        .select(F.col("w.start").alias("window_start"), "bm")
+    )
+    drained = drain(per_bucket, "complete")
+    return drained.groupBy("window_start").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+
+
+@query(
     "stream_join_static",
     oracle="""
     WITH cohorts(cohort_id, cohort_name) AS (VALUES
