@@ -528,3 +528,27 @@ def test_dedup_embed_srp_precision_and_exact_dup_recall(spark, sf_dir):
     # zero false positives: re-verify every reported cosine exactly
     for r in got:
         assert r.cosine >= 0.95, r
+
+
+def test_srp_params_engineering_envelope():
+    """The SRP banding parameter solver's contract, checked across the
+    corpus sizes that matter (10^4..10^9): production thresholds
+    (>= 0.95) must solve INSIDE the band cap (sub-quadratic path
+    available at web scale), expected random collisions stay linear in
+    N by construction (N^2 / 2^bits <= N), and noise-band thresholds
+    dispatch out to the exact scan."""
+    from pymapreduce_spark.operators import llm_vector as lv
+
+    for n in (10_000, 250_000, 10_000_000, 1_000_000_000):
+        bits, bands = lv._srp_params(0.95, n)
+        assert bands <= lv._SRP_MAX_BANDS, (n, bands)
+        # linear candidate volume: 2^bits >= N
+        assert 2**bits >= n, (n, bits)
+        # at-threshold recall >= 99% by the solved band count
+        import math
+
+        p = (1.0 - math.acos(0.95) / math.pi) ** bits
+        assert 1.0 - (1.0 - p) ** bands >= 0.99, (n, bits, bands)
+        # the noise band dispatches to exact
+        _, low_bands = lv._srp_params(0.45, n)
+        assert low_bands > lv._SRP_MAX_BANDS, (n, low_bands)
