@@ -521,19 +521,7 @@ def x100_section(spark) -> dict:
 
     from pymapreduce_spark.functions.checked import epoch_micros
 
-    path = os.path.join(OUT, "events_x100")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        base = load_table(spark, BASE_SF, "events")
-        reps = []
-        for i in range(100):
-            reps.append(
-                base.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
-                .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
-            )
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionByName(r)
-        out.repartition(64).write.mode("overwrite").parquet(path)
+    path = _x100_events(spark)
 
     ev10 = spark.read.parquet(os.path.join(OUT, "events"))
     ev100 = spark.read.parquet(path)
@@ -662,6 +650,28 @@ def x100_section(spark) -> dict:
     return res
 
 
+def _x100_events(spark) -> str:
+    """100 shifted replicas of sf0.1 events (~10 M rows), shared by the
+    x100 and x100join sections."""
+    path = os.path.join(OUT, "events_x100")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = load_table(spark, BASE_SF, "events")
+        reps = []
+        for i in range(100):
+            reps.append(
+                base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 10_000_000)
+                ).withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+                )
+            )
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
 def x100_join_section(spark) -> dict:
     """Optional section (--x100join): the JOIN surface one more order
     of magnitude up — 100 shifted replicas of sf0.1 lineitem (~60 M
@@ -763,17 +773,60 @@ def x100_join_section(spark) -> dict:
             "rows_exact": bool(total == factor * base_n),
             "dim_broadcast": "BroadcastHashJoin" in plan,
         }
+    # as-of at both scales through the REGISTERED entry point: the
+    # union-reorder-window formulation is the subtlest join at scale
+    # (one shuffle, O(1) carried state per user). sf-dir-shaped symlink
+    # views let join_asof read the replicas unchanged; left-join
+    # semantics make the row count provable (= purchase count, which
+    # replicates exactly).
+    from pymapreduce_spark.registry import QUERIES
+
+    _x100_events(spark)
+    asof_dirs = {}
+    for tag, src in (("x10", "events"), ("x100", "events_x100")):
+        d = os.path.join(OUT, f"sfdir_asof_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(OUT, src), link)
+        asof_dirs[tag] = d
+    base_purchases = (
+        load_table(spark, BASE_SF, "events")
+        .where(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
+        .count()
+    )
+    for tag, factor in (("x10", 10), ("x100", 100)):
+        t0 = time.perf_counter()
+        # count the MATCHED column, not count(*): a bare count lets
+        # Catalyst prune the window entirely (the carry column is
+        # unused) and times only the scan+union
+        row = QUERIES["join_asof"](spark, asof_dirs[tag]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("matched_view_id").alias("m"),
+        ).first()
+        res[tag]["asof_s"] = round(time.perf_counter() - t0, 2)
+        res[tag]["asof_rows_exact"] = bool(
+            row["n"] == factor * base_purchases and row["m"] > 0
+        )
+
     res["steps"] = {
         "fact_fact": round(res["x100"]["fact_fact_s"]
                            / max(res["x10"]["fact_fact_s"], 0.01), 2),
         "fact_dim": round(res["x100"]["fact_dim_s"]
                           / max(res["x10"]["fact_dim_s"], 0.01), 2),
+        "asof": round(res["x100"]["asof_s"]
+                      / max(res["x10"]["asof_s"], 0.01), 2),
     }
     res["checks"] = {
         "join_fact_fact_step_ok": res["steps"]["fact_fact"] < 35,
         "join_fact_dim_step_ok": res["steps"]["fact_dim"] < 35,
+        "join_asof_step_ok": res["steps"]["asof"] < 35,
         "join_rows_exact_x10": res["x10"]["rows_exact"],
         "join_rows_exact_x100": res["x100"]["rows_exact"],
+        "join_asof_rows_exact_x10": res["x10"]["asof_rows_exact"],
+        "join_asof_rows_exact_x100": res["x100"]["asof_rows_exact"],
         "join_dim_broadcast_x10": res["x10"]["dim_broadcast"],
         "join_dim_broadcast_x100": res["x100"]["dim_broadcast"],
     }
