@@ -277,9 +277,30 @@ def stdout_lines(result: dict, spread: dict) -> list[str]:
         ]
     # compact separators: default dumps spends ~850 chars of the 2000
     # budget on pure whitespace at 60-query width
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > _TAIL_BUDGET:
-        line = json.dumps(result, separators=(",", ":"))
+    #
+    # Graduated shrink, never truncate: errors are UNBOUNDED (up to
+    # 200 chars per failed key) and calib_sec/new_keys ate ~150 chars
+    # of headroom, so the single spr_cs fallback could still outgrow
+    # the capture window with a couple of errored queries. Degrade in
+    # order of information value: drop spr_cs → compress errors to a
+    # count + first names → drop new_keys. The final candidate is
+    # bounded by construction (fixed 60-key medians map).
+    candidates = [compact, dict(result)]
+    if "errors" in result:
+        slim = dict(result)
+        slim["errors_n"] = len(result["errors"])
+        slim["errors"] = sorted(result["errors"])[:3]
+        candidates.append(slim)
+        if "new_keys" in slim:
+            slimmer = dict(slim)
+            del slimmer["new_keys"]
+            candidates.append(slimmer)
+    line = json.dumps(candidates[-1], separators=(",", ":"))
+    for cand in candidates:
+        s = json.dumps(cand, separators=(",", ":"))
+        if len(s) <= _TAIL_BUDGET:
+            line = s
+            break
     return [json.dumps({"spread": spread}), line]
 
 

@@ -585,7 +585,9 @@ def _dedup_embed_lsh(
       iff ALL sign bits of some band agree — and every candidate is
       exact-verified with the true dot product, so precision is exact
       and recall is the engineered banding probability. This is the
-      production regime (thresholds ≥ ~0.88 at web-scale N).
+      production regime (thresholds ≥ ~0.93 at N = 10⁹, where
+      bits = 30 still solves inside the cap; ≥ ~0.9 at 10⁶ —
+      tests/test_llm.py pins the envelope at 0.95 across sizes).
     - **Exact tiled pair scan (recall 1.0)** otherwise: a low
       threshold sits inside the random-cosine noise band, where NO
       sub-quadratic candidate generator can amplify (the sign-
@@ -713,6 +715,8 @@ def _dedup_embed_pairs_tiled(
     for t in range(n_tiles):
         tbl = emb.where(tile_of == t).toArrow()
         ids = np.asarray(tbl.column("vec_id").to_numpy(), dtype=np.int64)
+        if len(ids) == 0:
+            continue  # empty tile (footer count > surviving rows)
         mat = np.array(tbl.column("e").to_pylist(), dtype=np.float64)
         bc = spark.sparkContext.broadcast((ids, mat))
         part = emb.mapInPandas(
@@ -720,6 +724,10 @@ def _dedup_embed_pairs_tiled(
         ).localCheckpoint(eager=True)
         out = part if out is None else out.unionByName(part)
         bc.destroy()
+    if out is None:
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cosine double"
+        )
     return out.select(
         "vec_a", "vec_b", round_sane("cos", 6).alias("cosine")
     )
@@ -927,6 +935,12 @@ def _knn_self_join_tiled(
     for t in range(n_tiles):
         tbl = emb.where(tile_of == t).toArrow()
         ids = np.asarray(tbl.column("vec_id").to_numpy(), dtype=np.int64)
+        if len(ids) == 0:
+            # n_tiles derives from the parquet FOOTER count while tiles
+            # draw from the filtered/canonicalized set — a tile can be
+            # legitimately empty (heavy dup-id collapse, NULL filter),
+            # and a (0,)-shaped candidate matrix would crash the GEMM.
+            continue
         mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
         order = np.argsort(ids)
         bc = spark.sparkContext.broadcast((ids[order], mat[order]))
@@ -945,6 +959,12 @@ def _knn_self_join_tiled(
             .localCheckpoint(eager=True)
         )
         bc.destroy()
+    if running is None:  # every tile empty — no candidates exist
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, nn_rank int,"
+            " cosine double",
+        )
     return running.withColumn("nn_rank", F.row_number().over(w)).select(
         "query_id",
         "neighbor_id",
@@ -961,6 +981,11 @@ def _knn_self_join_tiled(
                list_dot_product(a.embedding::DOUBLE[],
                                 b.embedding::DOUBLE[]) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        -- whole-NULL embeddings (allowed through the scan doctrine)
+        -- have no position in similarity space: excluded on both
+        -- sides, matching the Spark filter (list_dot_product on a
+        -- NULL list is also a DuckDB error, not a NULL)
+        WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
     )
     SELECT query_id, neighbor_id, nn_rank, CASE WHEN abs(cos) < 1e9 THEN round(cos, 6) ELSE cos END AS cosine
     FROM (SELECT *, row_number() OVER (
@@ -989,8 +1014,13 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus to the driver."""
     import numpy as np
 
-    emb = load_embeddings(spark, sf_dir).select(
-        "vec_id", "embedding"
+    # whole-NULL embeddings survive the scan doctrine but can neither
+    # neighbor nor be neighbored — excluded on BOTH dispatch paths (the
+    # numpy kernels cannot hold them), mirrored in the oracle.
+    emb = (
+        load_embeddings(spark, sf_dir)
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
     )
     n_rows = table_row_count(sf_dir, "embeddings")
     if n_rows > _KNN_BROADCAST_MAX_ROWS:

@@ -39,22 +39,33 @@ REPLICATED = {
 }
 
 
+def _replicate(
+    spark, src: str, path: str, shifts: dict, n: int, partitions: int = 0
+) -> str:
+    """Materialize n key-shifted replicas of a base table (idempotent —
+    skipped when the _SUCCESS marker exists). Shifted keys keep
+    group/join cardinalities scaling with the row count."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    base = load_table(spark, BASE_SF, src)
+    reps = []
+    for i in range(n):
+        r = base
+        for col, stride in shifts.items():
+            r = r.withColumn(col, F.col(col) + F.lit(i * stride))
+        reps.append(r)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    if partitions:
+        out = out.repartition(partitions)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
 def materialize(spark) -> None:
     for name, shifts in REPLICATED.items():
-        path = os.path.join(OUT, name)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            continue
-        base = load_table(spark, BASE_SF, name)
-        reps = []
-        for i in range(FACTOR):
-            r = base
-            for col, stride in shifts.items():
-                r = r.withColumn(col, F.col(col) + F.lit(i * stride))
-            reps.append(r)
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionByName(r)
-        out.write.mode("overwrite").parquet(path)
+        _replicate(spark, name, os.path.join(OUT, name), shifts, FACTOR)
 
 
 def queries(spark, li, ev, docs):
@@ -653,23 +664,14 @@ def x100_section(spark) -> dict:
 def _x100_events(spark) -> str:
     """100 shifted replicas of sf0.1 events (~10 M rows), shared by the
     x100 and x100join sections."""
-    path = os.path.join(OUT, "events_x100")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        base = load_table(spark, BASE_SF, "events")
-        reps = []
-        for i in range(100):
-            reps.append(
-                base.withColumn(
-                    "event_id", F.col("event_id") + F.lit(i * 10_000_000)
-                ).withColumn(
-                    "user_id", F.col("user_id") + F.lit(i * 1_000_000)
-                )
-            )
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionByName(r)
-        out.repartition(64).write.mode("overwrite").parquet(path)
-    return path
+    return _replicate(
+        spark,
+        "events",
+        os.path.join(OUT, "events_x100"),
+        {"event_id": 10_000_000, "user_id": 1_000_000},
+        100,
+        partitions=64,
+    )
 
 
 def x100_join_section(spark) -> dict:
@@ -690,25 +692,15 @@ def x100_join_section(spark) -> dict:
     mean each replica joins only its own replica (l_orderkey and
     o_orderkey shift by the same stride), so the x100 fact-fact group
     counts are exactly 100× the base fixture's."""
-    path_li = os.path.join(OUT, "lineitem_x100")
-    path_o = os.path.join(OUT, "orders_x100")
-    for src, path, shifts in (
-        ("lineitem", path_li, {"l_orderkey": 10_000_000}),
-        ("orders", path_o, {"o_orderkey": 10_000_000, "o_custkey": 1_000_000}),
-    ):
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            continue
-        base = load_table(spark, BASE_SF, src)
-        reps = []
-        for i in range(100):
-            r = base
-            for col, stride in shifts.items():
-                r = r.withColumn(col, F.col(col) + F.lit(i * stride))
-            reps.append(r)
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionByName(r)
-        out.repartition(64).write.mode("overwrite").parquet(path)
+    path_li = _replicate(
+        spark, "lineitem", os.path.join(OUT, "lineitem_x100"),
+        {"l_orderkey": 10_000_000}, 100, partitions=64,
+    )
+    path_o = _replicate(
+        spark, "orders", os.path.join(OUT, "orders_x100"),
+        {"o_orderkey": 10_000_000, "o_custkey": 1_000_000}, 100,
+        partitions=64,
+    )
 
     li10 = spark.read.parquet(os.path.join(OUT, "lineitem"))
     o10 = spark.read.parquet(os.path.join(OUT, "orders"))

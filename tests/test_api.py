@@ -213,3 +213,34 @@ def test_bench_headline_frozen_and_new_keys_separate(spark):
     # the probe itself runs and returns a plausible wall time
     c = calibrate(spark)
     assert 0.0 < c < 30.0, c
+
+
+def test_bench_stdout_survives_unbounded_errors():
+    """The artifact line must NEVER outgrow the 2000-char driver tail,
+    even when many queries error (errors carry up to 200 chars each):
+    the guard degrades spr_cs -> error count+sample -> new_keys, and
+    the last candidate is bounded by construction."""
+    import json
+
+    from bench import HEADLINE, NEW_KEYS, stdout_lines, _TAIL_BUDGET
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": 28.77,
+        "unit": "sec",
+        "queries": {k: 0.6898 for k in HEADLINE},
+        "sf": 0.1,
+        "calib_sec": 0.4321,
+        "new_keys": {k: 0.6898 for k in NEW_KEYS},
+        "errors": {
+            k: "AnalysisException: " + "x" * 180
+            for k in list(HEADLINE)[:10]
+        },
+    }
+    spread = {k: [0.5, 0.69, 2.4] for k in list(HEADLINE) + list(NEW_KEYS)}
+    lines = stdout_lines(result, spread)
+    assert len(lines[-1]) <= _TAIL_BUDGET, len(lines[-1])
+    last = json.loads(lines[-1])
+    # medians always survive; the error count is recoverable
+    assert set(last["queries"]) == set(HEADLINE)
+    assert last.get("errors_n") == 10 or len(last.get("errors", {})) == 10

@@ -552,3 +552,42 @@ def test_srp_params_engineering_envelope():
         # the noise band dispatches to exact
         _, low_bands = lv._srp_params(0.45, n)
         assert low_bands > lv._SRP_MAX_BANDS, (n, low_bands)
+
+
+def test_tiled_paths_tolerate_empty_tiles(spark, sf_dir):
+    """n_tiles derives from the parquet FOOTER count while tiles draw
+    from the filtered/canonicalized set — a tile can be empty (heavy
+    dup-id collapse, NULL filters). A 20-row subset spread over 50
+    tiles guarantees ~30 empty ones: both tiled kernels must skip them
+    and still match their single-tile (exact) result."""
+    from pymapreduce_spark.operators import llm_vector as lv
+
+    emb = (
+        lv.load_embeddings(spark, sf_dir)
+        .where(F.col("embedding").isNotNull() & (F.col("vec_id") < 20))
+        .select("vec_id", "embedding")
+    )
+    one_tile = {
+        tuple(map(str, r))
+        for r in lv._knn_self_join_tiled(spark, emb, n_rows=20, k=5).collect()
+    }
+    many_tiles = {
+        tuple(map(str, r))
+        for r in lv._knn_self_join_tiled(
+            spark, emb, n_rows=10_000_000, k=5
+        ).collect()
+    }
+    assert many_tiles == one_tile and len(one_tile) == 20 * 5
+
+    embd = emb.select("vec_id", lv._as_double("embedding").alias("e"))
+    one = {
+        (r.vec_a, r.vec_b)
+        for r in lv._dedup_embed_pairs_tiled(embd, 0.0, n_rows=20).collect()
+    }
+    many = {
+        (r.vec_a, r.vec_b)
+        for r in lv._dedup_embed_pairs_tiled(
+            embd, 0.0, n_rows=10_000_000
+        ).collect()
+    }
+    assert many == one and len(one) > 0
