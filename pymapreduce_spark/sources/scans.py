@@ -586,3 +586,79 @@ def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_total"),
         )
     )
+
+
+class _SyntheticLogReader:
+    """Partition-parallel reader for :class:`SyntheticLogSource`: each
+    of 8 input partitions yields its residue class of 0..n-1, so the
+    scan is genuinely distributed (one task per InputPartition)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 4096))
+
+    def partitions(self):
+        from pyspark.sql.datasource import InputPartition
+
+        return [InputPartition(i) for i in range(8)]
+
+    def read(self, partition):
+        i = partition.value
+        for k in range(i, self.n, 8):
+            yield (k, (k * 2654435761) % 1000003, k % 10)
+
+
+class SyntheticLogSource:
+    """Deterministic synthetic measurement source for the Python Data
+    Source API op below (module-level so executors can unpickle it).
+    Declared lazily as a real DataSource subclass in source_python_ds
+    — the pyspark.sql.datasource import lives there so this module
+    stays importable on stripped installs."""
+
+
+@query(
+    "source_python_ds",
+    oracle="""
+    SELECT k % 10 AS bucket,
+           count(*) AS n,
+           sum((k * 2654435761) % 1000003)::BIGINT AS v_sum
+    FROM (SELECT unnest(range(0, 4096)) AS k)
+    GROUP BY 1
+    """,
+)
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4,
+    SPARK-44076): a DataSource subclass registered on the session, with
+    explicit schema, options, and PARTITIONED reads — 8 InputPartitions
+    each streaming its residue class, so the custom source scans in
+    parallel exactly like a built-in format. This is the §2-B family's
+    extensibility story: a team's bespoke feed (internal log service,
+    ticker, device stream) mounts as `spark.read.format(name)` with no
+    JVM code. The payload is a deterministic arithmetic sequence so the
+    DuckDB oracle can regenerate it exactly (no fixture file involved —
+    the CONNECTOR is the thing under test)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _Reader(_SyntheticLogReader, DataSourceReader):
+        pass
+
+    class _Source(DataSource):
+        @classmethod
+        def name(cls):
+            return "pymr_synthetic_log"
+
+        def schema(self):
+            return "k bigint, v bigint, bucket bigint"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(_Source)
+    df = (
+        spark.read.format("pymr_synthetic_log")
+        .option("n", "4096")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("v_sum"),
+    )
