@@ -662,3 +662,73 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("v_sum"),
     )
+
+
+@query(
+    "stream_python_ds",
+    oracle="""
+    SELECT k % 10 AS bucket,
+           count(*) AS n,
+           sum((k * 2654435761) % 1000003)::BIGINT AS v_sum
+    FROM (SELECT unnest(range(0, 4096)) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING side of the Python Data Source API
+    (SimpleDataSourceStreamReader): a custom source with offset
+    management — initialOffset → read(start) → (rows, nextOffset) —
+    drained through a memory sink with availableNow. Offsets are the
+    connector's replay contract (the checkpoint stores them; a restart
+    resumes from the committed offset), which is exactly what a
+    bespoke feed needs to be exactly-once. Same deterministic payload
+    as source_python_ds, so the DuckDB oracle regenerates it and the
+    driver hash-checks the full batch+stream connector story."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"k": 0}
+
+        def read(self, start):
+            k0 = int(start["k"])
+            n = 4096
+            # one availableNow trigger = one read call: emit the full
+            # remaining range so the finite drain is lossless; an
+            # unbounded deployment would return a bounded slice and
+            # advance the offset per micro-batch
+            rows = (
+                (k, (k * 2654435761) % 1000003, k % 10)
+                for k in range(k0, n)
+            )
+            return iter(list(rows)), {"k": n}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (k, (k * 2654435761) % 1000003, k % 10)
+                for k in range(int(start["k"]), int(end["k"]))
+            )
+
+    class _StreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pymr_synthetic_log_stream"
+
+        def schema(self):
+            return "k bigint, v bigint, bucket bigint"
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader()
+
+    spark.dataSource.register(_StreamSource)
+    s = spark.readStream.format("pymr_synthetic_log_stream").load()
+    from pymapreduce_spark.streaming.core import drain
+
+    rows = drain(s, "append")
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("v_sum"),
+    )
