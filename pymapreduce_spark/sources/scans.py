@@ -732,3 +732,106 @@ def stream_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("v_sum"),
     )
+
+
+@query(
+    "sink_python_ds",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           sum(TRY_CAST(round(s_acctbal * 100) AS BIGINT))::BIGINT
+               AS bal_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER side of the Python Data Source API: a custom sink —
+    DataSourceWriter.write runs once per partition on the executors,
+    emits a WriterCommitMessage, and the files land without any JVM
+    code (the connector trilogy's last leg after source_python_ds /
+    stream_python_ds). Supplier rows stream through the custom
+    line-format writer (balances as integer CENTS — text round-trips
+    of doubles are the exact hazard checked.cents exists for), are
+    read back schema-explicitly, and the per-nation fingerprint must
+    equal the originating table's."""
+    import glob
+    import shutil
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    from pymapreduce_spark.functions.checked import cents
+
+    path = _scratch(sf_dir, "supplier_pyds_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            out = os.path.join(self.path, f"part-{pid:05d}.txt")
+            with open(out, "w") as fh:
+                for row in it:
+                    # empty field <=> NULL (schema-explicit CSV read
+                    # maps it back; str(None) would round-trip as a
+                    # parse failure, not a NULL)
+                    fh.write(
+                        ",".join(
+                            "" if v is None else str(v) for v in row
+                        )
+                        + "\n"
+                    )
+            return WriterCommitMessage()
+
+    class _Sink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pymr_line_sink"
+
+        def schema(self):
+            return "s_suppkey bigint, s_nationkey bigint, bal_cents bigint"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options)
+
+    spark.dataSource.register(_Sink)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        cents("s_acctbal").alias("bal_cents"),
+    )
+    (
+        sup.write.format("pymr_line_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("bal_cents", T.LongType()),
+        ]
+    )
+    # a quiet partition writes an empty file — the schema-explicit CSV
+    # read tolerates it (no inference); an EMPTY SOURCE writes no
+    # files at all, which read.csv([]) rejects
+    files = sorted(glob.glob(path + "/part-*.txt"))
+    if not files:
+        return spark.createDataFrame(
+            [], "s_nationkey bigint, n_suppliers bigint, bal_cents bigint"
+        )
+    back = spark.read.csv(files, schema=schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("bal_cents").alias("bal_cents"),
+    )
