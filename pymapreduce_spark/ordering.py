@@ -9,31 +9,54 @@ composition, in order:
    ``CORRECTNESS_r*.json`` is not hash-green and that could plausibly go
    green now (they register an oracle, or their last run errored). A
    fixed operator is not "done" until the driver re-confirms it.
-2. **Resample quota** — a small, deterministic rotation of
-   already-green names (oldest driver row first), so a regression in a
-   previously-verified operator is eventually re-detected rather than
-   being pushed out of the window permanently.
-3. **Fresh** — names with no driver row yet, in curated priority order
+2. **Changed-source greens** (round-9 verdict, task 1) — names whose
+   implementing function's source no longer matches what the driver
+   last attested green (per the committed ``SOURCE_HASHES.json``
+   snapshot; see tools/update_source_hashes.py). A green row proves the
+   code the driver RAN, not the code in the tree — a rewrite invalidates
+   the attestation. Ranked by an interleave of the two risk factors:
+   recency of the rewrite (a round-9 rewrite is riskier than a round-5
+   docstring touch) and staleness of the attestation (an r3 row has had
+   the most rounds to drift). Capped at ``CHANGED_QUOTA`` so one big
+   refactor round cannot evict the resample/fresh buckets from the
+   driver's 50-name window; the overflow leads bucket 5.
+3. **Resample quota** — a small, deterministic rotation of
+   already-green UNchanged names (oldest driver row first), so a
+   regression in a previously-verified operator is eventually
+   re-detected rather than being pushed out of the window permanently.
+4. **Fresh** — names with no driver row yet, in curated priority order
    (sections of SURVEY.md §2 with no driver evidence first), then
    registration order.
-4. The remaining already-green names, oldest driver row first (name
-   tie-break) — so post-backlog windows always re-verify the stalest
-   part of the green set rather than the same registration-order heads.
+5. The remaining already-green names: changed-bucket overflow first (in
+   its interleaved risk order), then unchanged names oldest driver row
+   first (name tie-break) — so post-backlog windows always re-verify
+   the riskiest part of the green set rather than the same
+   registration-order heads.
 
-With no artifacts on disk (fresh clone) buckets 1/2/4 are empty and the
-order is exactly the curated-then-registration order — deterministic in
-every environment.
+With no artifacts on disk (fresh clone) buckets 1/2/3/5 are empty and
+the order is exactly the curated-then-registration order —
+deterministic in every environment. With artifacts but no
+``SOURCE_HASHES.json`` snapshot, bucket 2 is empty and the order
+degrades to the pure-staleness rotation of rounds ≤9.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 import re
 import warnings
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SOURCE_HASHES_PATH = os.path.join(_REPO_ROOT, "SOURCE_HASHES.json")
+
+#: How many changed-source greens lead the window (bucket 2). 34 keeps
+#: the full judge window (50) holding changed + resample (8) + a
+#: handful of fresh debuts even in a heavy-refactor round.
+CHANGED_QUOTA = 34
 
 #: How many already-green names to re-sample per round (bucket 2).
 #: While the fresh backlog dominates (first five rounds) the quota stays
@@ -204,6 +227,94 @@ def driver_checked_names() -> set[str]:
     return set(latest_driver_rows())
 
 
+def source_hash(fn) -> str | None:
+    """sha256 of the implementing callable's source, or None when the
+    source is unavailable (builtins, test stand-ins). Must stay in sync
+    with the extraction in tools/update_source_hashes.py (which imports
+    this function) — the changed-source compare is hash-vs-hash."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    return hashlib.sha256(src.encode("utf-8")).hexdigest()
+
+
+def load_snapshot() -> dict:
+    """The committed attestation snapshot (SOURCE_HASHES.json), mapping
+    name -> {round, hash, latest_round, latest_hash, modified_round}.
+    Missing/malformed snapshot -> {} (bucket 2 degrades to empty)."""
+    try:
+        with open(_SOURCE_HASHES_PATH) as fh:
+            snap = json.load(fh)
+    except Exception:
+        return {}
+    if not isinstance(snap, dict):
+        return {}
+    return {k: v for k, v in snap.items() if k != "_rounds" and isinstance(v, dict)}
+
+
+def _changed_risk_order(changed: list[tuple[str, int, int]]) -> list[str]:
+    """Interleave the two re-verification risk streams over ``changed``
+    (name, attested_round, modified_round) triples:
+
+    - **recency**: most recently modified first (a live/r9 rewrite is
+      the least-attested code in the tree), stale attestation tie-break;
+    - **staleness**: oldest attestation first (most rounds of drift),
+      recent modification tie-break.
+
+    Round-robin merge, dedup keeping first position — so a name at the
+    top of EITHER risk axis lands near the head, and the quota cut
+    never starves one axis (round-9 verdict task 1 needs both the
+    r9-rewritten vector ops AND the r3-era udf keys in one window)."""
+    recency = sorted(changed, key=lambda t: (-t[2], t[1], t[0]))
+    staleness = sorted(changed, key=lambda t: (t[1], -t[2], t[0]))
+    merged: list[str] = []
+    seen: set[str] = set()
+    for a, b in zip(recency, staleness):
+        for name, _r, _m in (a, b):
+            if name not in seen:
+                seen.add(name)
+                merged.append(name)
+    return merged
+
+
+def changed_since_attested(
+    registered: dict,
+    latest: dict[str, tuple[int, dict]],
+    snapshot: dict | None = None,
+    current: dict[str, str | None] | None = None,
+) -> list[tuple[str, int, int]]:
+    """(name, attested_round, modified_round) for every green-attested
+    name whose implementing source differs from the snapshot's attested
+    hash. ``current`` (name -> hash) is injectable for tests; by default
+    it is computed from the registered callables. Live edits newer than
+    the snapshot's newest extracted round rank as modified in
+    ``latest_round + 1``."""
+    snap = load_snapshot() if snapshot is None else snapshot
+    if not snap:
+        return []
+    out: list[tuple[str, int, int]] = []
+    for name, (rnd, _row) in latest.items():
+        ent = snap.get(name)
+        if not isinstance(ent, dict):
+            continue
+        attested = ent.get("hash")
+        if not attested:
+            continue
+        cur = (
+            current.get(name)
+            if current is not None
+            else source_hash(registered.get(name))
+        )
+        if not cur or cur == attested:
+            continue
+        modified = ent.get("modified_round") or rnd
+        if ent.get("latest_hash") and cur != ent["latest_hash"]:
+            modified = (ent.get("latest_round") or modified) + 1
+        out.append((name, rnd, modified))
+    return out
+
+
 def _needs_recheck(row: dict, has_oracle: bool) -> bool:
     """True when the name's latest driver row is not hash-green and a
     re-run could plausibly improve it: it has an oracle registered now
@@ -217,10 +328,18 @@ def _needs_recheck(row: dict, has_oracle: bool) -> bool:
     return True
 
 
-def ordered_names(registered: dict, oracles: dict | None = None) -> list[str]:
+def ordered_names(
+    registered: dict,
+    oracles: dict | None = None,
+    snapshot: dict | None = None,
+    current: dict[str, str | None] | None = None,
+) -> list[str]:
     """Order ``registered`` keys per the module docstring. ``oracles``
     (name -> SQL) decides whether a non-green row is worth re-checking;
-    omitted means assume every name has an oracle."""
+    omitted means assume every name has an oracle. ``snapshot`` /
+    ``current`` override the attestation snapshot and live source
+    hashes (tests); by default they come from SOURCE_HASHES.json and
+    ``inspect.getsource`` over the registered callables."""
     unknown = [n for n in PRIORITY if n not in registered]
     if unknown:  # renamed/removed operators must not break import
         warnings.warn(
@@ -240,8 +359,25 @@ def ordered_names(registered: dict, oracles: dict | None = None) -> list[str]:
     green = [
         n for n in curated if n in latest and n not in set(rechecks)
     ]
-    # Oldest driver row first; name tie-break keeps it deterministic.
-    resample = sorted(green, key=lambda n: (latest[n][0], n))[: _resample_quota()]
+    # Bucket 2: greens whose source the driver never attested, in
+    # interleaved risk order, quota-capped (overflow leads bucket 5).
+    changed_all = _changed_risk_order(
+        changed_since_attested(
+            {n: registered.get(n) for n in green},
+            {n: latest[n] for n in green},
+            snapshot=snapshot,
+            current=current,
+        )
+    )
+    changed = changed_all[:CHANGED_QUOTA]
+    changed_overflow = changed_all[CHANGED_QUOTA:]
+    unchanged = [n for n in green if n not in set(changed_all)]
+    # Bucket 3: oldest driver row first; name tie-break keeps it
+    # deterministic. Unchanged names only — a changed name is already
+    # ranked by bucket 2 and must not double-burn a window slot.
+    resample = sorted(unchanged, key=lambda n: (latest[n][0], n))[
+        : _resample_quota()
+    ]
     fresh = [n for n in curated if n not in latest]
     # Oracle-less names NEVER outrank oracled ones in the fresh bucket:
     # the artifact record (r1–r6) shows the driver has no working
@@ -252,14 +388,13 @@ def ordered_names(registered: dict, oracles: dict | None = None) -> list[str]:
         fresh = [n for n in fresh if n in oracles] + [
             n for n in fresh if n not in oracles
         ]
-    # Bucket 4 rotates by oldest-driver-row too (round-7 verdict, task 2):
-    # once the fresh backlog is empty the window is rechecks + resamples +
-    # the *stalest* greens, so the whole registry re-verifies every
-    # ~(registry / window) rounds instead of pinning the same
-    # registration-order heads forever while the tail only re-verifies
-    # through the 8-slot resample quota (~31 rounds per full pass).
-    rest = sorted(
-        (n for n in green if n not in set(resample)),
+    # Bucket 5 (round-7 verdict task 2, round-9 verdict task 1): the
+    # changed-bucket overflow first (still the riskiest unattested
+    # code), then unchanged greens by oldest-driver-row — so once the
+    # fresh backlog is empty the window always re-verifies the riskiest
+    # greens rather than the same registration-order heads.
+    rest = changed_overflow + sorted(
+        (n for n in unchanged if n not in set(resample)),
         key=lambda n: (latest[n][0], n),
     )
-    return rechecks + resample + fresh + rest
+    return rechecks + changed + resample + fresh + rest

@@ -140,8 +140,11 @@ def test_rest_bucket_rotates_by_staleness(patched):
 
 
 def test_real_registry_post_backlog_window_is_stalest_first():
-    """On the actual registry + artifacts: among bucket-4 names, every
-    windowed one must be at least as stale as every unwindowed one."""
+    """On the actual registry + artifacts: among UNCHANGED greens
+    beyond the resample quota (bucket 5's staleness tail), every
+    windowed one must be at least as stale as every unwindowed one.
+    Changed-source greens are excluded — they rank by the bucket-2
+    risk interleave, not by staleness alone (round-9 verdict, task 1)."""
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
@@ -153,14 +156,169 @@ def test_real_registry_post_backlog_window_is_stalest_first():
         for n in order
         if n in latest and not ordering._needs_recheck(latest[n][1], n in os_)
     ]
-    rest = greens[quota:]  # bucket 4 in window order
+    changed = {
+        n
+        for n, _r, _m in ordering.changed_since_attested(
+            {n: qs[n] for n in greens}, {n: latest[n] for n in greens}
+        )
+    }
+    unchanged = [n for n in greens if n not in changed]
+    tail = unchanged[quota:]  # bucket 5's staleness tail, window order
     window = set(order[:50])
-    in_w = [latest[n][0] for n in rest if n in window]
-    out_w = [latest[n][0] for n in rest if n not in window]
+    in_w = [latest[n][0] for n in tail if n in window]
+    out_w = [latest[n][0] for n in tail if n not in window]
     if in_w and out_w:
         assert max(in_w) <= min(out_w), (
-            "a windowed bucket-4 name is fresher than an unwindowed one"
+            "a windowed unchanged green is fresher than an unwindowed one"
         )
+
+
+def test_changed_source_greens_lead_and_interleave(patched):
+    """Round-9 verdict task 1: greens whose source no longer matches
+    the attested hash outrank unchanged greens, ranked by an interleave
+    of rewrite-recency and attestation-staleness — so BOTH a freshly
+    rewritten r5 op and a long-stale r3 op land at the bucket head."""
+    registered = {n: None for n in ["rewritten", "stale3", "touched", "calm"]}
+    patched(
+        {
+            "rewritten": (5, GREEN),  # rewritten in r9 — riskiest
+            "stale3": (3, GREEN),  # touched r6, stalest attestation
+            "touched": (6, GREEN),  # touched r7
+            "calm": (3, GREEN),  # unchanged since attestation
+        }
+    )
+    snapshot = {
+        "rewritten": {"round": 5, "hash": "old", "latest_round": 9,
+                      "latest_hash": "new", "modified_round": 9},
+        "stale3": {"round": 3, "hash": "old", "latest_round": 9,
+                   "latest_hash": "new", "modified_round": 6},
+        "touched": {"round": 6, "hash": "old", "latest_round": 9,
+                    "latest_hash": "new", "modified_round": 7},
+        "calm": {"round": 3, "hash": "same", "latest_round": 9,
+                 "latest_hash": "same", "modified_round": 2},
+    }
+    current = {"rewritten": "new", "stale3": "new", "touched": "new",
+               "calm": "same"}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(
+            registered, oracles=registered, snapshot=snapshot, current=current
+        )
+    # interleave: recency stream head (rewritten, M9) then staleness
+    # stream head (stale3, r3), then the rest; unchanged 'calm' follows
+    # in the resample bucket.
+    assert order[:2] == ["rewritten", "stale3"]
+    assert order[2] == "touched"
+    assert order[3] == "calm"
+
+
+def test_live_edits_rank_newest_in_changed_bucket(patched):
+    """A source hash matching NEITHER the attested nor the newest
+    extracted round is an in-flight edit — modified_round is treated as
+    latest_round+1, so it outranks every historical rewrite."""
+    registered = {"edited_now": None, "rewritten_r9": None}
+    patched({"edited_now": (8, GREEN), "rewritten_r9": (4, GREEN)})
+    snapshot = {
+        "edited_now": {"round": 8, "hash": "a8", "latest_round": 9,
+                       "latest_hash": "a9", "modified_round": 9},
+        "rewritten_r9": {"round": 4, "hash": "b4", "latest_round": 9,
+                         "latest_hash": "b9", "modified_round": 9},
+    }
+    current = {"edited_now": "a10-live", "rewritten_r9": "b9"}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(
+            registered, oracles=registered, snapshot=snapshot, current=current
+        )
+    assert order[0] == "edited_now"
+
+
+def test_unchanged_debuts_do_not_outrank_changed_greens(patched):
+    """Round-9 verdict task 8: a fresh debut with one green row and
+    UNCHANGED source must not deprioritize rewritten older ops — the
+    changed bucket leads, the debut waits in the staleness tail."""
+    registered = {"debut_r9": None, "vector_rewrite": None, "old_calm": None}
+    patched(
+        {
+            "debut_r9": (9, GREEN),
+            "vector_rewrite": (5, GREEN),
+            "old_calm": (3, GREEN),
+        }
+    )
+    snapshot = {
+        "debut_r9": {"round": 9, "hash": "d", "latest_round": 9,
+                     "latest_hash": "d", "modified_round": 9},
+        "vector_rewrite": {"round": 5, "hash": "v5", "latest_round": 9,
+                           "latest_hash": "v9", "modified_round": 9},
+        "old_calm": {"round": 3, "hash": "c", "latest_round": 9,
+                     "latest_hash": "c", "modified_round": 1},
+    }
+    current = {"debut_r9": "d", "vector_rewrite": "v9", "old_calm": "c"}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(
+            registered, oracles=registered, snapshot=snapshot, current=current
+        )
+    assert order[0] == "vector_rewrite"  # changed bucket leads
+    # unchanged names rotate by staleness: old_calm (r3) before the
+    # r9 debut, which is the freshest green in the registry.
+    assert order[1:] == ["old_calm", "debut_r9"]
+
+
+def test_changed_quota_overflow_leads_rest_bucket(patched):
+    """Changed names beyond CHANGED_QUOTA are not demoted to pure
+    staleness — they lead bucket 5 ahead of every unchanged green."""
+    n_changed = ordering.CHANGED_QUOTA + 2
+    changed_names = [f"c{i:02d}" for i in range(n_changed)]
+    registered = {n: None for n in changed_names + ["calm_old"]}
+    patched(
+        {
+            **{n: (5, GREEN) for n in changed_names},
+            "calm_old": (3, GREEN),
+        }
+    )
+    snapshot = {
+        n: {"round": 5, "hash": "old", "latest_round": 9,
+            "latest_hash": "new", "modified_round": 7}
+        for n in changed_names
+    }
+    snapshot["calm_old"] = {"round": 3, "hash": "k", "latest_round": 9,
+                            "latest_hash": "k", "modified_round": 1}
+    current = {n: "new" for n in changed_names}
+    current["calm_old"] = "k"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(
+            registered, oracles=registered, snapshot=snapshot, current=current
+        )
+    head = order[: ordering.CHANGED_QUOTA]
+    assert set(head) <= set(changed_names)
+    # resample (unchanged stalest) right after the capped changed bucket
+    assert order[ordering.CHANGED_QUOTA] == "calm_old"
+    # overflow follows, ahead of nothing unchanged (calm_old was the
+    # only unchanged name and it is consumed by the resample quota)
+    assert set(order[ordering.CHANGED_QUOTA + 1 :]) == set(
+        changed_names
+    ) - set(head)
+
+
+def test_real_registry_window_covers_r9_task1_keys():
+    """The round-10 driver window (first 50 names) must contain every
+    key the round-9 verdict demanded fresh rows for: the rewritten
+    vector ops, the r4 minhash pair, and the 12 r3-era win_*/udf_* keys."""
+    import __spark_entry__ as e
+
+    window = set(list(e.queries())[:50])
+    required = {
+        "llm_knn_self_join", "llm_dedup_embed", "llm_sim_search_ann",
+        "llm_dedup_fuzzy", "llm_minhash_sig",
+        "win_ranking", "win_lag_lead", "win_running", "win_range_frame",
+        "win_first_last_nth", "topk_per_group",
+        "udf_python", "udf_pandas_scalar", "udaf_pandas_agg",
+        "udf_grouped_map", "udf_map_partitions", "udtf_python",
+    }
+    missing = required - window
+    assert not missing, f"r9-task-1 keys outside the driver window: {missing}"
 
 
 def test_registry_has_no_oracle_less_queries():
