@@ -507,15 +507,19 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact all-pairs form is the oracle-checkable baseline and is
     gated IN CODE to small corpora: above ``_DEDUP_EMBED_MAX_ROWS`` the
-    operator switches to :func:`_dedup_embed_lsh` — signed-random-
-    projection band-join candidates + exact verify, candidate volume
-    linear in N by construction. Recall there is the banding
-    probability: ≥99 % engineered for production thresholds (≥ ~0.95
-    at web scale), best-effort for marginal low-threshold pairs
-    (measured 0.27 at this 0.45 fixture threshold, 0 false positives —
-    sub-quadratic candidate generation at a threshold inside the
-    random-cosine noise band is information-theoretically lossy);
-    exact duplicates collide in every band and are never missed."""
+    operator switches to :func:`_dedup_embed_lsh`, which dispatches on
+    the threshold. At THIS threshold (0.45 — inside the random-cosine
+    noise band, where no sub-quadratic candidate generator can
+    amplify) the dispatcher always picks the exact tiled pair scan, so
+    the shipped >gate path keeps recall 1.0 (pinned by
+    tests/test_llm.py's past-the-gate planted-duplicate check). At
+    production near-dup thresholds (≥ ~0.95) it instead bands via
+    signed random projections with ≥99 % engineered at-threshold
+    recall, candidate volume linear in N by construction. (A
+    FORCE-banded experiment at 0.45 measured recall 0.27 with 0 false
+    positives — the information-theoretic loss that motivates the
+    exact-tiled dispatch; that configuration is unreachable through
+    the registered operator.)"""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("e")
     )
@@ -585,8 +589,10 @@ def _dedup_embed_lsh(
       iff ALL sign bits of some band agree — and every candidate is
       exact-verified with the true dot product, so precision is exact
       and recall is the engineered banding probability. This is the
-      production regime (thresholds ≥ ~0.93 at N = 10⁹, where
-      bits = 30 still solves inside the cap; ≥ ~0.9 at 10⁶ —
+      production regime (thresholds ≥ ~0.95 at N = 10⁹ — at bits = 30
+      the ≥99 % band solution fits the _SRP_MAX_BANDS cap only from
+      ~0.946 up (0.946 → 127 bands, 0.93 → 210 > 128, which dispatches
+      to the exact tiled scan instead); ≥ ~0.9 at 10⁶ —
       tests/test_llm.py pins the envelope at 0.95 across sizes).
     - **Exact tiled pair scan (recall 1.0)** otherwise: a low
       threshold sits inside the random-cosine noise band, where NO
@@ -682,6 +688,11 @@ def _dedup_embed_pairs_tiled(
     # NULL embeddings can never cross the threshold (same exclusion as
     # the tiled kNN path — np.stack cannot hold them).
     emb = emb.where(F.col("e").isNotNull())
+    # The tile loop scans emb twice per tile (tile extraction + query
+    # pass); without a persist that is 2·n_tiles full source re-reads —
+    # O(N²/_KNN_TILE_ROWS) scanned I/O on top of the inherent GEMM.
+    # Cache once, spillable, and release after the last checkpoint.
+    emb = emb.persist()
     n_tiles = max(1, -(-n_rows // _KNN_TILE_ROWS))
     tile_of = F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles))
 
@@ -724,6 +735,9 @@ def _dedup_embed_pairs_tiled(
         ).localCheckpoint(eager=True)
         out = part if out is None else out.unionByName(part)
         bc.destroy()
+    # Every per-tile result is checkpointed — nothing downstream reads
+    # emb's lineage anymore.
+    emb.unpersist()
     if out is None:
         return spark.createDataFrame(
             [], "vec_a bigint, vec_b bigint, cosine double"
@@ -889,6 +903,10 @@ def _knn_self_join_tiled(
     # excluded from both sides before the numpy kernels (np.stack
     # cannot represent it).
     emb = emb.where(F.col("embedding").isNotNull())
+    # Cache the corpus once: the tile loop otherwise re-reads the
+    # source twice per tile (toArrow extraction + mapInPandas query
+    # pass) — 2·n_tiles full scans of unpersisted lineage.
+    emb = emb.persist()
     n_tiles = max(1, -(-n_rows // _KNN_TILE_ROWS))
 
     def tile_kernel(bc):
@@ -959,6 +977,9 @@ def _knn_self_join_tiled(
             .localCheckpoint(eager=True)
         )
         bc.destroy()
+    # The running best-k is checkpointed — emb's lineage is no longer
+    # referenced by anything this function returns.
+    emb.unpersist()
     if running is None:  # every tile empty — no candidates exist
         return spark.createDataFrame(
             [],

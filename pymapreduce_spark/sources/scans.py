@@ -589,30 +589,29 @@ def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 class _SyntheticLogReader:
-    """Partition-parallel reader for :class:`SyntheticLogSource`: each
-    of 8 input partitions yields its residue class of 0..n-1, so the
-    scan is genuinely distributed (one task per InputPartition)."""
+    """Partition-parallel reader for the synthetic-log Python Data
+    Source (see source_python_ds, which derives its in-function
+    DataSource's reader from this class — module-level so executors
+    can unpickle it): each of ``partitions`` InputPartitions yields its
+    residue class of 0..n-1, so the scan is genuinely distributed (one
+    task per InputPartition). Both ``n`` (row count) and ``partitions``
+    (task count) are reader options — partition count scales with input
+    size like a real connector's split planning (round-9 verdict,
+    task 7), instead of being pinned at the conformance-op default."""
 
     def __init__(self, options):
         self.n = int(options.get("n", 4096))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
         from pyspark.sql.datasource import InputPartition
 
-        return [InputPartition(i) for i in range(8)]
+        return [InputPartition(i) for i in range(self.n_parts)]
 
     def read(self, partition):
         i = partition.value
-        for k in range(i, self.n, 8):
+        for k in range(i, self.n, self.n_parts):
             yield (k, (k * 2654435761) % 1000003, k % 10)
-
-
-class SyntheticLogSource:
-    """Deterministic synthetic measurement source for the Python Data
-    Source API op below (module-level so executors can unpickle it).
-    Declared lazily as a real DataSource subclass in source_python_ds
-    — the pyspark.sql.datasource import lives there so this module
-    stays importable on stripped installs."""
 
 
 @query(
@@ -635,7 +634,10 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticker, device stream) mounts as `spark.read.format(name)` with no
     JVM code. The payload is a deterministic arithmetic sequence so the
     DuckDB oracle can regenerate it exactly (no fixture file involved —
-    the CONNECTOR is the thing under test)."""
+    the CONNECTOR is the thing under test). The registered form reads
+    the conformance defaults (n=4096, partitions=8); both are reader
+    options, and scale_smoke drives the same source at 100× rows with
+    a scaled partition count."""
     from pyspark.sql.datasource import DataSource, DataSourceReader
 
     class _Reader(_SyntheticLogReader, DataSourceReader):
