@@ -182,3 +182,98 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     n_events = ev.count()
     assert rows_first + rows_second == n_events
     assert 0 < rows_first < n_events and 0 < rows_second < n_events
+
+
+def test_stream_python_ds_replay_between_offsets(spark, tmp_path):
+    """Round-9 verdict task 3: the Python Data Source stream's
+    ``readBetweenOffsets`` — the exactly-once REPLAY contract the
+    docstring advertises — driven for real, not just the happy
+    single-``read()`` availableNow path.
+
+    Engineering the replay: a SimpleDataSourceStreamReader's offsets
+    are written to the checkpoint WAL *before* the batch runs, and the
+    prefetch cache lives in the query's reader instance. So a batch
+    that FAILS after offset-logging (foreachBatch raises) leaves a
+    planned-but-uncommitted range in the WAL; the restarted query's
+    fresh reader has an empty cache and MUST reproduce exactly that
+    range via readBetweenOffsets(start, end). Bounded 512-row slices
+    per read() make the drain multi-restart (availableNow snapshots one
+    prefetch per run), so the committed-offset resume is also exercised
+    on every subsequent run."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    n_total, slice_rows = 2048, 512
+    marker = str(tmp_path / "replay_invoked")
+    ckpt = str(tmp_path / "ckpt")
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"k": 0}
+
+        def read(self, start):
+            k0 = int(start["k"])
+            k1 = min(k0 + slice_rows, n_total)
+            rows = [(k, k % 10) for k in range(k0, k1)]
+            return iter(rows), {"k": k1}
+
+        def readBetweenOffsets(self, start, end):
+            with open(marker, "a") as fh:
+                fh.write(f"{start['k']}..{end['k']}\n")
+            return iter(
+                (k, k % 10) for k in range(int(start["k"]), int(end["k"]))
+            )
+
+    class _Source(DataSource):
+        @classmethod
+        def name(cls):
+            return "pymr_replay_probe"
+
+        def schema(self):
+            return "k bigint, bucket bigint"
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(_Source)
+    seen: list[int] = []
+
+    def run(on_batch):
+        q = (
+            spark.readStream.format("pymr_replay_probe")
+            .load()
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    def fail_batch(df, epoch_id):
+        raise RuntimeError("injected failure after offset WAL write")
+
+    def collect_batch(df, epoch_id):
+        seen.extend(r["k"] for r in df.collect())
+
+    # Run 1: offsets [0, 512) hit the WAL, the batch fails uncommitted.
+    with pytest.raises(Exception):
+        run(fail_batch)
+    # Restarts drain the rest; cap generously (one slice per run).
+    for _ in range(2 * (n_total // slice_rows) + 2):
+        run(collect_batch)
+        if len(seen) >= n_total:
+            break
+
+    # Exactly-once across the failure boundary: every k exactly once.
+    assert sorted(seen) == list(range(n_total))
+    # And the replay leg actually ran — the restarted reader served the
+    # WAL-planned-but-uncommitted range through readBetweenOffsets.
+    assert os.path.exists(marker), "readBetweenOffsets never invoked"
+    first_replay = open(marker).read().splitlines()[0]
+    assert first_replay == f"0..{slice_rows}"
