@@ -236,7 +236,11 @@ def main() -> None:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_SPREAD.json"), "w") as fh:
-            json.dump({"sf": sf_num, "spread": spread}, fh)
+            # calib_sec rides along (round-9 verdict task 5): the
+            # sidecar is where cross-round spread adjudication happens,
+            # so the VM-drift probe must sit next to the spreads it
+            # normalizes.
+            json.dump({"sf": sf_num, "calib_sec": calib, "spread": spread}, fh)
     except OSError:
         pass
     for line in stdout_lines(result, spread):

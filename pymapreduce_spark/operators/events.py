@@ -507,10 +507,18 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag formulation replaces the earlier collect_list(10)-then-fold —
     same value order term-for-term (missing lags contribute an exact
     +0.0), but no per-row array allocation or HOF lambda in the hot
-    path, which cut the query ~15% at sf0.1 (interleaved A/B, median
-    of 7). The oracle keeps
+    path, which cut the query ~15% at sf0.1 vs the fold (interleaved
+    A/B, median of 7). The oracle keeps
     the list_dot_product spelling; round(4) absorbs FP ulps. At 100 TB
     the window partitions by series key — no global sort.
+
+    Round-10 A/B closing the r9 bench question (+40% vs the r7 row):
+    interleaved median-of-7 at sf0.1, this formulation 0.776 s vs the
+    r7 spelling (identical but for the ``value`` tie-break) 0.703 s —
+    the dup-ids tie-break's extra window sort key costs ~10%, and the
+    remaining ~30% of the bench delta is host drift (the r7 spelling
+    itself now times 0.70 s vs its recorded 0.505 s). The tie-break is
+    doctrine-required (see below), so the ~10% stays.
 
     NULL observations are excluded from the series BEFORE windowing
     (both engines): an EWMA is defined over observed values, and
