@@ -102,6 +102,12 @@ NEW_KEYS = {
     "cms_heavy_hitters": "agg_cms_heavy_hitters",
     "isoweek_rollup": "ts_isoweek_rollup",
     "bitmap_distinct": "agg_bitmap_distinct",
+    # round-10 debuts
+    "interval_overlap": "join_interval_overlap",
+    "vwap": "ts_vwap",
+    "moving_slope": "win_moving_slope",
+    "ngram_novelty": "llm_ngram_novelty",
+    "csv_malformed": "scan_csv_malformed",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

@@ -2046,3 +2046,59 @@ def ts_isoweek_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum(cents("value")).alias("value_cents"),
     )
+
+
+@query(
+    "ts_vwap",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate::TIMESTAMP)::TIMESTAMP AS month,
+           l_returnflag,
+           sum(TRY_CAST(round(l_quantity) AS BIGINT))::BIGINT AS qty_sum,
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+               AS price_cents,
+           sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
+               / (100.0 * sum(TRY_CAST(round(l_quantity) AS BIGINT)))
+               AS vwap
+    FROM lineitem
+    WHERE l_shipdate IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (ship month, returnflag) — the
+    finance-style rollup where a plain avg(price) is wrong because each
+    row carries a quantity weight.
+
+    Determinism is the integer-sums rule (SURVEY §5.4): price goes to
+    exact cents, quantity to an exact integer, BOTH sums aggregate as
+    bigints (order-free), and the vwap is ONE double division of two
+    exact integers — both engines divide the same pair, so the result
+    is bit-identical with no rounding needed to hide drift. One
+    partial-aggregated shuffle on the composite key; at 100 TB the
+    month×flag key space is tiny, so the map-side combine collapses
+    virtually all rows before the exchange."""
+    from pymapreduce_spark.functions.checked import cents, trunc_ntz
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    )
+    qty = F.round("l_quantity", 0).try_cast("long")
+    return (
+        li.groupBy(
+            trunc_ntz("month", "l_shipdate").alias("month"),
+            "l_returnflag",
+        )
+        .agg(
+            F.sum(qty).alias("qty_sum"),
+            F.sum(cents("l_extendedprice")).alias("price_cents"),
+        )
+        .select(
+            "month",
+            "l_returnflag",
+            "qty_sum",
+            "price_cents",
+            (F.col("price_cents") / (100.0 * F.col("qty_sum"))).alias(
+                "vwap"
+            ),
+        )
+    )

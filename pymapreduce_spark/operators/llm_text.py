@@ -3430,3 +3430,89 @@ def llm_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 4).alias("pmi"),
         )
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(words) - 1),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
+                   AS sh
+        FROM w
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS g FROM s
+    ), f AS (
+        SELECT g, min(doc_id) AS first_doc FROM e GROUP BY g
+    )
+    SELECT e.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           sum(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS novelty
+    FROM e JOIN f USING (g)
+    GROUP BY e.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the share of a doc's distinct
+    3-word shingles whose FIRST corpus occurrence (min doc_id) is this
+    doc. The curation signal behind "is this crawl snapshot adding new
+    text or re-serving the corpus": boilerplate-heavy or scraped-again
+    documents score near 0, genuinely new text near 1.
+
+    Shape at 100 TB: explode to (doc_id, shingle), one partitioned
+    window-min over the shingle key (state bounded per shingle group,
+    no global sort), then one re-shuffle back to doc_id — the shingle
+    key space is huge but hash-partitioned, exactly the inverted-index
+    layout llm_inverted_index already scales. Novelty is an exact
+    integer ratio (n_novel / n_shingles), so the division is
+    bit-identical across engines with no rounding.
+
+    Doctrine: sub-3-word / NULL texts yield empty shingle sets and drop
+    out via the explode (no novelty row — matching unnest). NULL
+    doc_ids pool into one group; min(doc_id) ignores NULL, and
+    NULL = first_doc is three-valued false in both engines, so a
+    NULL-id document is never credited as the first occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        """
+        CASE WHEN size(words) < 3 THEN array()
+             ELSE array_distinct(
+                transform(sequence(1, size(words) - 2), i ->
+                    concat_ws(' ', element_at(words, i),
+                                   element_at(words, i + 1),
+                                   element_at(words, i + 2))))
+        END
+        """
+    )
+    e = (
+        docs.withColumn("words", F.split("text", " "))
+        .select("doc_id", F.explode(shingles).alias("g"))
+    )
+    w = Window.partitionBy("g")
+    novel = (
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("is_novel")
+    )
+    return (
+        e.select("doc_id", novel)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("is_novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -599,3 +599,108 @@ def join_interval_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("purchase_id").alias("first_id"),
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH su AS (
+        SELECT event_id AS signup_id,
+               epoch_us(ts::TIMESTAMP) AS lo_us,
+               epoch_us(ts::TIMESTAMP)
+                   + TRY_CAST(round(value * 100) AS BIGINT) * 600000
+                   AS hi_us
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+    ), er AS (
+        SELECT event_id AS error_id,
+               epoch_us(ts::TIMESTAMP) AS lo_us,
+               epoch_us(ts::TIMESTAMP)
+                   + TRY_CAST(round(value * 100) AS BIGINT) * 600000
+                   AS hi_us
+        FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+    )
+    SELECT su.signup_id, count(*) AS n_overlaps,
+           min(er.error_id) AS first_error_id
+    FROM su JOIN er
+      ON su.lo_us < er.hi_us AND er.lo_us < su.hi_us
+    WHERE su.hi_us IS NOT NULL AND er.hi_us IS NOT NULL
+    GROUP BY su.signup_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH interval × interval OVERLAP join — the general
+    case completing the range-join family (join_range_binned: fixed
+    widths; join_theta_range: broadcast bands; join_interval_point:
+    interval × point): which signup activity windows overlap which
+    error incident windows, both sides [ts, ts + value minutes) with
+    per-row lengths.
+
+    Technique: both sides explode across every 1-hour bin they span,
+    equi-join on the bin — but an overlapping PAIR shares every bin in
+    the overlap region, so a bare bin join emits duplicates. Instead of
+    a distinct pass (an extra shuffle over the candidate set), the join
+    keeps exactly the FIRST overlap bin: the bin containing
+    greatest(lo_a, lo_b) is spanned by both intervals iff they overlap,
+    and is unique per pair — `bin == floor(greatest(lo_a, lo_b)/width)`
+    makes every qualifying pair meet exactly once, for free. Cost at
+    100 TB mirrors join_interval_point: shuffle volume Σ⌈len/width⌉
+    copies instead of the O(N²) BNLJ a keyless overlap predicate plans;
+    per-bin skew is bounded by concurrent-interval count.
+
+    Exactness: integer-µs bounds through cents (NaN/±Inf/NULL value →
+    NULL hi_us → interval dropped by three-valued logic in BOTH
+    engines); half-open [lo, hi) overlap `lo_a < hi_b AND lo_b < hi_a`
+    so zero-length intervals overlap nothing, matching the oracle."""
+    width = 3_600_000_000  # 1 h in µs
+
+    def side(ev, etype: str, id_alias: str):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(id_alias),
+                epoch_micros("ts").alias("lo_us"),
+                (epoch_micros("ts") + cents("value") * 600_000).alias(
+                    "hi_us"
+                ),
+            )
+            .where(F.col("hi_us").isNotNull())
+        )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    su = side(ev, "signup", "signup_id").select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo_us") / width),
+                F.floor(F.col("hi_us") / width),
+            )
+        ).alias("bin"),
+    )
+    er = (
+        side(ev, "error", "error_id")
+        .withColumnsRenamed({"lo_us": "e_lo", "hi_us": "e_hi"})
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("e_lo") / width),
+                    F.floor(F.col("e_hi") / width),
+                )
+            ).alias("bin"),
+        )
+    )
+    first_bin = F.floor(F.greatest(su.lo_us, er.e_lo) / width)
+    return (
+        su.join(
+            er,
+            (su.bin == er.bin)
+            & (su.bin == first_bin)
+            & (su.lo_us < er.e_hi)
+            & (er.e_lo < su.hi_us),
+        )
+        .groupBy("signup_id")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.min("error_id").alias("first_error_id"),
+        )
+    )

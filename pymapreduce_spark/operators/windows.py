@@ -492,3 +492,106 @@ def win_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("q1", "q3")
     )
+
+
+@query(
+    "win_moving_slope",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, ts::TIMESTAMP AS tsu, value,
+               TRY_CAST(round(value * 100) AS BIGINT) AS cy
+        FROM events
+        WHERE ts IS NOT NULL
+          AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+    ), framed AS (
+        SELECT event_id, event_type,
+               list(cy) OVER (
+                   PARTITION BY event_type
+                   ORDER BY tsu, event_id, value
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+               ) AS ys
+        FROM e
+    ), stats AS (
+        SELECT event_id, event_type,
+               len(ys)::BIGINT AS m,
+               list_sum(ys)::BIGINT AS sy,
+               list_sum(list_transform(range(1, len(ys) + 1),
+                        i -> (i - 1) * ys[i]))::BIGINT AS sxy
+        FROM framed
+    )
+    SELECT event_id, event_type, m AS n_obs,
+           CASE WHEN m >= 2 THEN
+               (m * sxy - ((m * (m - 1)) // 2) * sy)::DOUBLE
+               / (m * (((m - 1) * m * (2 * m - 1)) // 6)
+                  - ((m * (m - 1)) // 2) * ((m * (m - 1)) // 2))
+           END AS slope_cents
+    FROM stats
+    """,
+)
+def win_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares slope over each series' last 8
+    observations — the trend detector a monitoring pipeline runs where
+    a moving average lags (agg_regression is the GLOBAL per-group fit;
+    this is its windowed sibling). x is the observation index inside
+    the frame, y the value in integer cents, so the OLS closed form
+    (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²) is computed entirely from EXACT
+    integer sums — Σx and Σx² collapse to integer formulas of the frame
+    length — and emitted as ONE double division, bit-identical across
+    engines with no rounding (SURVEY §5.4).
+
+    Rows whose value has no usable magnitude (NULL / non-finite /
+    overflow — the cents contract) are excluded from the SERIES before
+    windowing, mirroring ts_ewma: DuckDB's list_sum skips NULL elements
+    while Spark's aggregate() fold propagates them, so a NULL inside
+    the frame is the one shape the engines disagree on — it must never
+    reach the frame. Partitioned window, explicit (ts, event_id,
+    value) total order (dup-ids doctrine); single-row frames emit NULL
+    (a slope needs two points)."""
+    from pymapreduce_spark.functions.checked import cents
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .withColumn("cy", cents("value"))
+        .where(F.col("cy").isNotNull())
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id", "value")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    framed = ev.select(
+        "event_id",
+        "event_type",
+        F.collect_list("cy").over(w).alias("ys"),
+    )
+    stats = framed.select(
+        "event_id",
+        "event_type",
+        F.size("ys").cast("long").alias("m"),
+        F.expr(
+            "aggregate(ys, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("sy"),
+        F.expr(
+            """
+            aggregate(ys,
+                named_struct('i', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),
+                (acc, v) -> named_struct('i', acc.i + 1L,
+                                         's', acc.s + acc.i * v),
+                acc -> acc.s)
+            """
+        ).alias("sxy"),
+    )
+    sx = F.expr("(m * (m - 1)) DIV 2")
+    sx2 = F.expr("((m - 1) * m * (2 * m - 1)) DIV 6")
+    slope = F.when(
+        F.col("m") >= 2,
+        (F.col("m") * F.col("sxy") - sx * F.col("sy")).cast("double")
+        / (F.col("m") * sx2 - sx * sx),
+    )
+    return stats.select(
+        "event_id",
+        "event_type",
+        F.col("m").alias("n_obs"),
+        slope.alias("slope_cents"),
+    )

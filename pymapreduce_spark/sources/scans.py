@@ -837,3 +837,113 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("bal_cents").alias("bal_cents"),
     )
+
+
+@query(
+    "scan_csv_malformed",
+    # The scratch CSV is derived: ≤20 numeric-only good lines from
+    # supplier plus exactly 5 malformed lines appended (type-mismatch,
+    # under-arity, two over-arity, unterminated quote — measured:
+    # Spark 4 PERMISSIVE marks ALL of them corrupt while still
+    # recovering the parseable fields). Counts and the recovered-field
+    # fingerprint are therefore SQL-expressible: 5 corrupt rows and
+    # 123+314+650 = 1087 recovered cents are constants of the appended
+    # literals.
+    oracle="""
+    SELECT least(count(*), 20)::BIGINT AS n_good,
+           5::BIGINT AS n_corrupt,
+           1087::BIGINT AS recovered_cents
+    FROM supplier
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV tolerance: deliberately broken lines read in
+    PERMISSIVE mode with a corrupt-record column — scan_jsonl_permissive's
+    CSV twin, because 100 TB of vendor CSV feeds break in CSV-specific
+    ways JSON can't (arity drift, unterminated quotes), and the job
+    must classify, not die.
+
+    Measured Spark 4 semantics pinned here: type-mismatch, under-arity,
+    over-arity, and unterminated-quote rows ALL land in
+    _corrupt_record, each still carrying whatever fields DID parse —
+    the op returns the good/corrupt split plus the recovered-cents
+    fingerprint of the corrupt rows' parseable balances, proving
+    partial recovery instead of row-wide nulling. Good lines render
+    numeric-only (NULL → empty field, non-finite → empty per the cents
+    doctrine), so no quoting hazard can reclassify a source row."""
+    import math as _math
+    import os as _os
+
+    path = _scratch(sf_dir, "malformed_csv")
+    _os.makedirs(path, exist_ok=True)
+    fpath = _os.path.join(path, "data.csv")
+    src = _os.path.join(sf_dir, "supplier.parquet")
+    try:
+        from pymapreduce_spark.io import fixture_stamp
+
+        stamp = fixture_stamp(src)
+    except OSError:
+        stamp = "no-source"
+    marker = fpath + ".stamp"
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read().strip() == stamp
+    except OSError:
+        pass
+    if not (fresh and _os.path.exists(fpath)):
+        rows = (
+            load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey", "s_acctbal")
+            .limit(20)
+            .collect()
+        )
+
+        def cell(v):
+            if v is None:
+                return ""
+            if isinstance(v, float) and not _math.isfinite(v):
+                return ""  # no usable magnitude — NULL, never "nan"
+            return repr(v)
+
+        with open(fpath, "w") as fh:
+            for r in rows:
+                fh.write(
+                    f"{cell(r.s_suppkey)},{cell(r.s_nationkey)},"
+                    f"{cell(r.s_acctbal)}\n"
+                )
+            fh.write("not_a_number,7,1.23\n")  # type mismatch  → +123
+            fh.write("901,3\n")  # under-arity (no recoverable bal)
+            fh.write("902,4,3.14,surplus,again\n")  # over-arity  → +314
+            fh.write('903,"unterminated,6.50\n')  # bad quote; bal lost
+            fh.write("904,5,6.50,extra\n")  # over-arity      → +650
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("nat", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(fpath, schema=schema)
+        # QUERY_ONLY_CORRUPT_RECORD_COLUMN guard, as in the JSONL twin
+        .cache()
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.sum((~corrupt).cast("long")).alias("n_good"),
+        F.sum(corrupt.cast("long")).alias("n_corrupt"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    corrupt, F.round(F.col("bal") * 100).try_cast("long")
+                )
+            ),
+            F.lit(0),
+        ).alias("recovered_cents"),
+    )

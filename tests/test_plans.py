@@ -836,3 +836,25 @@ def test_bitmap_distinct_has_no_expand(spark, sf_dir):
     assert "bitmap_construct_agg" in plan, plan
     assert "partial_bitmap_construct_agg" in plan, plan
     assert "Expand" not in plan, plan
+
+
+def test_interval_overlap_is_equi_join_on_bin(spark, sf_dir):
+    """join_interval_overlap's keyless-looking overlap predicate must
+    plan as a HASH/SORT-MERGE equi-join on the bin key (the residual
+    overlap conditions ride as join filters) — never the
+    BroadcastNestedLoopJoin a raw interval-overlap theta join plans."""
+    plan = plan_of("join_interval_overlap", spark, sf_dir)
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_moving_slope_window_is_partitioned(spark, sf_dir):
+    """win_moving_slope's frame runs under PARTITION BY event_type —
+    a global (unpartitioned) window here would serialize the corpus
+    through one task at 100 TB."""
+    plan = plan_of("win_moving_slope", spark, sf_dir)
+    w = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert w, plan
+    assert any("event_type" in ln for ln in w), plan
