@@ -505,9 +505,12 @@ def win_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
     ), framed AS (
         SELECT event_id, event_type,
+               -- NULLS FIRST: Spark ASC defaults NULLS FIRST, DuckDB
+               -- NULLS LAST — a NULL event_id (null-ids axis) must
+               -- occupy the same frame slot in both engines
                list(cy) OVER (
                    PARTITION BY event_type
-                   ORDER BY tsu, event_id, value
+                   ORDER BY tsu, event_id ASC NULLS FIRST, value
                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
                ) AS ys
         FROM e

@@ -1652,6 +1652,10 @@ NULL_IDS_OPS = [
     "win_rolling_median", "llm_pack_sequences", "llm_batch_inference",
     "llm_inverted_index", "llm_stopword_candidates", "llm_tfidf_ml",
     "scan_jsonl_permissive", "sample_fixed_k",
+    # round-10 debut defect, fixed same round: win_moving_slope's frame
+    # order ties on NULL event_ids split engines (Spark ASC = NULLS
+    # FIRST, DuckDB = NULLS LAST) until the oracle pinned NULLS FIRST
+    "win_moving_slope",
 ]
 
 
