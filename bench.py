@@ -271,20 +271,33 @@ def stdout_lines(result: dict, spread: dict) -> list[str]:
     separate EARLIER stdout line — but the ROUND ARTIFACT only keeps
     the parsed last line, so run-to-run noise adjudication used to need
     the (unversioned) sidecar. Round-7 verdict task 8: the last line
-    now also carries ``spr_cs`` — [min, max] per query in integer
-    CENTISECONDS, as a parallel array aligned with the ``queries`` key
-    order (the median is queries[k] itself, so min/median/max per key
-    is fully recoverable from the artifact alone; 10 ms quantization is
-    an order of magnitude below this VM's documented ±30-40% noise).
+    now also carries ``spr_cs`` — min-max per query in integer
+    CENTISECONDS, encoded as ONE comma-joined string of "lo-hi" pairs
+    aligned with the ``queries`` key order (the median is queries[k]
+    itself, so min/median/max per key is fully recoverable from the
+    artifact alone; 10 ms quantization is an order of magnitude below
+    this VM's documented ±30-40% noise). The string encoding replaced
+    the round-7 array-of-pairs in round 10: five new NEW_KEYS debuts
+    pushed the array form past the capture budget, silently degrading
+    spr_cs out of the artifact — the string form costs ~60% less and
+    keeps every contracted field inside the window.
     A guard drops spr_cs rather than ever letting the line outgrow the
     capture window: the medians contract can never truncate again."""
     compact = dict(result)
     qkeys = list(result.get("queries", {}))
     if qkeys and all(k in spread for k in qkeys):
-        compact["spr_cs"] = [
-            [int(round(spread[k][0] * 100)), int(round(spread[k][-1] * 100))]
+        compact["spr_cs"] = ",".join(
+            f"{int(round(spread[k][0] * 100))}-"
+            f"{int(round(spread[k][-1] * 100))}"
             for k in qkeys
-        ]
+        )
+        if "new_keys" in compact:
+            # debut medians at centisecond precision in the compact
+            # candidate — full 4-decimal values stay in the earlier
+            # spread line and the sidecar
+            compact["new_keys"] = {
+                k: round(v, 2) for k, v in compact["new_keys"].items()
+            }
     # compact separators: default dumps spends ~850 chars of the 2000
     # budget on pure whitespace at 60-query width
     #

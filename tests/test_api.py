@@ -142,17 +142,18 @@ def test_bench_stdout_contract():
     last = json.loads(lines[-1])
     assert last["metric"] == "headline_total_sec"
     assert last["queries"] == result["queries"]
-    # r7 verdict task 8: the artifact line itself carries the spread as
-    # [min_cs, max_cs] pairs aligned with the queries key order — but
-    # NEVER at the cost of the capture window (2000-char driver tail).
+    # r7 verdict task 8 (re-encoded r10): the artifact line itself
+    # carries the spread as one comma-joined "lo-hi" centisecond string
+    # aligned with the queries key order — but NEVER at the cost of the
+    # capture window (2000-char driver tail).
     from bench import _TAIL_BUDGET
 
     assert len(lines[-1]) <= max(_TAIL_BUDGET, len(json.dumps(result))), (
         f"compact line too fat: {len(lines[-1])}B"
     )
     if "spr_cs" in last:
-        assert len(last["spr_cs"]) == len(result["queries"])
-        assert last["spr_cs"][0] == [912, 9957]
+        assert len(last["spr_cs"].split(",")) == len(result["queries"])
+        assert last["spr_cs"].split(",")[0] == "912-9957"
     # the spread line precedes it and parses on its own
     assert json.loads(lines[0])["spread"] == spread
 
@@ -207,8 +208,13 @@ def test_bench_headline_frozen_and_new_keys_separate(spark):
     assert last["calib_sec"] == 0.4321
     assert set(last["new_keys"]) == set(NEW_KEYS)
     assert set(last["queries"]) == set(HEADLINE)
-    # spr_cs stays aligned with the HEADLINE key order only
-    assert "spr_cs" in last and len(last["spr_cs"]) == 60
+    # spr_cs stays aligned with the HEADLINE key order only — one
+    # comma-joined "lo-hi" centisecond string (round 10: the r7
+    # array-of-pairs outgrew the tail budget at 9 NEW_KEYS)
+    assert "spr_cs" in last, lines[-1]
+    pairs = last["spr_cs"].split(",")
+    assert len(pairs) == 60
+    assert all(p == "51-242" for p in pairs), pairs[:3]
 
     # the probe itself runs and returns a plausible wall time
     c = calibrate(spark)
