@@ -108,6 +108,7 @@ NEW_KEYS = {
     "moving_slope": "win_moving_slope",
     "ngram_novelty": "llm_ngram_novelty",
     "csv_malformed": "scan_csv_malformed",
+    "session_wm": "stream_session_watermarked",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

@@ -928,3 +928,126 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.et").alias("last_event_type"),
         F.col("c.vc").alias("last_value_cents"),
     )
+
+
+@query(
+    "stream_session_watermarked",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
+               epoch_us(ts::TIMESTAMP) AS mu
+        FROM events
+        -- watermark starts at epoch 0: pre-1970 events are born late
+        -- and dropped by every watermarked stateful op (stream_watermark
+        -- doctrine); the batch twin drops them too
+        WHERE ts IS NOT NULL
+          AND ts::TIMESTAMP >= TIMESTAMP '1970-01-01 00:00:00'
+    ), flagged AS (
+        SELECT user_id, tsu, mu,
+               CASE WHEN mu - lag(mu) OVER w > 1800000000
+                         OR lag(mu) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id NULLS FIRST)
+    ), s AS (
+        SELECT user_id, tsu,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY tsu, mu
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, min(tsu) AS session_start,
+               max(tsu) + INTERVAL 30 MINUTE AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
+    ), wm AS (
+        SELECT max(ts::TIMESTAMP) - INTERVAL 2 HOUR AS w FROM events
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           TRUE AS matches_batch
+    FROM sess, wm WHERE session_end <= wm.w
+    """,
+)
+def stream_session_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows under a WATERMARK in APPEND mode — the
+    bounded-state sessionization a 100 TB stream actually runs
+    (stream_session's complete-mode form must retain every session ever
+    seen; this one evicts a session the moment the watermark passes its
+    end, so state is the ACTIVE sessions only — the --streamstate smoke
+    measured complete-mode session state growing with the group count,
+    which is exactly the curve this op exists to avoid).
+
+    HASH-CHECKED via the stream_watermark doctrine: availableNow's
+    final watermark commit advances past the last batch's max event
+    time, so the append emission set is the deterministic batch set
+    {sessions: end ≤ max(ts) − 2h} — Spark merges session fragments
+    across micro-batches in state, and since the day-ordered replay
+    never delivers an event older than the previous batch's watermark,
+    the merged result equals the batch sessionization (llm_sessionize's
+    window form) restricted to finalized sessions. The oracle computes
+    exactly that; ``matches_batch`` additionally proves each emitted
+    session is COMPLETE (its event count equals the batch twin's, via a
+    null-safe user key — NULL-user sessions are real sessions)."""
+    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10).where(
+        F.col("ts").isNotNull()
+    )
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+    emitted = drain(out, "append")
+
+    from pyspark.sql import Window
+
+    from pymapreduce_spark.functions.checked import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & (F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mu = epoch_micros(F.col("ts"))
+    is_new = F.coalesce(
+        (mu - F.lag(mu).over(w)) > 30 * 60 * 1_000_000, F.lit(True)
+    ).cast("bigint")
+    twin = (
+        ev.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            F.count("*").alias("twin_n"),
+        )
+        .drop("sid")
+        .withColumnRenamed("user_id", "twin_user")
+    )
+    cond = (
+        emitted.user_id.eqNullSafe(twin.twin_user)
+        & (emitted.session_start == twin.session_start)
+        & (emitted.session_end == twin.session_end)
+    )
+    return (
+        emitted.join(F.broadcast(twin), cond, "left")
+        .withColumn(
+            "matches_batch",
+            F.col("n_events") == F.coalesce("twin_n", F.lit(-1)),
+        )
+        .select(
+            emitted.user_id,
+            emitted.session_start,
+            emitted.session_end,
+            "n_events",
+            "matches_batch",
+        )
+    )

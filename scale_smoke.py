@@ -559,6 +559,11 @@ def stream_state_section(spark) -> dict:
       (O(triggers × groups) sink writes — a drain artifact, not state
       growth), and the state-tracks-groups invariant is already
       checked at two scales.
+    - stream_session_watermarked is the bounded-state CONTRAST to the
+      complete-mode form (round 10): the watermark evicts finalized
+      sessions, so max state rows must stay ~flat from base to 100×
+      while the complete-mode sibling's state tracks its ever-growing
+      group count.
     """
     from pymapreduce_spark.registry import QUERIES
     from pymapreduce_spark.streaming import core as stream_core
@@ -573,7 +578,7 @@ def stream_state_section(spark) -> dict:
         replay_dir(spark, sf_dir)  # one-off materialization, unmeasured
 
     OPS = ("stream_dedup", "stream_bitmap_distinct", "stream_stateful",
-           "stream_session")
+           "stream_session", "stream_session_watermarked")
     res: dict = {op: {} for op in OPS}
     for op in OPS:
         for scale, (sf_dir, f) in scales.items():
@@ -622,6 +627,7 @@ def stream_state_section(spark) -> dict:
     res["checks"] = {
         # horizon-bounded: input ×100, state ~flat
         "dedup_state_flat_at_x100": flat("stream_dedup"),
+        "session_wm_state_flat_at_x100": flat("stream_session_watermarked"),
         # complete-mode bitmap: one state row per (window, bucket) KEY —
         # rows track the window count (≈1.04 buckets/window), never the
         # 100×-grown event count
