@@ -1037,8 +1037,17 @@ def stream_session_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (emitted.session_start == twin.session_start)
         & (emitted.session_end == twin.session_end)
     )
+    # Count-gated broadcast (house rule — an explicit hint is honored
+    # REGARDLESS of size, AQE never demotes it): the twin is the full
+    # session set, which scales with the corpus. At fixture scale it is
+    # a few-MB dim; at the 100× streamstate smoke it is ~9.5 M rows and
+    # an ungated hint wedged the join building the broadcast table.
+    from pymapreduce_spark.io import table_row_count
+
+    if table_row_count(sf_dir, "events") <= 2_000_000:
+        twin = F.broadcast(twin)
     return (
-        emitted.join(F.broadcast(twin), cond, "left")
+        emitted.join(twin, cond, "left")
         .withColumn(
             "matches_batch",
             F.col("n_events") == F.coalesce("twin_n", F.lit(-1)),

@@ -585,6 +585,7 @@ def stream_state_section(spark) -> dict:
             if op == "stream_session" and scale == "x100":
                 res[op][scale] = {"skipped": "complete-mode sink re-emission"}
                 continue
+            print(f"[streamstate] {op} @ {scale} ...", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             out_rows = QUERIES[op](spark, sf_dir).count()
             wall = time.perf_counter() - t0
