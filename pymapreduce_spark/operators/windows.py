@@ -549,7 +549,19 @@ def win_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame is the one shape the engines disagree on — it must never
     reach the frame. Partitioned window, explicit (ts, event_id,
     value) total order (dup-ids doctrine); single-row frames emit NULL
-    (a slope needs two points)."""
+    (a slope needs two points).
+
+    Spark side uses EIGHT lag columns instead of a collect_list frame
+    (the ts_ewma transformation): element x-position of lag_j in an
+    m-row frame is m−1−j, so Σxy = Σ_j (m−1−j)·lag_j and Σy = Σ_j
+    lag_j with missing lags contributing exact zeros (j ≥ m ⇒ lag_j is
+    NULL ⇒ coalesce 0, and its m−1−j weight multiplies that zero) —
+    term-for-term the oracle's list fold, with no per-row array
+    allocation or HOF lambda in the hot path. Honest A/B (interleaved
+    median-of-7 at sf0.1): lag 0.74 s vs list 0.78 s — inside this
+    host's noise band; the window SORT dominates at this frame width,
+    so the lag form's win here is allocation pressure, not measured
+    wall-clock (unlike ewma, whose fold was ~15%)."""
     from pymapreduce_spark.functions.checked import cents
 
     ev = (
@@ -558,32 +570,21 @@ def win_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cy", cents("value"))
         .where(F.col("cy").isNotNull())
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id", "value")
-        .rowsBetween(-7, Window.currentRow)
-    )
-    framed = ev.select(
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id", "value")
+    m = F.least(F.row_number().over(w), F.lit(8)).cast("long")
+    sy = None
+    sxy = None
+    for j in range(8):
+        term = F.coalesce(F.lag("cy", j).over(w), F.lit(0).cast("long"))
+        sy = term if sy is None else sy + term
+        wterm = (m - 1 - j) * term
+        sxy = wterm if sxy is None else sxy + wterm
+    stats = ev.select(
         "event_id",
         "event_type",
-        F.collect_list("cy").over(w).alias("ys"),
-    )
-    stats = framed.select(
-        "event_id",
-        "event_type",
-        F.size("ys").cast("long").alias("m"),
-        F.expr(
-            "aggregate(ys, CAST(0 AS BIGINT), (a, v) -> a + v)"
-        ).alias("sy"),
-        F.expr(
-            """
-            aggregate(ys,
-                named_struct('i', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),
-                (acc, v) -> named_struct('i', acc.i + 1L,
-                                         's', acc.s + acc.i * v),
-                acc -> acc.s)
-            """
-        ).alias("sxy"),
+        m.alias("m"),
+        sy.alias("sy"),
+        sxy.alias("sxy"),
     )
     sx = F.expr("(m * (m - 1)) DIV 2")
     sx2 = F.expr("((m - 1) * m * (2 * m - 1)) DIV 6")
