@@ -109,6 +109,7 @@ NEW_KEYS = {
     "ngram_novelty": "llm_ngram_novelty",
     "csv_malformed": "scan_csv_malformed",
     "session_wm": "stream_session_watermarked",
+    "cogrouped_map": "udf_cogrouped_map",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

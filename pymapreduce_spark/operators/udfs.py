@@ -330,3 +330,79 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("cents").alias("cents_total"),
     )
+
+
+@query(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k, count(*) AS n_orders,
+               coalesce(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)),
+                        0) AS o_cents
+        FROM orders GROUP BY 1
+    ), l AS (
+        SELECT l_orderkey AS k, count(*) AS n_lines,
+               coalesce(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)),
+                        0) AS l_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.k, l.k) AS orderkey,
+           coalesce(n_orders, 0)::BIGINT AS n_orders,
+           coalesce(n_lines, 0)::BIGINT AS n_lines,
+           coalesce(o_cents, 0)::BIGINT AS o_cents,
+           coalesce(l_cents, 0)::BIGINT AS l_cents
+    FROM o FULL JOIN l ON o.k IS NOT DISTINCT FROM l.k
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED-map pandas UDF — ``df.groupBy(k).cogroup(other
+    .groupBy(k)).applyInPandas(...)`` — the one Arrow-UDF surface the
+    registry didn't exercise, and the MapReduce-native primitive behind
+    it (reduce-side cogroup: both relations shuffled once on the key,
+    the reducer sees BOTH key-groups together). Each orderkey's orders
+    rows and lineitem rows arrive as two pandas frames; the merge emits
+    one reconciliation row per key.
+
+    Cogroup semantics under hostile keys, encoded in both engines: the
+    key set is the UNION of both sides (full-outer, absent side = empty
+    frame → zero counts/sums), and a NULL key is ONE cogroup — the
+    oracle joins the per-side aggregates with IS NOT DISTINCT FROM,
+    because a plain FULL JOIN would split the NULL cogroup into two
+    rows (null_ids doctrine).
+
+    Exactness: money goes to integer cents SPARK-SIDE (the cents
+    contract nullifies non-finite values), so the pandas stage only
+    sums — pandas skips NA like SQL sum skips NULL, empty/all-NA sums
+    are 0 matching the oracle's coalesce, and float64 sums of cents
+    stay exact far below 2^53. At 100 TB: one co-partitioned shuffle
+    per side, per-key working set bounded by the key's rows."""
+
+    def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        (k,) = key
+        return pd.DataFrame(
+            {
+                "orderkey": [k],
+                "n_orders": [len(odf)],
+                "n_lines": [len(ldf)],
+                "o_cents": [int(odf["oc"].sum())],
+                "l_cents": [int(ldf["lc"].sum())],
+            }
+        )
+
+    from pymapreduce_spark.functions.checked import cents
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("oc")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), cents("l_extendedprice").alias("lc")
+    )
+    return (
+        o.groupBy("k")
+        .cogroup(li.groupBy("k"))
+        .applyInPandas(
+            merge,
+            "orderkey bigint, n_orders bigint, n_lines bigint,"
+            " o_cents bigint, l_cents bigint",
+        )
+    )
