@@ -58,7 +58,7 @@ _SOURCE_HASHES_PATH = os.path.join(_REPO_ROOT, "SOURCE_HASHES.json")
 #: handful of fresh debuts even in a heavy-refactor round.
 CHANGED_QUOTA = 34
 
-#: How many already-green names to re-sample per round (bucket 2).
+#: How many already-green names to re-sample per round (bucket 3).
 #: While the fresh backlog dominates (first five rounds) the quota stays
 #: small so new operators get driver rows quickly; once five rounds of
 #: artifacts exist the quota doubles so regressions in the large green

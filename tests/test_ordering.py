@@ -302,13 +302,22 @@ def test_changed_quota_overflow_leads_rest_bucket(patched):
     ) - set(head)
 
 
-def test_real_registry_window_covers_r9_task1_keys():
-    """The round-10 driver window (first 50 names) must contain every
-    key the round-9 verdict demanded fresh rows for: the rewritten
-    vector ops, the r4 minhash pair, and the 12 r3-era win_*/udf_* keys."""
-    import __spark_entry__ as e
+def test_r10_artifact_delivered_r9_task1_keys():
+    """Chronicle (round-10 verdict, task 1): the round-9 verdict demanded
+    fresh driver rows for the rewritten vector ops, the r4 minhash pair,
+    and the 12 r3-era win_*/udf_* keys; the round-10 driver window
+    delivered them. Asserted against the PINNED, immutable
+    CORRECTNESS_r10.json artifact — never against live registry order,
+    which correctly rotates satisfied keys OUT of the next window (the
+    previous form of this test expired the moment it succeeded).
+    Convention (CLAUDE.md): round-scoped window assertions must pin
+    their artifact inputs."""
+    import json
+    import os
 
-    window = set(list(e.queries())[:50])
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r10.json")
+    with open(path) as fh:
+        rows = json.load(fh)
     required = {
         "llm_knn_self_join", "llm_dedup_embed", "llm_sim_search_ann",
         "llm_dedup_fuzzy", "llm_minhash_sig",
@@ -317,8 +326,14 @@ def test_real_registry_window_covers_r9_task1_keys():
         "udf_python", "udf_pandas_scalar", "udaf_pandas_agg",
         "udf_grouped_map", "udf_map_partitions", "udtf_python",
     }
-    missing = required - window
-    assert not missing, f"r9-task-1 keys outside the driver window: {missing}"
+    missing = required - set(rows)
+    assert not missing, f"r9-task-1 keys missing from the r10 artifact: {missing}"
+    not_green = {
+        n for n in required
+        if not (rows[n].get("rows_match") and rows[n].get("schema_match")
+                and rows[n].get("hash_match"))
+    }
+    assert not not_green, f"r9-task-1 keys not green in the r10 artifact: {not_green}"
 
 
 def test_registry_has_no_oracle_less_queries():
