@@ -292,7 +292,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE ts IS NOT NULL
     ), flagged AS (
-        SELECT user_id, tsu, mu,
+        SELECT user_id, event_id, tsu, mu,
                CASE WHEN mu - lag(mu) OVER w > 1800000000
                          OR lag(mu) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
@@ -300,7 +300,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
         SELECT user_id, tsu, mu,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY tsu, mu
+                   PARTITION BY user_id
+                   ORDER BY tsu, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM flagged
@@ -943,7 +944,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ts IS NOT NULL
           AND ts::TIMESTAMP >= TIMESTAMP '1970-01-01 00:00:00'
     ), flagged AS (
-        SELECT user_id, tsu, mu,
+        SELECT user_id, event_id, tsu, mu,
                CASE WHEN mu - lag(mu) OVER w > 1800000000
                          OR lag(mu) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
@@ -952,7 +953,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
         SELECT user_id, tsu,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY tsu, mu
+                   PARTITION BY user_id
+                   ORDER BY tsu, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM flagged
