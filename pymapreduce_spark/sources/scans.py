@@ -666,6 +666,74 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _SyntheticLogStreamLogic:
+    """Offset-managed reader logic for ``pymr_synthetic_log_stream``,
+    shared by the registered op and the replay test. Options:
+
+    - ``n`` (default 4096): total rows.
+    - ``slice`` (default 0 = the full remaining range): rows emitted
+      per ``read()`` call. The registered conformance op keeps the
+      full-range default because one availableNow trigger makes exactly
+      one ``read()`` call (Python DS quirk) — a bounded slice there
+      would silently truncate the finite drain. The replay test sets a
+      bounded slice so the drain spans multiple restarts.
+    - ``replay_marker`` (default unset): a file path appended with
+      ``start..end`` on every ``readBetweenOffsets`` call, so a test
+      can assert the REGISTERED reader's replay leg actually served
+      the WAL-planned range (r10 verdict #4).
+    """
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 4096))
+        self.slice = int(options.get("slice", 0)) or self.n
+        self.marker = options.get("replay_marker")
+
+    @staticmethod
+    def _row(k: int) -> tuple:
+        return (k, (k * 2654435761) % 1000003, k % 10)
+
+    def initialOffset(self):
+        return {"k": 0}
+
+    def read(self, start):
+        k0 = int(start["k"])
+        k1 = min(k0 + self.slice, self.n)
+        return iter([self._row(k) for k in range(k0, k1)]), {"k": k1}
+
+    def readBetweenOffsets(self, start, end):
+        if self.marker:
+            with open(self.marker, "a") as fh:
+                fh.write(f"{start['k']}..{end['k']}\n")
+        return iter(
+            self._row(k) for k in range(int(start["k"]), int(end["k"]))
+        )
+
+
+def register_synthetic_log_stream(spark: SparkSession) -> None:
+    """Register the ``pymr_synthetic_log_stream`` Python Data Source
+    on the session (idempotent — registration replaces)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _StreamReader(_SyntheticLogStreamLogic, SimpleDataSourceStreamReader):
+        pass
+
+    class _StreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pymr_synthetic_log_stream"
+
+        def schema(self):
+            return "k bigint, v bigint, bucket bigint"
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(self.options)
+
+    spark.dataSource.register(_StreamSource)
+
+
 @query(
     "stream_python_ds",
     oracle="""
@@ -685,47 +753,17 @@ def stream_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumes from the committed offset), which is exactly what a
     bespoke feed needs to be exactly-once. Same deterministic payload
     as source_python_ds, so the DuckDB oracle regenerates it and the
-    driver hash-checks the full batch+stream connector story."""
-    from pyspark.sql.datasource import (
-        DataSource,
-        SimpleDataSourceStreamReader,
-    )
+    driver hash-checks the full batch+stream connector story.
 
-    class _StreamReader(SimpleDataSourceStreamReader):
-        def initialOffset(self):
-            return {"k": 0}
-
-        def read(self, start):
-            k0 = int(start["k"])
-            n = 4096
-            # one availableNow trigger = one read call: emit the full
-            # remaining range so the finite drain is lossless; an
-            # unbounded deployment would return a bounded slice and
-            # advance the offset per micro-batch
-            rows = (
-                (k, (k * 2654435761) % 1000003, k % 10)
-                for k in range(k0, n)
-            )
-            return iter(list(rows)), {"k": n}
-
-        def readBetweenOffsets(self, start, end):
-            return iter(
-                (k, (k * 2654435761) % 1000003, k % 10)
-                for k in range(int(start["k"]), int(end["k"]))
-            )
-
-    class _StreamSource(DataSource):
-        @classmethod
-        def name(cls):
-            return "pymr_synthetic_log_stream"
-
-        def schema(self):
-            return "k bigint, v bigint, bucket bigint"
-
-        def simpleStreamReader(self, schema):
-            return _StreamReader()
-
-    spark.dataSource.register(_StreamSource)
+    The reader logic lives module-level (_SyntheticLogStreamLogic) with
+    a ``slice`` option so the REGISTERED source's replay leg —
+    ``readBetweenOffsets``, dead code on the happy single-``read()``
+    availableNow path — is driven for real by
+    tests/test_streaming.py::test_registered_stream_python_ds_replay
+    (r10 verdict #4): bounded slices + a checkpoint + an injected
+    foreachBatch failure force the restarted query to reproduce the
+    WAL-planned range through THIS class's replay method."""
+    register_synthetic_log_stream(spark)
     s = spark.readStream.format("pymr_synthetic_log_stream").load()
     from pymapreduce_spark.streaming.core import drain
 
@@ -935,7 +973,7 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     corrupt = F.col("_corrupt_record").isNotNull()
-    return back.agg(
+    agg = back.agg(
         F.sum((~corrupt).cast("long")).alias("n_good"),
         F.sum(corrupt.cast("long")).alias("n_corrupt"),
         F.coalesce(
@@ -947,3 +985,9 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("recovered_cents"),
     )
+    # Materialize the 1-row aggregate (bounded: ≤25 source lines) so
+    # the guard cache can be released instead of leaking into the
+    # session's storage for its lifetime (r10 advice).
+    out = agg.collect()
+    back.unpersist()
+    return spark.createDataFrame(out, agg.schema)

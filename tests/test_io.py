@@ -121,3 +121,61 @@ def test_python_ds_source_scales_partitions(spark):
     ).collect()[0]
     assert got["n"] == 1000
     assert got["s"] == sum((k * 2654435761) % 1000003 for k in range(1000))
+
+
+def test_csv_permissive_per_line_classification_pinned(spark, tmp_path):
+    """Pin the Spark 4 / univocity PERMISSIVE parser behavior that
+    scan_csv_malformed's oracle constants (n_corrupt=5,
+    recovered_cents=1087) are derived from — per MALFORMED LINE, not
+    just in aggregate. If any assert here fires after a Spark upgrade,
+    the parser's corrupt-line classification changed and the oracle
+    constants in sources/scans.py (scan_csv_malformed) must be
+    re-measured — the op would otherwise go silently red (r10 advice)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "pin.csv"
+    p.write_text(
+        "1,2,3.5\n"  # control: a good line
+        "not_a_number,7,1.23\n"  # type mismatch
+        "901,3\n"  # under-arity
+        "902,4,3.14,surplus,again\n"  # over-arity
+        '903,"unterminated,6.50\n'  # unterminated quote
+        "904,5,6.50,extra\n"  # over-arity
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("nat", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p), schema=schema)
+        .cache()
+    )
+    rows = {r["_corrupt_record"]: r for r in df.collect()}
+    df.unpersist()
+    vermsg = (
+        "univocity-parser behavior changed across Spark versions: "
+        "re-measure scan_csv_malformed's oracle constants"
+    )
+    # the good line parses clean
+    assert None in rows and rows[None].bal == 3.5, vermsg
+    # each malformed line is ONE corrupt row carrying its raw text,
+    # with the parseable fields still recovered (partial recovery)
+    assert len(rows) == 6, vermsg  # esp.: bad quote did NOT swallow lines
+    bad = {k: v for k, v in rows.items() if k is not None}
+    assert bad["not_a_number,7,1.23"].bal == 1.23, vermsg
+    assert bad["901,3"].bal is None, vermsg  # under-arity: no bal
+    assert bad["902,4,3.14,surplus,again"].bal == 3.14, vermsg
+    # unterminated quote stays a SINGLE corrupt row, balance lost
+    assert bad['903,"unterminated,6.50'].bal is None, vermsg
+    assert bad["904,5,6.50,extra"].bal == 6.5, vermsg
+    # the aggregate fingerprint the oracle hardcodes: 123+314+650
+    got = sum(
+        round(v.bal * 100) for v in bad.values() if v.bal is not None
+    )
+    assert got == 1087, vermsg
