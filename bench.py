@@ -110,6 +110,10 @@ NEW_KEYS = {
     "csv_malformed": "scan_csv_malformed",
     "session_wm": "stream_session_watermarked",
     "cogrouped_map": "udf_cogrouped_map",
+    # round-11 debuts
+    "stateful_timers": "stream_stateful_timers",
+    "cogrouped_arrow": "udf_cogrouped_arrow",
+    "grouped_arrow": "udf_grouped_arrow",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

@@ -340,14 +340,14 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)),
                         0) AS o_cents
         FROM orders
-        WHERE o_orderkey % 100 = 0 OR o_orderkey IS NULL
+        WHERE o_orderkey % 1000 = 0 OR o_orderkey IS NULL
         GROUP BY 1
     ), l AS (
         SELECT l_orderkey AS k, count(*) AS n_lines,
                coalesce(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)),
                         0) AS l_cents
         FROM lineitem
-        WHERE l_orderkey % 100 = 0 OR l_orderkey IS NULL
+        WHERE l_orderkey % 1000 = 0 OR l_orderkey IS NULL
         GROUP BY 1
     )
     SELECT coalesce(o.k, l.k) AS orderkey,
@@ -381,11 +381,21 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay exact far below 2^53. At 100 TB: one co-partitioned shuffle
     per side, per-key working set bounded by the key's rows.
 
-    The conformance slice is 1% of keys (``k % 100 = 0``, NULL keys
+    The conformance slice is 0.1% of keys (``k % 1000 = 0``, NULL keys
     KEPT — they're the doctrine case): cogroup dispatches one Python
     call per key, so the surface's inherent cost is per-key round
-    trips — the unsliced form measured 51.7 s at sf0.1 (~150 k
-    tiny-frame calls at ~0.3 ms each), pure dispatch, not compute. A
+    trips. MEASURED breakdown at sf0.1 (r10 verdict #6 — the r10 bench
+    read 3.94 s on the then-1% slice and its 0.34 ms/call model only
+    explained an eighth): the two filtered scans cost ~0.3 s each and
+    the pure-SQL shuffle twin 0.12 s; virtually all the rest was
+    per-key Python dispatch at ~2 ms/key/side RUN SERIALLY — AQE
+    coalesces the 1500-key exchanges to ONE task at fixture scale
+    (stage shows 1/1 tasks), so 1500 keys × 2 sides ≈ 4.5 s even with
+    a trivial merge fn (the 0.34 ms figure was wall-clock over 32
+    parallel tasks on the unsliced 150 k-key run, 51.7 s). At
+    production scale the key count dwarfs the partition count, AQE
+    keeps the exchange wide, and the ~2 ms/key dispatch parallelizes —
+    per-key round trips stay the surface's real cost model. A
     production cogroup carries coarse keys or heavy per-key logic;
     this op's job is to prove the API end-to-end, bounded."""
 
@@ -403,8 +413,8 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pymapreduce_spark.functions.checked import cents
 
-    keep_o = (F.col("o_orderkey") % 100 == 0) | F.col("o_orderkey").isNull()
-    keep_l = (F.col("l_orderkey") % 100 == 0) | F.col("l_orderkey").isNull()
+    keep_o = (F.col("o_orderkey") % 1000 == 0) | F.col("o_orderkey").isNull()
+    keep_l = (F.col("l_orderkey") % 1000 == 0) | F.col("l_orderkey").isNull()
     o = (
         load_table(spark, sf_dir, "orders")
         .where(keep_o)
@@ -423,4 +433,157 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orderkey bigint, n_orders bigint, n_lines bigint,"
             " o_cents bigint, l_cents bigint",
         )
+    )
+
+
+@query(
+    "udf_cogrouped_arrow",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k, count(*) AS n_orders,
+               coalesce(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)),
+                        0) AS o_cents
+        FROM orders
+        WHERE o_orderkey % 1000 = 500 OR o_orderkey IS NULL
+        GROUP BY 1
+    ), l AS (
+        SELECT l_orderkey AS k, count(*) AS n_lines,
+               coalesce(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)),
+                        0) AS l_cents
+        FROM lineitem
+        WHERE l_orderkey % 1000 = 500 OR l_orderkey IS NULL
+        GROUP BY 1
+    )
+    SELECT coalesce(o.k, l.k) AS orderkey,
+           coalesce(n_orders, 0)::BIGINT AS n_orders,
+           coalesce(n_lines, 0)::BIGINT AS n_lines,
+           coalesce(o_cents, 0)::BIGINT AS o_cents,
+           coalesce(l_cents, 0)::BIGINT AS l_cents
+    FROM o FULL JOIN l ON o.k IS NOT DISTINCT FROM l.k
+    """,
+)
+def udf_cogrouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW-native cogroup — ``cogroup(...).applyInArrow`` (Spark
+    4, SPARK-38098 family): the same reduce-side cogroup shape as
+    udf_cogrouped_map, but the merge receives two ``pyarrow.Table``s
+    and returns one, skipping the pandas conversion both ways. On
+    one-row-per-key conformance frames the saving is inside noise
+    (measured 1.80 s vs the pandas twin's 1.89 s at sf0.1 — the
+    per-key ROUND TRIP dominates tiny frames, per udf_cogrouped_map's
+    breakdown); the surface's real wins are (a) wide per-key frames,
+    where the double pandas conversion is O(bytes), and (b) exactness:
+    ``pyarrow.compute.sum`` over int64 is EXACT, while the pandas
+    path's float64 staging of nullable longs needs a magnitude clamp
+    to stay exact (see tests' _CG_CENTS_BOUND).
+
+    Same full-outer + NULL-cogroup doctrine as the pandas twin (absent
+    side = zero-row Table; NULL key is ONE cogroup; the oracle joins
+    with IS NOT DISTINCT FROM). Slice offset 500 keeps this op's key
+    set disjoint from the pandas twin's so the two driver rows attest
+    different data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def merge(key, otab: "pa.Table", ltab: "pa.Table") -> "pa.Table":
+        (k,) = key  # pa.Scalar; .as_py() → None for the NULL cogroup
+        osum = pc.sum(otab.column("oc")).as_py() if otab.num_rows else None
+        lsum = pc.sum(ltab.column("lc")).as_py() if ltab.num_rows else None
+        return pa.table(
+            {
+                "orderkey": pa.array([k.as_py()], pa.int64()),
+                "n_orders": pa.array([otab.num_rows], pa.int64()),
+                "n_lines": pa.array([ltab.num_rows], pa.int64()),
+                "o_cents": pa.array([osum or 0], pa.int64()),
+                "l_cents": pa.array([lsum or 0], pa.int64()),
+            }
+        )
+
+    from pymapreduce_spark.functions.checked import cents
+
+    keep_o = (F.col("o_orderkey") % 1000 == 500) | F.col("o_orderkey").isNull()
+    keep_l = (F.col("l_orderkey") % 1000 == 500) | F.col("l_orderkey").isNull()
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(keep_o)
+        .select(F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("oc"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(keep_l)
+        .select(F.col("l_orderkey").alias("k"), cents("l_extendedprice").alias("lc"))
+    )
+    return (
+        o.groupBy("k")
+        .cogroup(li.groupBy("k"))
+        .applyInArrow(
+            merge,
+            "orderkey bigint, n_orders bigint, n_lines bigint,"
+            " o_cents bigint, l_cents bigint",
+        )
+    )
+
+
+@query(
+    "udf_grouped_arrow",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0)
+               AS cents_total,
+           max(TRY_CAST(round(value * 100) AS BIGINT)) AS cents_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-side ARROW grouped map — ``groupBy(k).applyInArrow``
+    (Spark 4): the whole key group arrives as ONE ``pyarrow.Table``
+    and the reducer returns a Table, completing the Arrow-UDF matrix
+    (mapInArrow = udf_map_arrow, cogrouped = udf_cogrouped_arrow,
+    pandas grouped map = udf_grouped_map). Versus applyInPandas the
+    group never materializes as pandas objects — for wide string-heavy
+    groups that's the difference between O(bytes) zero-copy Arrow
+    access and a full object conversion.
+
+    Exactness doctrine in Arrow kernels: cents derived with
+    round_mode='half_towards_infinity' (Arrow's default half_to_even
+    splits the engines on half-cent values — udf_map_arrow doctrine),
+    non-finite nulled BEFORE the int64 cast, and pc.sum over int64 is
+    exact with no float staging. Group-per-event_type (13 groups):
+    coarse keys are the production cogroup/grouped-map shape — the
+    per-key dispatch cost model (udf_cogrouped_map) stays negligible.
+    At 100 TB: one co-partitioned shuffle, per-group working set
+    bounded by the group's rows (the MR reducer contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_type(tab: "pa.Table") -> "pa.Table":
+        et = tab.column("event_type")[0] if tab.num_rows else None
+        v = tab.column("value")
+        v = pc.if_else(pc.is_finite(v), v, pa.scalar(None, pa.float64()))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(v, pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        s = pc.sum(cents).as_py()
+        m = pc.max(cents).as_py()
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [et.as_py() if et is not None else None], pa.string()
+                ),
+                "n_events": pa.array([tab.num_rows], pa.int64()),
+                "cents_total": pa.array([s if s is not None else 0], pa.int64()),
+                "cents_max": pa.array([m], pa.int64()),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        per_type,
+        "event_type string, n_events bigint,"
+        " cents_total bigint, cents_max bigint",
     )

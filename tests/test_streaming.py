@@ -344,3 +344,155 @@ def test_registered_stream_python_ds_replay(spark, tmp_path):
     assert sum((k * 2654435761) % 1000003 for k in seen) == sum(
         (k * 2654435761) % 1000003 for k in range(n_total)
     )
+
+
+def test_tws_processor_matches_legacy_track():
+    """stream_stateful_timers ships two implementation paths — the
+    transformWithStateInPandas processor (requires google.protobuf,
+    absent in this container) and the applyInPandasWithState
+    EventTimeTimeout form (the executable, driver-attested path). This
+    pins their session logic EQUIVALENT with fake handles/state, so
+    the protobuf-gated path is covered by construction: same gap
+    splits, same emitted frames, same timer arithmetic, same
+    strictly-greater watermark boundary."""
+    import pandas as pd
+
+    from pymapreduce_spark.streaming.core import (
+        _SESSION_GAP_US,
+        _SessionTimeoutProcessor,
+        _session_due_ms,
+        _session_timeout_track,
+    )
+
+    def batch(ts_us, ids):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime(pd.Series(ts_us), unit="us"),
+                "event_id": ids,
+            }
+        )
+
+    base = 1_600_000_000_000_000  # some µs epoch
+    gap = _SESSION_GAP_US
+    # batch 1: two events 10 min apart; batch 2: a gap split then one
+    # more event in the new session (non-ms-aligned µs on purpose)
+    b1 = batch([base + 1, base + 600_000_000 + 3], [7, 9])
+    b2 = batch(
+        [base + 600_000_000 + 3 + gap + 5, base + 600_000_000 + 3 + gap + 10],
+        [11, 12],
+    )
+
+    # --- TWS processor with fakes ---
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return self.state
+
+        def listTimers(self):
+            return iter(list(self.timers))
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeTimerValues:
+        def __init__(self, wm_ms):
+            self._wm = wm_ms
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
+
+    class FakeExpiredTimerInfo:
+        def __init__(self, t_ms):
+            self._t = t_ms
+
+        def getExpiryTimeInMs(self):
+            return self._t
+
+    proc = _SessionTimeoutProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    tws_out = []
+    tws_out += list(proc.handleInputRows((42,), iter([b1]), None))
+    tws_out += list(proc.handleInputRows((42,), iter([b2]), None))
+    assert len(handle.timers) == 1  # exactly one armed timer
+    due = handle.timers[0]
+    # a timer at/below the due boundary must NOT emit (re-arms instead)
+    assert not list(
+        proc.handleExpiredTimer(
+            (42,), FakeTimerValues(due), FakeExpiredTimerInfo(due)
+        )
+    )
+    tws_out += list(
+        proc.handleExpiredTimer(
+            (42,), FakeTimerValues(due + 1), FakeExpiredTimerInfo(due)
+        )
+    )
+    assert handle.state.v is None  # state evicted on firing
+
+    # --- legacy EventTimeTimeout form with a fake GroupState ---
+    class FakeGroupState:
+        def __init__(self):
+            self.v = None
+            self.hasTimedOut = False
+            self.timeout = None
+            self.wm = 0
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def remove(self):
+            self.v = None
+
+        def setTimeoutTimestamp(self, t):
+            self.timeout = t
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+    st = FakeGroupState()
+    legacy_out = []
+    legacy_out += list(_session_timeout_track((42,), iter([b1]), st))
+    legacy_out += list(_session_timeout_track((42,), iter([b2]), st))
+    assert st.timeout == due  # same timer arithmetic
+    st.hasTimedOut = True
+    legacy_out += list(_session_timeout_track((42,), iter([]), st))
+    assert st.v is None
+
+    # identical emissions: the batch-2 gap split + the timed-out tail
+    assert len(tws_out) == len(legacy_out) == 2
+    for a, b in zip(tws_out, legacy_out):
+        pd.testing.assert_frame_equal(a, b)
+    # and the due-time math is the pinned ceil-to-ms
+    last_us = int(b2["ts"].iloc[-1].value // 1000)
+    assert due == _session_due_ms(last_us)
+    assert due == -((-(last_us + _SESSION_GAP_US)) // 1000)
