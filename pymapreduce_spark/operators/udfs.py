@@ -528,7 +528,7 @@ def udf_cogrouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0)
+           coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0)::BIGINT
                AS cents_total,
            max(TRY_CAST(round(value * 100) AS BIGINT)) AS cents_max
     FROM events
