@@ -980,3 +980,75 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             (epoch_micros(ktm) - epoch_micros(F.col("ts"))) / 60_000_000
         ).cast("bigint").alias("ktm_offset_min"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH m AS (
+        SELECT CASE
+                 WHEN source IS NULL THEN NULL
+                 WHEN NOT regexp_matches(source, '^[ -~]*$')
+                     THEN '<non-ascii>'
+                 WHEN doc_id % 3 = 0 THEN upper(source)
+                 WHEN doc_id % 3 = 1 THEN source
+                 ELSE lower(source) END AS mixed,
+               n_chars
+        FROM documents
+    )
+    SELECT lower(min(mixed)) AS key_ci,
+           min(mixed) AS display,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS chars_total
+    FROM m GROUP BY lower(mixed)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATION (SPARK-46830): grouping under the
+    session-independent ``UTF8_LCASE`` collation — the engine-level
+    answer to case-insensitive keys that otherwise force lower()
+    normalization into every query (and, at 100 TB, break partition
+    pruning on the raw column). Case diversity is synthesized
+    deterministically (doc_id % 3 picks upper/as-is/lower of source),
+    then grouped via ``F.collate(mixed, 'UTF8_LCASE')``.
+
+    Determinism doctrine: the collated GROUP KEY is an arbitrary
+    representative of the equivalence class (first-seen — partition
+    dependent) and carries a collated string type, so it never reaches
+    the output; the emitted keys are ``min(mixed)`` (BINARY min —
+    deterministic) and its lower() form, both plain strings. The
+    oracle is the classic lower()-normalized GROUP BY, proving
+    UTF8_LCASE ≡ lowercase equivalence on this key domain.
+
+    The key domain is gated to printable ASCII (tested on the RAW
+    source, BEFORE case mixing; non-ASCII pools under a literal, NULL
+    stays NULL): case mapping itself is a measured engine split on
+    hostile text — Spark/Java upper('ß') expands to 'SS' while DuckDB
+    keeps 'ß', and Turkish 'İ' lowercases to 'i̇' (combining dot) vs
+    DuckDB's 'i' — so case-insensitive cross-engine checks are only
+    honest on ASCII (unicode_keys axis finding, r11)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    mixed = (
+        F.when(F.col("source").isNull(), F.lit(None).cast("string"))
+        .when(~F.col("source").rlike("^[ -~]*$"), F.lit("<non-ascii>"))
+        .when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(F.lower("source"))
+    )
+    m = docs.select(mixed.alias("mixed"), "n_chars")
+    return (
+        m.groupBy(F.collate("mixed", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("mixed").alias("display"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .select(
+            F.lower("display").alias("key_ci"),
+            "display",
+            "n_docs",
+            "chars_total",
+        )
+    )
