@@ -115,6 +115,7 @@ NEW_KEYS = {
     "cogrouped_arrow": "udf_cogrouped_arrow",
     "grouped_arrow": "udf_grouped_arrow",
     "collation": "fn_collation",
+    "lateral_topk": "join_lateral_topk",
 }
 
 #: Queries whose r2→r3 deltas (±25%) sat inside median-of-3 noise: pin a

@@ -609,3 +609,78 @@ def join_accumulating_snapshot(
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           l.linenumber,
+           l.price_cents
+    FROM orders AS o, LATERAL (
+        SELECT l_linenumber AS linenumber,
+               TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                   AS price_cents
+        FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                     DESC NULLS LAST,
+                 l_linenumber ASC NULLS LAST
+        LIMIT 2
+    ) AS l
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join (SQL:2003 lateral derived table; Spark SQL lateral
+    correlated subquery): for each urgent order, its top-2 lineitems by
+    price — the "per-row subquery with ORDER BY/LIMIT" shape users
+    write naturally. The 100 TB story is what Catalyst DOES with it:
+    the correlated subquery is DECORRELATED — no per-outer-row
+    nested-loop execution survives planning — into a distributed
+    ``WindowGroupLimit`` top-k (PARTIAL per-partition limit before the
+    single hash exchange, exactly topk_per_group's physical shape)
+    plus one equi-join. DuckDB runs the very same LATERAL SQL
+    natively, so this op is two-engine SURFACE parity, not just value
+    parity.
+
+    Plan doctrine (measured, r11): ordering the lateral subquery by
+    the raw EXPRESSION ``TRY_CAST(round(price*100) ...)`` blocks the
+    WindowGroupLimit rewrite — Catalyst plans a plain row_number over
+    a GLOBAL rangepartitioning exchange of the whole inner relation
+    (a full extra shuffle at 100 TB). Naming the sort key in an inner
+    projection first restores the partial group-limit and drops the
+    range exchange. Always project-then-sort in lateral top-ks.
+
+    Determinism: top-k ordered by exact integer cents DESC with the
+    l_linenumber tie-break, NULLS LAST pinned on both axes in both
+    engines (Spark defaults DESC→NULLS LAST, ASC→NULLS FIRST; DuckDB
+    defaults both to NULLS LAST — never rely on either)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lat_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lat_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS orderkey,
+               l.linenumber,
+               l.price_cents
+        FROM lat_orders AS o, LATERAL (
+            SELECT linenumber, price_cents
+            FROM (
+                SELECT l_orderkey,
+                       l_linenumber AS linenumber,
+                       TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM lat_lineitem
+            )
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY price_cents DESC NULLS LAST,
+                     linenumber ASC NULLS LAST
+            LIMIT 2
+        ) AS l
+        WHERE o.o_orderpriority = '1-URGENT'
+        """
+    )
