@@ -28,6 +28,34 @@ from pymapreduce_spark.io import load_table
 from pymapreduce_spark.registry import query
 
 
+def _arrow_try_cents(v):
+    """``TRY_CAST(round(v * 100) AS BIGINT)`` in Arrow kernels: exact
+    integer cents with half-away-from-zero rounding (Arrow's default
+    half_to_even splits the engines on half-cent values), with BOTH
+    failure modes of the checked cast mapped to null the way the
+    DuckDB oracle's TRY_CAST maps them — non-finite inputs AND
+    huge-but-FINITE magnitudes (|v*100| >= 2^63), which Arrow's safe
+    int64 cast would otherwise raise ArrowInvalid on and kill the
+    query (round-11 ADVICE #3). Vectorized C++ kernels throughout, no
+    per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    r = pc.round(
+        pc.multiply(v, pa.scalar(100.0)),
+        round_mode="half_towards_infinity",
+    )
+    # one mask for both TRY_CAST null modes: is_finite is False for
+    # NaN/±Inf, and 2^63 is exactly representable as a double so the
+    # strict < keeps every castable value and nulls the rest
+    ok = pc.and_kleene(
+        pc.is_finite(r), pc.less(pc.abs(r), pa.scalar(float(1 << 63)))
+    )
+    return pc.cast(
+        pc.if_else(ok, r, pa.scalar(None, pa.float64())), pa.int64()
+    )
+
+
 def _cents_half_away(values: pd.Series) -> pd.Series:
     """value×100 rounded HALF AWAY FROM ZERO — the convention Spark's
     round() and DuckDB's round() share. pandas/numpy .round() is
@@ -301,26 +329,11 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface over mapInPandas when the transform is expressible in
     Arrow kernels — it skips the pandas conversion both ways."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def to_cents(batches):
         for batch in batches:
-            # NaN/±Inf → null BEFORE the int64 cast (Arrow's safe cast
-            # raises on non-finite), mirroring the oracle's TRY_CAST
-            v = batch.column("value")
-            v = pc.if_else(pc.is_finite(v), v, pa.scalar(None, pa.float64()))
-            cents = pc.cast(
-                # half_towards_infinity = half away from zero, the
-                # Spark/DuckDB round() convention; Arrow's default
-                # half_to_even splits the engines on half-cent values
-                pc.round(
-                    pc.multiply(v, pa.scalar(100.0)),
-                    round_mode="half_towards_infinity",
-                ),
-                pa.int64(),
-            )
             yield pa.RecordBatch.from_arrays(
-                [batch.column("event_type"), cents],
+                [batch.column("event_type"), _arrow_try_cents(batch.column("value"))],
                 ["event_type", "cents"],
             )
 
@@ -545,11 +558,12 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups that's the difference between O(bytes) zero-copy Arrow
     access and a full object conversion.
 
-    Exactness doctrine in Arrow kernels: cents derived with
+    Exactness doctrine in Arrow kernels (shared _arrow_try_cents):
     round_mode='half_towards_infinity' (Arrow's default half_to_even
-    splits the engines on half-cent values — udf_map_arrow doctrine),
-    non-finite nulled BEFORE the int64 cast, and pc.sum over int64 is
-    exact with no float staging. Group-per-event_type (13 groups):
+    splits the engines on half-cent values), non-finite AND
+    out-of-int64-range magnitudes nulled BEFORE the cast exactly like
+    the oracle's TRY_CAST, and pc.sum over int64 is exact with no
+    float staging. Group-per-event_type (13 groups):
     coarse keys are the production cogroup/grouped-map shape — the
     per-key dispatch cost model (udf_cogrouped_map) stays negligible.
     At 100 TB: one co-partitioned shuffle, per-group working set
@@ -559,15 +573,7 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def per_type(tab: "pa.Table") -> "pa.Table":
         et = tab.column("event_type")[0] if tab.num_rows else None
-        v = tab.column("value")
-        v = pc.if_else(pc.is_finite(v), v, pa.scalar(None, pa.float64()))
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(v, pa.scalar(100.0)),
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
+        cents = _arrow_try_cents(tab.column("value"))
         s = pc.sum(cents).as_py()
         m = pc.max(cents).as_py()
         return pa.table(

@@ -728,7 +728,14 @@ def _session_emit_pdf(user_id, sessions: list):
 def _session_fold_events(ts_series, start, last, n, closed: list):
     """Fold one batch's (sorted) event times into the running session
     scalar, appending each gap-closed (start, last, n) to ``closed``;
-    returns the updated scalar."""
+    returns the updated scalar.
+
+    ``last`` is the session's MAX event time (``max(last, mu)``), not
+    the most recently folded one: each batch is sorted before folding,
+    but an in-gap out-of-order event arriving in a LATER micro-batch
+    carries ``mu < last``, and overwriting would move the session end
+    BACKWARD — skewing every subsequent gap split versus the
+    globally-ordered oracle's ``max(mu)`` (round-11 ADVICE #1)."""
     for t in ts_series:
         mu = t.value // 1000  # pandas ns → µs
         if start is None:
@@ -737,7 +744,7 @@ def _session_fold_events(ts_series, start, last, n, closed: list):
             closed.append((start, last, n))
             start, last, n = mu, mu, 1
         else:
-            last, n = mu, n + 1
+            last, n = max(last, mu), n + 1
     return start, last, n
 
 
@@ -768,7 +775,14 @@ def _session_timeout_track(key, pdfs, state):
     state.update((int(start), int(last), int(n)))
     # defensive clamp: a timeout timestamp at/below the current
     # watermark is rejected by Spark; the fixture's day-ordered replay
-    # never produces one (no born-late events), but a generic feed can
+    # never produces one (no born-late events), but a generic feed can.
+    # KNOWN DIVERGENCE on the clamped branch (round-11 ADVICE #2): when
+    # due <= wm the clamp arms at wm+1, so this legacy surface emits
+    # only once the watermark advances PAST wm+1 — later than the TWS
+    # twin and the oracle's strict `wm > due` boundary. On a feed whose
+    # watermark never advances again, a born-late trailing session is
+    # under-emitted relative to the oracle. Pinned by
+    # tests/test_streaming.py::test_legacy_clamp_branch_divergence.
     wm = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(max(_session_due_ms(last), wm + 1))
 

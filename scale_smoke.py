@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -546,14 +547,34 @@ def _stderr_scan_offset() -> int:
         return 0
 
 
-def _scan_stderr_statestore(offset: int) -> int | None:
-    """Count state-store error/exception lines written to the stderr
-    log since ``offset``. None = stderr is not a scannable file.
+#: a line is an error MARKER only when it carries a log-LEVEL token at
+#: the level position ("yy/mm/dd HH:MM:SS WARN Class: msg") or is a
+#: JVM exception header at line start ("java.foo.BarException: ...") /
+#: a log4j "Caused by:" continuation — NOT when "Error"/"Exception"
+#: merely appears mid-message or inside a class name (round-11 ADVICE
+#: #4: the old substring heuristic could over-count benign mentions
+#: and fail rocksdb_zero_statestore_exceptions spuriously).
+_STDERR_LEVEL_RE = re.compile(
+    r"^\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} (?:WARN|ERROR) "
+)
+_STDERR_EXC_RE = re.compile(
+    r"^(?:Caused by: )?(?:[A-Za-z_$][\w$]*\.)+[A-Z]\w*(?:Exception|Error)\b"
+)
 
-    Two-line window: Spark logs the provider-tagged WARN/ERROR header
+
+def _scan_stderr_statestore(offset: int) -> tuple[int, list[str]] | None:
+    """Count state-store WARN/ERROR/exception lines written to the
+    stderr log since ``offset`` and return ``(hits, matched_lines)``
+    so a failed zero-exceptions check is diagnosable from the section
+    result instead of being an opaque count. None = stderr is not a
+    scannable file.
+
+    Windowed association: Spark logs the provider-tagged header
     ("...HDFSBackedStateStoreProvider ...: Error cleaning up files")
     and the exception class ("java.lang.IllegalStateException: ...")
-    on SEPARATE lines — a single-line AND match would miss both."""
+    on SEPARATE lines — sometimes with a message line between — so a
+    marker line counts when the store tag appears on the line itself
+    or within the previous 3 lines."""
     p = _stderr_log_file()
     if not p:
         return None
@@ -563,14 +584,29 @@ def _scan_stderr_statestore(offset: int) -> int | None:
             tail = fh.read().decode("utf-8", errors="replace")
     except OSError:
         return None
+    return _count_statestore_hits(tail)
+
+
+def _count_statestore_hits(tail: str) -> tuple[int, list[str]]:
+    """The pure text scan behind _scan_stderr_statestore (split out so
+    the classifier is unit-testable without a real stderr file)."""
     store_pat = ("StateStore", "RocksDB", "streaming.state")
-    err_pat = ("Exception", "ERROR", "Error ")
-    hits, prev = 0, ""
+    hits: list[str] = []
+    window: list[str] = []  # up to 3 previous lines
     for line in tail.splitlines():
-        if any(e in line for e in err_pat) and (
-            any(s in line for s in store_pat)
-            or any(s in prev for s in store_pat)
-        ):
+        # a level-anchored line always names its logger class on the
+        # SAME line, so it must carry the store tag itself; only bare
+        # JVM exception headers (no level token) associate backward to
+        # a provider-tagged header up to 3 lines above
+        if _STDERR_LEVEL_RE.match(line):
+            relevant = any(s in line for s in store_pat)
+        elif _STDERR_EXC_RE.match(line):
+            relevant = any(s in line for s in store_pat) or any(
+                s in w for s in store_pat for w in window
+            )
+        else:
+            relevant = False
+        if relevant:
             # benign, adjudicated (r11): after a drained query stops,
             # its TEMP checkpoint is deleted while the async
             # maintenance pool still holds the provider — the next
@@ -579,15 +615,24 @@ def _scan_stderr_statestore(offset: int) -> int | None:
             # shutdown noise, not state corruption; mid-RUN classes
             # (e.g. HDFS's 'Unexpected list of delta files'
             # IllegalStateException) still count.
+            ctx = "\n".join(window)
             benign = (
-                "FileNotFoundException" in line
-                and "/tmp/temporary-" in line
-                and "Ignoring error while performing maintenance" in prev
+                # the explicitly-ignored maintenance header itself...
+                "Ignoring error while performing maintenance" in line
+                # ...or its FNF payload on the gone temp checkpoint
+                or (
+                    "FileNotFoundException" in line
+                    and "/tmp/temporary-" in line
+                    and (
+                        "Ignoring error while performing maintenance"
+                        in ctx + line
+                    )
+                )
             )
             if not benign:
-                hits += 1
-        prev = line
-    return hits
+                hits.append(line[:400])
+        window = (window + [line])[-3:]
+    return len(hits), hits[:40]
 
 
 def stream_state_section(spark) -> dict:
@@ -730,7 +775,15 @@ def stream_state_section(spark) -> dict:
             legs[tag] = _run_leg(tag)
         finally:
             spark.conf.unset(_PROVIDER_CONF)
-        legs[tag]["statestore_log_exceptions"] = _scan_stderr_statestore(mark)
+        scan = _scan_stderr_statestore(mark)
+        legs[tag]["statestore_log_exceptions"] = (
+            scan[0] if scan is not None else None
+        )
+        # the matched lines themselves, so a non-zero count is
+        # diagnosable straight from the section JSON (r11 ADVICE #4)
+        legs[tag]["statestore_log_matches"] = (
+            scan[1] if scan is not None else None
+        )
 
     def flat(res, op):
         b = res[op]["base"]["max_state_rows"]

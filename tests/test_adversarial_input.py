@@ -1946,3 +1946,48 @@ def test_extreme_ids_fixture_matches_oracle(spark, tmp_path_factory):
     import __spark_entry__ as entry
 
     assert entry.queries()["graph_components"](spark, out).count() > 0
+
+
+def test_statestore_stderr_classifier():
+    """Round-11 ADVICE #4: the streamstate smoke's stderr scan must be
+    LEVEL-anchored — benign INFO lines that merely mention an error, or
+    class names containing 'Error', must not count; real WARN/ERROR
+    headers and JVM exception headers (even 2-3 lines below the
+    provider tag) must."""
+    from scale_smoke import _count_statestore_hits
+
+    benign = "\n".join([
+        # INFO mentioning an error-ish word near a store tag
+        "25/08/16 10:00:00 INFO RocksDBStateStoreProvider: loaded, "
+        "0 errors recovered",
+        "25/08/16 10:00:01 INFO StateStore: Error-free maintenance tick",
+        # class NAME containing Error at non-header position
+        "25/08/16 10:00:02 INFO TaskSetManager: scheduled "
+        "org.apache.spark.util.ErrorHandlerStateStore probe",
+        # WARN with no store context anywhere nearby
+        "25/08/16 10:00:03 WARN Utils: your hostname resolves to a "
+        "loopback address",
+        # adjudicated-benign shutdown noise (temp checkpoint deleted)
+        "25/08/16 10:00:04 WARN StateStoreMaintenance: Ignoring error "
+        "while performing maintenance",
+        "25/08/16 10:00:05 WARN HDFSBackedStateStoreProvider: "
+        "java.io.FileNotFoundException: /tmp/temporary-abc "
+        "FileNotFoundException on gone dir",
+    ])
+    n, lines = _count_statestore_hits(benign)
+    assert n == 0, lines
+
+    real = "\n".join([
+        "25/08/16 10:01:00 WARN HDFSBackedStateStoreProvider: Error "
+        "cleaning up files for operator 0",
+        "some informational continuation line",
+        "another continuation",
+        "java.lang.IllegalStateException: Unexpected list of delta "
+        "files for version 7",
+        "25/08/16 10:01:02 ERROR RocksDB: commit failed for state "
+        "store provider",
+    ])
+    n, lines = _count_statestore_hits(real)
+    # header WARN + exception header 3 lines below the tag + ERROR line
+    assert n == 3, lines
+    assert any("IllegalStateException" in ln for ln in lines)

@@ -306,3 +306,33 @@ def test_random_window_matches_duckdb(fn, po, spark, duck, orders_df):
         ).fetchall()
     }
     assert got == want, f"fn={fn} po={po.sql()}"
+
+
+def test_arrow_try_cents_matches_duckdb_try_cast():
+    """Round-11 ADVICE #3: the shared Arrow cents kernel must map BOTH
+    TRY_CAST null modes — non-finite AND huge-but-finite (|v*100| >=
+    2^63) — to null instead of raising ArrowInvalid, differentially
+    against DuckDB's TRY_CAST on the exact same doubles."""
+    import duckdb
+    import pyarrow as pa
+
+    from pymapreduce_spark.operators.udfs import _arrow_try_cents
+
+    vals = [
+        0.0, 1.005, -1.005, None,
+        float("nan"), float("inf"), float("-inf"),
+        2.0**63, -(2.0**63), 2.0**62, 1e300, -1e300,
+        (2.0**63 - 1024) / 100.0,   # largest double*100 below 2^63
+        9.3e16,                      # castable large finite
+    ]
+    got = _arrow_try_cents(pa.array(vals, pa.float64())).to_pylist()
+    duck = duckdb.connect()
+    want = [
+        duck.execute(
+            "SELECT TRY_CAST(round(?::DOUBLE * 100) AS BIGINT)", [v]
+        ).fetchone()[0]
+        if v is not None
+        else None
+        for v in vals
+    ]
+    assert got == want

@@ -496,3 +496,108 @@ def test_tws_processor_matches_legacy_track():
     last_us = int(b2["ts"].iloc[-1].value // 1000)
     assert due == _session_due_ms(last_us)
     assert due == -((-(last_us + _SESSION_GAP_US)) // 1000)
+
+
+def test_legacy_clamp_branch_divergence():
+    """Round-11 ADVICE #2: exercise the legacy path's defensive clamp
+    (``setTimeoutTimestamp(max(due, wm+1))``) — the branch where the
+    batch's session due-time is already at/below the current watermark
+    (a born-late event). The TWS twin registers the raw due time and
+    fires as soon as ``wm > due``; the legacy surface can only arm at
+    ``wm+1``, so it under-emits until the watermark advances PAST
+    ``wm+1``. This pins the divergence as designed-and-documented
+    (streaming/core.py clamp comment) rather than silent."""
+    import pandas as pd
+
+    from pymapreduce_spark.streaming.core import (
+        _SESSION_GAP_US,
+        _session_due_ms,
+        _session_timeout_track,
+    )
+
+    class FakeGroupState:
+        def __init__(self, wm_ms):
+            self.v = None
+            self.hasTimedOut = False
+            self.timeout = None
+            self.wm = wm_ms
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def remove(self):
+            self.v = None
+
+        def setTimeoutTimestamp(self, t):
+            assert t > self.wm, "Spark rejects timeouts at/below the wm"
+            self.timeout = t
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+    base = 1_600_000_000_000_000
+    b = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(pd.Series([base + 1]), unit="us"),
+            "event_id": [1],
+        }
+    )
+    due = _session_due_ms(base + 1)
+    # watermark already an hour past the session's due time at update
+    wm = due + 3_600_000
+    st = FakeGroupState(wm)
+    out = list(_session_timeout_track((42,), iter([b]), st))
+    assert out == []  # no gap split in a single-event batch
+    # CLAMPED: armed at wm+1, NOT at the (already-passed) due time —
+    # this is exactly the boundary shift the docstring documents
+    assert st.timeout == wm + 1
+    assert st.timeout > due
+    # oracle / TWS boundary would have emitted at any wm' > due; the
+    # legacy path stays silent until Spark fires the wm+1 timeout
+    # (i.e. under-emits if the watermark never advances past wm+1)
+
+
+def test_session_fold_out_of_order_in_gap():
+    """Round-11 ADVICE #1: an in-gap out-of-order event arriving in a
+    LATER micro-batch (mu < last) must not move the session end
+    backward — ``last`` is the max event time, matching the oracle's
+    max(mu), so subsequent gap splits stay aligned."""
+    import pandas as pd
+
+    from pymapreduce_spark.streaming.core import (
+        _SESSION_GAP_US,
+        _session_fold_events,
+    )
+
+    def ts(us_list):
+        return pd.to_datetime(pd.Series(us_list), unit="us")
+
+    base = 1_600_000_000_000_000
+    closed: list = []
+    # batch 1 ends the session at base+600s
+    start, last, n = _session_fold_events(
+        ts([base, base + 600_000_000]), None, None, 0, closed
+    )
+    assert (start, last, n) == (base, base + 600_000_000, 2)
+    # batch 2: one in-gap event 10 min EARLIER than the session end
+    start, last, n = _session_fold_events(
+        ts([base + 1_000]), start, last, n, closed
+    )
+    assert last == base + 600_000_000, "session end moved backward"
+    assert n == 3 and closed == []
+    # a next event GAP+1µs after the true max must split — with the
+    # backward-moving bug it would have been absorbed into the session
+    split_at = base + 600_000_000 + _SESSION_GAP_US + 1
+    start, last, n = _session_fold_events(
+        ts([split_at]), start, last, n, closed
+    )
+    assert closed == [(base, base + 600_000_000, 3)]
+    assert (start, last, n) == (split_at, split_at, 1)

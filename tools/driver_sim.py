@@ -8,7 +8,9 @@ engines at the given SF and strict-stringify-compares the sorted rows.
 Harsher than the driver's canonical hash: engine type skew (DATE vs
 TIMESTAMP, Decimal vs float) fails here even when values agree.
 
-Run:  python tools/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Run:  python tools/driver_sim.py [sf_dir] [--only n1,n2,...]
+      (default sf_dir /root/testdata/sf0.01; --only filters to the
+      named queries — the debut protocol's per-SF spot check)
 Exit: number of mismatched queries.
 """
 
@@ -25,7 +27,7 @@ TABLES = [
 ]
 
 
-def main(sf: str = "/root/testdata/sf0.01") -> int:
+def main(sf: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -46,6 +48,13 @@ def main(sf: str = "/root/testdata/sf0.01") -> int:
         )
     print("entry rows:", len(entry.entry(spark).collect()), flush=True)
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        missing = names - set(oracles)
+        if missing:
+            print("unknown --only names:", sorted(missing), flush=True)
+            return 98
+        oracles = {n: oracles[n] for n in names}
     bad = []
     for i, name in enumerate(sorted(oracles)):
         sdf = queries[name](spark, sf)
@@ -68,4 +77,10 @@ def main(sf: str = "/root/testdata/sf0.01") -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(min(main(*sys.argv[1:]), 99))
+    argv = sys.argv[1:]
+    only_arg = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only_arg = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(min(main(*argv, only=only_arg), 99))
