@@ -761,6 +761,30 @@ def stream_state_section(spark) -> dict:
                     ),
                     "n_progress": len(rows),
                 }
+        # r12 (r11 verdict #4): the statestore READER op must see
+        # exactly the in-flight state count the audited query's own
+        # progress reported — the reader's rows ARE the store, so a
+        # mismatch means the reader surface lies about state. The op's
+        # callable drains the sessionization itself (with its explicit
+        # checkpoint), so LAST_QUERY_PROGRESS right after the call is
+        # that drain's progress under THIS leg's provider.
+        print(
+            f"[streamstate/{provider_tag}] stream_state_audit @ base ...",
+            file=sys.stderr, flush=True,
+        )
+        reader_df = QUERIES["stream_state_audit"](spark, BASE_SF)
+        final_rows = [
+            so.get("numRowsTotal") or 0
+            for p in stream_core.LAST_QUERY_PROGRESS
+            for so in (p.get("stateOperators") or [])
+        ]
+        res["state_audit"] = {
+            "reader_rows": reader_df.count(),
+            "progress_final_state_rows": final_rows[-1] if final_rows else 0,
+        }
+        for v in spark.catalog.listTables():
+            if v.name.startswith("stream_result_"):
+                spark.catalog.dropTempView(v.name)
         return res
 
     _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
@@ -848,6 +872,13 @@ def stream_state_section(spark) -> dict:
             ),
             f"session_state_tracks_groups_x10{sfx}": tracks_keys(
                 res, "stream_session", "x10"
+            ),
+            # r12: the statestore reader sees exactly the in-flight
+            # state the audited query's final progress reported
+            f"state_reader_rows_match_progress{sfx}": bool(
+                res["state_audit"]["reader_rows"]
+                == res["state_audit"]["progress_final_state_rows"]
+                and res["state_audit"]["reader_rows"] > 0
             ),
         })
     # RocksDB must run CLEAN — any state-store exception in its leg is

@@ -250,3 +250,63 @@ def test_bench_stdout_survives_unbounded_errors():
     # medians always survive; the error count is recoverable
     assert set(last["queries"]) == set(HEADLINE)
     assert last.get("errors_n") == 10 or len(last.get("errors", {})) == 10
+
+
+def test_bench_new_keys_graduation_policy():
+    """Round-11 verdict task 6: NEW_KEYS is bounded by a graduation
+    policy — keys with three rounds of host-noise-stable medians move
+    to ARCHIVE (still timed, sidecar-only), the README chronicles each
+    move, and no key can sit in two places at once."""
+    import os
+
+    from bench import ARCHIVE, HEADLINE, NEW_KEYS
+    from pymapreduce_spark.registry import QUERIES
+
+    # disjoint partition of the bench surface
+    assert not set(ARCHIVE) & set(NEW_KEYS)
+    assert not set(ARCHIVE) & set(HEADLINE)
+    # every archived entry names a live registry op + a reference median
+    for key, (op, ref) in ARCHIVE.items():
+        assert op in QUERIES, f"{key}: unknown op {op}"
+        assert 0.0 < ref < 60.0, f"{key}: implausible reference {ref}"
+    # the chronicle exists: README's archive table names every key
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "README.md")
+    ).read()
+    assert "Bench archive" in readme
+    for key in ARCHIVE:
+        assert key in readme, f"{key} missing from README archive table"
+
+
+def test_bench_artifact_line_excludes_archived_keys():
+    """Archived keys must never ride the tail-budgeted artifact line:
+    main() only passes HEADLINE medians as `queries` and NEW_KEYS as
+    `new_keys`; this pins the stdout contract against a result built
+    the way main() builds it, with archive spreads present (they ride
+    the sidecar/verbose line only)."""
+    import json
+
+    from bench import ARCHIVE, HEADLINE, NEW_KEYS, stdout_lines, _TAIL_BUDGET
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": 28.77,
+        "unit": "sec",
+        "queries": {k: 0.6898 for k in HEADLINE},
+        "sf": 0.1,
+        "calib_sec": 0.4321,
+        "new_keys": {k: 0.6898 for k in NEW_KEYS},
+    }
+    spread = {
+        k: [0.5, 0.69, 2.4]
+        for k in list(HEADLINE) + list(NEW_KEYS) + list(ARCHIVE)
+    }
+    lines = stdout_lines(result, spread)
+    last = json.loads(lines[-1])
+    assert len(lines[-1]) <= _TAIL_BUDGET, len(lines[-1])
+    assert not set(last.get("queries", {})) & set(ARCHIVE)
+    assert not set(last.get("new_keys", {})) & set(ARCHIVE)
+    assert "spr_cs" in last  # the budget holds with room for the spread
+    # but the archived keys' spreads still reach the verbose line
+    assert set(json.loads(lines[0])["spread"]) >= set(ARCHIVE)
