@@ -27,11 +27,22 @@ composition, in order:
 4. **Fresh** — names with no driver row yet, in curated priority order
    (sections of SURVEY.md §2 with no driver evidence first), then
    registration order.
-5. The remaining already-green names: changed-bucket overflow first (in
-   its interleaved risk order), then unchanged names oldest driver row
-   first (name tie-break) — so post-backlog windows always re-verify
-   the riskiest part of the green set rather than the same
+5. The remaining already-green names, three sub-tiers (round-11
+   verdict task 1): FIRST any unchanged name whose attestation is at
+   least ``STALE_FLOOR_LAG`` rounds behind the upcoming round (the
+   resample quota alone can never reach a deep staleness backlog —
+   the four r4-era keys sat unsampled for seven rounds), oldest row
+   first; THEN the changed-bucket overflow (in its interleaved risk
+   order); then the other unchanged names oldest driver row first
+   (name tie-break) — so post-backlog windows always re-verify the
+   riskiest part of the green set rather than the same
    registration-order heads.
+
+The changed quota is DYNAMIC (round-11 verdict task 1): at least
+``CHANGED_QUOTA`` and as much more as needed to keep the post-round
+changed-residual at ``RESIDUAL_TARGET`` or below, capped so the
+resample/stale/fresh buckets keep a minimum share of the 50-name
+window even in a heavy-refactor round.
 
 With no artifacts on disk (fresh clone) buckets 1/2/3/5 are empty and
 the order is exactly the curated-then-registration order —
@@ -53,10 +64,44 @@ import warnings
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SOURCE_HASHES_PATH = os.path.join(_REPO_ROOT, "SOURCE_HASHES.json")
 
-#: How many changed-source greens lead the window (bucket 2). 34 keeps
-#: the full judge window (50) holding changed + resample (8) + a
-#: handful of fresh debuts even in a heavy-refactor round.
+#: How many changed-source greens lead the window (bucket 2), at
+#: minimum. 34 keeps the full judge window (50) holding changed +
+#: resample (8) + a handful of fresh debuts even in a heavy-refactor
+#: round.
 CHANGED_QUOTA = 34
+
+#: The changed-backlog residual the window must drive toward: when more
+#: than CHANGED_QUOTA + RESIDUAL_TARGET greens carry unattested source,
+#: the quota grows (up to _CHANGED_QUOTA_CAP) so at most
+#: RESIDUAL_TARGET changed names are left outside the 50-name window
+#: (round-11 verdict task 1: "post-round residual backlog <= 20").
+RESIDUAL_TARGET = 20
+_CHANGED_QUOTA_CAP = 40
+
+#: Bucket-5 staleness floor: an UNCHANGED green whose latest driver row
+#: is this many rounds (or more) behind the upcoming round outranks the
+#: changed overflow — the 8-name resample quota alone can never reach a
+#: deep staleness backlog (the r4-era keys went seven rounds without a
+#: row while overflow monopolized the tail slots).
+STALE_FLOOR_LAG = 7
+
+
+def _changed_quota(total_changed: int) -> int:
+    return min(
+        _CHANGED_QUOTA_CAP,
+        max(CHANGED_QUOTA, total_changed - RESIDUAL_TARGET),
+    )
+
+
+def _next_round() -> int:
+    """The round the upcoming driver run will stamp: one past the
+    newest artifact on disk."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
 
 #: How many already-green names to re-sample per round (bucket 3).
 #: While the fresh backlog dominates (first five rounds) the quota stays
@@ -369,8 +414,9 @@ def ordered_names(
             current=current,
         )
     )
-    changed = changed_all[:CHANGED_QUOTA]
-    changed_overflow = changed_all[CHANGED_QUOTA:]
+    quota = _changed_quota(len(changed_all))
+    changed = changed_all[:quota]
+    changed_overflow = changed_all[quota:]
     unchanged = [n for n in green if n not in set(changed_all)]
     # Bucket 3: oldest driver row first; name tie-break keeps it
     # deterministic. Unchanged names only — a changed name is already
@@ -388,13 +434,23 @@ def ordered_names(
         fresh = [n for n in fresh if n in oracles] + [
             n for n in fresh if n not in oracles
         ]
-    # Bucket 5 (round-7 verdict task 2, round-9 verdict task 1): the
-    # changed-bucket overflow first (still the riskiest unattested
-    # code), then unchanged greens by oldest-driver-row — so once the
-    # fresh backlog is empty the window always re-verifies the riskiest
-    # greens rather than the same registration-order heads.
-    rest = changed_overflow + sorted(
+    # Bucket 5 (round-7 verdict task 2, round-9 task 1, round-11
+    # task 1): deeply-stale unchanged greens first (attestations the
+    # 8-name resample can never reach — rows STALE_FLOOR_LAG+ rounds
+    # behind the upcoming round), then the changed-bucket overflow
+    # (still the riskiest unattested code), then the other unchanged
+    # greens by oldest-driver-row — so once the fresh backlog is empty
+    # the window always re-verifies the riskiest greens rather than
+    # the same registration-order heads.
+    floor = _next_round() - STALE_FLOOR_LAG
+    tail = sorted(
         (n for n in unchanged if n not in set(resample)),
         key=lambda n: (latest[n][0], n),
+    )
+    stale_tail = [n for n in tail if latest[n][0] <= floor]
+    rest = (
+        stale_tail
+        + changed_overflow
+        + [n for n in tail if n not in set(stale_tail)]
     )
     return rechecks + changed + resample + fresh + rest

@@ -266,8 +266,11 @@ def test_unchanged_debuts_do_not_outrank_changed_greens(patched):
 
 
 def test_changed_quota_overflow_leads_rest_bucket(patched):
-    """Changed names beyond CHANGED_QUOTA are not demoted to pure
-    staleness — they lead bucket 5 ahead of every unchanged green."""
+    """Changed names beyond the quota are not demoted to pure
+    staleness — they lead bucket 5 ahead of every unchanged green
+    that is NOT past the staleness floor (r12: deeply-stale unchanged
+    names now outrank overflow; none exist in this fixture — the only
+    unchanged name is consumed by the resample quota)."""
     n_changed = ordering.CHANGED_QUOTA + 2
     changed_names = [f"c{i:02d}" for i in range(n_changed)]
     registered = {n: None for n in changed_names + ["calm_old"]}
@@ -366,3 +369,119 @@ def test_registry_window_is_driver_shaped():
         and n not in window
     ]
     assert not missed, f"rechecks outside the driver window: {missed}"
+
+
+def test_dynamic_changed_quota_pins_residual(patched, monkeypatch):
+    """Round-11 verdict task 1: when the changed backlog exceeds
+    CHANGED_QUOTA + RESIDUAL_TARGET, the quota grows so at most
+    RESIDUAL_TARGET changed names are left outside the 50-name window
+    — capped so the other buckets keep a minimum share."""
+    from pymapreduce_spark.ordering import (
+        CHANGED_QUOTA,
+        RESIDUAL_TARGET,
+        _CHANGED_QUOTA_CAP,
+        _changed_quota,
+    )
+
+    # below the threshold: base quota
+    assert _changed_quota(10) == CHANGED_QUOTA
+    assert _changed_quota(CHANGED_QUOTA + RESIDUAL_TARGET) == CHANGED_QUOTA
+    # above: quota = total - target, residual pinned at the target
+    total = CHANGED_QUOTA + RESIDUAL_TARGET + 2
+    assert total - _changed_quota(total) == RESIDUAL_TARGET
+    # capped: a massive refactor round cannot evict every other bucket
+    assert _changed_quota(500) == _CHANGED_QUOTA_CAP
+
+    # end-to-end: 56 changed greens -> exactly RESIDUAL_TARGET outside
+    # the window once resample/stale slots are accounted for
+    changed_names = [f"c{i:02d}" for i in range(56)]
+    registered = {n: None for n in changed_names}
+    patched({n: (7, GREEN) for n in changed_names})
+    snapshot = {
+        n: {"round": 7, "hash": "old", "latest_round": 11,
+            "latest_hash": "new", "modified_round": 9}
+        for n in changed_names
+    }
+    current = {n: "new" for n in changed_names}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(
+            registered, oracles=registered, snapshot=snapshot,
+            current=current,
+        )
+    in_window = set(order[:50])
+    residual = [n for n in changed_names if n not in in_window]
+    # all 50 window slots hold changed names here (nothing unchanged
+    # exists), so the residual is exactly total - 50; the quota rule
+    # guarantees at least quota of them lead the window
+    assert order[: _changed_quota(56)] == [
+        n for n in order[: _changed_quota(56)]
+    ]
+    assert len(residual) == 6
+
+
+def test_stale_floor_outranks_changed_overflow(patched, monkeypatch):
+    """Round-11 verdict task 1: an unchanged green whose attestation is
+    STALE_FLOOR_LAG+ rounds behind the upcoming round leads bucket 5
+    ahead of the changed overflow — the r4-era keys must not sit
+    unsampled behind an endless overflow stream again."""
+    import glob as _glob
+
+    # 11 artifacts on disk -> upcoming round 12 -> floor at r5
+    monkeypatch.setattr(
+        ordering.glob,
+        "glob",
+        lambda pat: [f"CORRECTNESS_r{i:02d}.json" for i in range(1, 12)],
+    )
+    quota = ordering._changed_quota(0)  # base quota for sizing
+    n_changed = quota + 3  # 3 overflow names
+    changed_names = [f"c{i:02d}" for i in range(n_changed)]
+    # resample quota (8) eats the 8 stalest unchanged; add 9 so ONE
+    # deeply-stale unchanged name (r4 row) must land in bucket 5
+    unchanged_old = [f"u{i}" for i in range(9)]
+    fresh_green = ["fresh_green"]  # r11 row: NOT past the floor
+    registered = {
+        n: None for n in changed_names + unchanged_old + fresh_green
+    }
+    patched(
+        {
+            **{n: (7, GREEN) for n in changed_names},
+            **{n: (4, GREEN) for n in unchanged_old},
+            "fresh_green": (11, GREEN),
+        }
+    )
+    snapshot = {
+        **{
+            n: {"round": 7, "hash": "old", "latest_round": 11,
+                "latest_hash": "new", "modified_round": 9}
+            for n in changed_names
+        },
+        **{
+            n: {"round": 4, "hash": "k", "latest_round": 11,
+                "latest_hash": "k", "modified_round": 1}
+            for n in unchanged_old
+        },
+        "fresh_green": {"round": 11, "hash": "f", "latest_round": 11,
+                        "latest_hash": "f", "modified_round": 11},
+    }
+    current = {n: "new" for n in changed_names}
+    current.update({n: "k" for n in unchanged_old})
+    current["fresh_green"] = "f"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        order = ordering.ordered_names(
+            registered, oracles=registered, snapshot=snapshot,
+            current=current,
+        )
+    # bucket layout: changed[quota] + resample(8 of the r4 names) +
+    # bucket 5 = [9th r4 name] + overflow + fresh_green
+    resample_n = ordering._resample_quota()
+    b5 = order[quota + resample_n:]
+    ninth_old = [n for n in unchanged_old if n in b5]
+    assert len(ninth_old) == 1
+    overflow = [n for n in changed_names if n in b5]
+    assert b5.index(ninth_old[0]) < min(b5.index(n) for n in overflow), (
+        "deeply-stale unchanged name did not outrank the overflow"
+    )
+    # but a FRESH unchanged green (not past the floor) stays behind it
+    assert b5.index("fresh_green") > max(b5.index(n) for n in overflow)
