@@ -702,15 +702,18 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-def _session_due_ms(last_us: int) -> int:
+def _session_due_ms(last_us: int, gap_us: int = _SESSION_GAP_US) -> int:
     """Timer expiry for a session whose last event is at ``last_us``:
     ceil to ms so the timer NEVER fires before the true µs-precision
     due time (floor could emit a session whose end is <1 ms past the
-    watermark). Both paths and the oracle use this exact arithmetic."""
-    return -((-(last_us + _SESSION_GAP_US)) // 1000)
+    watermark). Both paths and the oracle use this exact arithmetic.
+    ``gap_us`` is overridable so the streaming property-differential
+    harness (r11 verdict #7) can sweep the gap parameter; the
+    registered ops always use the module default."""
+    return -((-(last_us + gap_us)) // 1000)
 
 
-def _session_emit_pdf(user_id, sessions: list):
+def _session_emit_pdf(user_id, sessions: list, gap_us: int = _SESSION_GAP_US):
     """ONE output frame for a whole list of closed (start, last, n)
     sessions (~2.6× fewer pandas constructions than per-session
     one-row frames). Measured honestly (r11): batching moved the sf0.1
@@ -728,7 +731,7 @@ def _session_emit_pdf(user_id, sessions: list):
                 pd.Timestamp(s, unit="us") for s, _l, _n in sessions
             ],
             "session_end": [
-                pd.Timestamp(l + _SESSION_GAP_US, unit="us")
+                pd.Timestamp(l + gap_us, unit="us")
                 for _s, l, _n in sessions
             ],
             "n_events": [n for _s, _l, n in sessions],
@@ -736,7 +739,9 @@ def _session_emit_pdf(user_id, sessions: list):
     )
 
 
-def _session_fold_events(ts_series, start, last, n, closed: list):
+def _session_fold_events(
+    ts_series, start, last, n, closed: list, gap_us: int = _SESSION_GAP_US
+):
     """Fold one batch's (sorted) event times into the running session
     scalar, appending each gap-closed (start, last, n) to ``closed``;
     returns the updated scalar.
@@ -751,7 +756,7 @@ def _session_fold_events(ts_series, start, last, n, closed: list):
         mu = t.value // 1000  # pandas ns → µs
         if start is None:
             start, last, n = mu, mu, 1
-        elif mu - last > _SESSION_GAP_US:
+        elif mu - last > gap_us:
             closed.append((start, last, n))
             start, last, n = mu, mu, 1
         else:
@@ -759,43 +764,54 @@ def _session_fold_events(ts_series, start, last, n, closed: list):
     return start, last, n
 
 
-def _session_timeout_track(key, pdfs, state):
-    """Legacy-surface (``applyInPandasWithState`` + EventTimeTimeout)
-    implementation of timer-based session timeout — semantics shared
-    with _SessionTimeoutProcessor and pinned equivalent by
-    tests/test_streaming.py::test_tws_processor_matches_legacy_track:
-    emit on gap split immediately; arm ONE inactivity timer at
-    _session_due_ms(last); a fired timer emits iff the watermark is
-    strictly past the due time (Spark fires event-time timeouts when
-    wm > timeout timestamp) and clears the key's state."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        start, last, n = state.get
-        state.remove()
-        yield _session_emit_pdf(user_id, [(start, last, n)])
-        return
-    start, last, n = state.get if state.exists else (None, None, 0)
-    closed: list = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        start, last, n = _session_fold_events(
-            pdf["ts"], start, last, n, closed
-        )
-    if closed:
-        yield _session_emit_pdf(user_id, closed)
-    state.update((int(start), int(last), int(n)))
-    # defensive clamp: a timeout timestamp at/below the current
-    # watermark is rejected by Spark; the fixture's day-ordered replay
-    # never produces one (no born-late events), but a generic feed can.
-    # KNOWN DIVERGENCE on the clamped branch (round-11 ADVICE #2): when
-    # due <= wm the clamp arms at wm+1, so this legacy surface emits
-    # only once the watermark advances PAST wm+1 — later than the TWS
-    # twin and the oracle's strict `wm > due` boundary. On a feed whose
-    # watermark never advances again, a born-late trailing session is
-    # under-emitted relative to the oracle. Pinned by
-    # tests/test_streaming.py::test_legacy_clamp_branch_divergence.
-    wm = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(max(_session_due_ms(last), wm + 1))
+def _make_session_timeout_track(gap_us: int = _SESSION_GAP_US):
+    """Build a legacy-surface (``applyInPandasWithState`` +
+    EventTimeTimeout) timer-based session-timeout track function for an
+    arbitrary inactivity gap. The registered ops use the module-default
+    instance ``_session_timeout_track`` (30 min); the streaming
+    property-differential harness (r11 verdict #7) sweeps ``gap_us``
+    randomly — the closure carries the gap by VALUE, so it survives
+    cloudpickle to the Python workers where a monkeypatched module
+    global would not."""
+
+    def track(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _session_emit_pdf(user_id, [(start, last, n)], gap_us)
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            start, last, n = _session_fold_events(
+                pdf["ts"], start, last, n, closed, gap_us
+            )
+        if closed:
+            yield _session_emit_pdf(user_id, closed, gap_us)
+        state.update((int(start), int(last), int(n)))
+        # defensive clamp: a timeout timestamp at/below the current
+        # watermark is rejected by Spark; the fixture's day-ordered
+        # replay never produces one (no born-late events), but a
+        # generic feed can. KNOWN DIVERGENCE on the clamped branch
+        # (round-11 ADVICE #2): when due <= wm the clamp arms at wm+1,
+        # so this legacy surface emits only once the watermark advances
+        # PAST wm+1 — later than the TWS twin and the oracle's strict
+        # `wm > due` boundary. On a feed whose watermark never advances
+        # again, a born-late trailing session is under-emitted relative
+        # to the oracle. Pinned by
+        # tests/test_streaming.py::test_legacy_clamp_branch_divergence.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(_session_due_ms(last, gap_us), wm + 1))
+
+    return track
+
+
+#: The registered ops' instance (30-minute gap): semantics shared with
+#: _SessionTimeoutProcessor and pinned equivalent by
+#: tests/test_streaming.py::test_tws_processor_matches_legacy_track.
+_session_timeout_track = _make_session_timeout_track()
 
 
 class _SessionTimeoutProcessor:
