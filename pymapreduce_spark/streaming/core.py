@@ -1100,6 +1100,23 @@ def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chk = os.path.join(stable_scratch(sf_dir, "state_audit"), "chk")
     drain(out, "append", checkpoint=chk)
+    try:
+        committed = any(
+            f.isdigit() for f in os.listdir(os.path.join(chk, "commits"))
+        )
+    except OSError:
+        committed = False
+    if not committed:
+        # zero-file replay (empty events — routine at scale): no
+        # micro-batch ever COMMITTED (a no-data run can still log
+        # progress), and the statestore reader refuses a commit-less
+        # checkpoint (STDS_COMMITTED_BATCH_UNAVAILABLE, measured).
+        # No committed batches ⇒ no state, exactly.
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, session_start timestamp_ntz, "
+            "last_event timestamp_ntz, n_events bigint",
+        )
     state = spark.read.format("statestore").load(chk)
     return state.select(
         F.col("key.user_id").alias("user_id"),
