@@ -341,8 +341,6 @@ def test_streaming_boundary_pins():
 
 
 def _drain_real(spark, tmp_path, ex, mfpt: int) -> set:
-    import pathlib
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -399,7 +397,6 @@ def _drain_real(spark, tmp_path, ex, mfpt: int) -> set:
     for v in spark.catalog.listTables():
         if v.name.startswith("stream_result_"):
             spark.catalog.dropTempView(v.name)
-    import pathlib as _p  # noqa: F401
 
     def us(x):
         # NTZ-normalized naive timestamps under the pinned-UTC session
