@@ -1079,12 +1079,22 @@ def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields are clamp-independent. At 100 TB: the reader plans one task
     per state-store shard (metadata-recorded numPartitions), no
     shuffle, no driver data — auditing is a parallel scan of the
-    store, never a replay of the stream."""
+    store, never a replay of the stream.
+
+    The audited drain runs the replay in ONE data trigger (no
+    maxFilesPerTrigger): the END-OF-STREAM state is trigger-split
+    invariant (a timer whose due time the final watermark passed fires
+    by the availableNow no-data batch regardless of how the feed was
+    chopped — proven across random splits by
+    tests/test_property_streaming.py), and the multi-batch replay
+    attestation is stream_stateful_timers' job, not this op's. Measured
+    r12: 7.36 s at mfpt=10 → ~3.5 s single-trigger, pure scheduler
+    floor (README's drain cost split)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from pymapreduce_spark.io import stable_scratch
 
-    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10).where(
+    s = read_stream(spark, sf_dir).where(
         F.col("ts").isNotNull()
     )
     wm = s.withWatermark("ts", "2 hours")
