@@ -18,13 +18,19 @@ stream length.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymapreduce_spark.io import load_table, read_back, table_path
+from pymapreduce_spark.io import (
+    load_table,
+    read_back,
+    table_path,
+    table_row_count,
+)
 from pymapreduce_spark.registry import query
 
 _ARTIFACTS = os.path.join(
@@ -36,6 +42,85 @@ _counter = itertools.count()
 #: stateOperators carries numRowsTotal / memoryUsedBytes per stateful
 #: operator, which scale_smoke's state probe audits at 10×/100×.
 LAST_QUERY_PROGRESS: list = []
+#: Memory-sink temp view registered by the most recent drain() — lets an
+#: op whose drained RESULT is never read (state_audit reads the state
+#: store instead) drop the view so repeated bench/driver invocations
+#: don't accumulate full emission copies on the driver heap (r12 ADVICE
+#: #2).
+LAST_SINK_NAME: str | None = None
+
+#: Streaming stages cannot use AQE partition coalescing, so the static
+#: ``spark.sql.shuffle.partitions`` value IS the state-partition count
+#: of every stateful streaming operator — and it is paid PER TRIGGER
+#: (one stateful task + one state-store commit per partition per
+#: micro-batch). At the fixture's ~10⁵ replay rows, 32 partitions of
+#: ~300 rows each are pure scheduler/commit floor: an interleaved A/B
+#: at sf0.1 (r13, 3 rounds × {32, 8, 4}) measured the timers drain
+#: 2.4-2.7× faster at width 4-8 than at 32, with bit-identical output
+#: (guide §2.2 "fewer, larger reduce partitions", §2 scale-adaptive
+#: partitioning). The width is derived from the replay's row count —
+#: one partition per ~25 k events, floor 4, capped at the session's
+#: configured shuffle width — so a 100× corpus derives the full
+#: configured width and nothing is tuned to local mode. Production
+#: overrides: SPARK_GRAFT_STREAM_PARTITIONS pins the width outright;
+#: SPARK_GRAFT_SHUFFLE_PARTITIONS raises the cap.
+_STREAM_ROWS_PER_PARTITION = 25_000
+_STREAM_PARTS_HINT: int | None = None
+
+
+def _set_stream_parts_hint(
+    spark: SparkSession, sf_dir: str, multi_trigger: bool
+) -> None:
+    """Derive the streaming shuffle width for this replay (see above);
+    consumed by the next :func:`stream_shuffle_width` scope.
+
+    Only MULTI-trigger drains (maxFilesPerTrigger set) narrow: the
+    floor being amortized is per-trigger, so a single-data-trigger
+    drain has nothing to amortize and instead wants the session's full
+    width for its one heavy stateful batch (measured r13: narrowing
+    state_audit's single-trigger drain to 4 cost ~1-2 s of Python-fold
+    parallelism at sf0.1 while winning nothing)."""
+    global _STREAM_PARTS_HINT
+    try:
+        env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+        if env:
+            _STREAM_PARTS_HINT = max(1, int(env))
+            return
+        if not multi_trigger:
+            _STREAM_PARTS_HINT = None
+            return
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = table_row_count(sf_dir, "events")
+        _STREAM_PARTS_HINT = max(
+            4, min(cap, n // _STREAM_ROWS_PER_PARTITION)
+        )
+    except Exception:  # pragma: no cover - footer unreadable etc.
+        _STREAM_PARTS_HINT = None
+
+
+@contextlib.contextmanager
+def stream_shuffle_width(spark: SparkSession):
+    """Scope a streaming query start under the derived shuffle width,
+    restoring the session value afterwards. The width is captured by
+    the query AT START (checkpoint metadata pins numShufflePartitions
+    for the query's lifetime), so restoring after awaitTermination
+    never affects the stream — only subsequent batch queries, which
+    must see the session default again. Narrowing only: a hint wider
+    than the session value is ignored (the cap already applied)."""
+    key = "spark.sql.shuffle.partitions"
+    hint = _STREAM_PARTS_HINT
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # pragma: no cover - conf unreadable
+        old = None
+    if hint is None or old is None or int(old) <= hint:
+        yield
+        return
+    spark.conf.set(key, str(hint))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def replay_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -130,6 +215,9 @@ def read_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     # whatever session timezone the host left behind (round-8 clock
     # axis: buckets aligned to :45 under Asia/Kathmandu).
     ensure_runtime_configs(spark)
+    _set_stream_parts_hint(
+        spark, sf_dir, multi_trigger="maxFilesPerTrigger" in options
+    )
     path = replay_dir(spark, sf_dir)
     schema = _replay_schema(spark, sf_dir)
     reader = spark.readStream.schema(schema)
@@ -165,8 +253,9 @@ def drain(
     caller reads the run's state back (spark.read.format("statestore")
     needs a durable checkpoint path; the default ephemeral one is
     session-temp)."""
-    global LAST_QUERY_PROGRESS
+    global LAST_QUERY_PROGRESS, LAST_SINK_NAME
     name = f"stream_result_{next(_counter)}"
+    LAST_SINK_NAME = name
     w = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -175,8 +264,9 @@ def drain(
     )
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    with stream_shuffle_width(stream_df.sparkSession):
+        q = w.start()
+        q.awaitTermination()
     # Expose the finished run's progress (state-store metrics included)
     # so diagnostics can audit the REGISTERED ops' state behavior
     # without reconstructing their pipelines (round-9 verdict, task 4).
@@ -659,8 +749,9 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_ts, max_gap, n = (
             state.get if state.exists else (None, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _concat_sorted(pdfs)  # one global per-key sort: a key
+        # spanning multiple Arrow chunks must fold in time order
+        if pdf is not None:
             for t in pdf["ts"]:
                 mu = t.value // 1000  # pandas ns → µs
                 if last_ts is not None and mu - last_ts > max_gap:
@@ -739,6 +830,32 @@ def _session_emit_pdf(user_id, sessions: list, gap_us: int = _SESSION_GAP_US):
     )
 
 
+def _concat_sorted(chunks):
+    """All of one key's Arrow chunks for this batch, concatenated and
+    globally (ts, event_id)-sorted; None when the batch carried no rows
+    for the key.
+
+    The per-key iterator delivers a key's rows in MULTIPLE chunks when
+    the partition's data crosses the Arrow batch limit, and the chunks'
+    relative order does NOT follow event time (the stateful exchange
+    sorts on the grouping key only). Folding chunk-by-chunk with a
+    per-chunk sort therefore mis-splits sessions the moment a key spans
+    chunks: a later chunk's earlier-in-time event looks in-gap against
+    the running `last` and never splits. Surfaced in r13 when the
+    derived stream shuffle width put ~24 k rows in one partition at
+    sf0.1 (>10 k-row Arrow chunks); the same splitting already occurred
+    at any width on a 100 TB feed — width only changed WHEN. One concat
+    + one sort per (key, batch) is the batch's own data, bounded by the
+    trigger size, not stream length."""
+    import pandas as pd
+
+    frames = [p for p in chunks if len(p)]
+    if not frames:
+        return None
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+    return pdf.sort_values(["ts", "event_id"])
+
+
 def _session_fold_events(
     ts_series, start, last, n, closed: list, gap_us: int = _SESSION_GAP_US
 ):
@@ -783,8 +900,8 @@ def _make_session_timeout_track(gap_us: int = _SESSION_GAP_US):
             return
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _concat_sorted(pdfs)  # global per-key sort (see helper)
+        if pdf is not None:
             start, last, n = _session_fold_events(
                 pdf["ts"], start, last, n, closed, gap_us
             )
@@ -834,8 +951,8 @@ class _SessionTimeoutProcessor:
         cur = self._state.get() if self._state.exists() else None
         start, last, n = cur if cur is not None else (None, None, 0)
         closed: list = []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _concat_sorted(rows)  # global per-key sort (see helper)
+        if pdf is not None:
             start, last, n = _session_fold_events(
                 pdf["ts"], start, last, n, closed
             )
@@ -1110,6 +1227,12 @@ def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chk = os.path.join(stable_scratch(sf_dir, "state_audit"), "chk")
     drain(out, "append", checkpoint=chk)
+    # The audited drain's RESULT (the full timers emission) is never
+    # read — only the checkpoint's state store is. Drop the memory-sink
+    # view immediately so median-of-3 bench reruns don't stack emission
+    # copies on the driver heap (r12 ADVICE #2).
+    if LAST_SINK_NAME:
+        spark.catalog.dropTempView(LAST_SINK_NAME)
     try:
         committed = any(
             f.isdigit() for f in os.listdir(os.path.join(chk, "commits"))
@@ -1370,13 +1493,17 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(tmp, state_dir)
 
     s = read_stream(spark, sf_dir, maxFilesPerTrigger=10)
-    q = (
-        s.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(base, "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The per-batch merge groupBy pays the session shuffle width on
+    # EVERY trigger (and writes that many state files) — scope it under
+    # the derived streaming width like drain() does.
+    with stream_shuffle_width(spark):
+        q = (
+            s.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(base, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return read_back(spark, state_dir, _state_schema).select(
         "user_id",
         F.col("c.id").alias("last_event_id"),

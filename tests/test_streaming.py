@@ -601,3 +601,32 @@ def test_session_fold_out_of_order_in_gap():
     )
     assert closed == [(base, base + 600_000_000, 3)]
     assert (start, last, n) == (split_at, split_at, 1)
+
+
+def test_fold_correct_when_key_spans_arrow_chunks(spark, duck, sf_dir):
+    """r13 find: the per-key iterator delivers a key's rows in multiple
+    Arrow chunks once a partition's data crosses the Arrow batch limit,
+    and chunk order does not follow event time — a chunk-by-chunk fold
+    mis-splits sessions (one user's trailing n_events read 13 instead
+    of 1 at sf0.1 under a 4-partition drain). Force the regime hard at
+    sf0.01 — ONE state partition, 200-row Arrow chunks — and require
+    the timers op to still match its DuckDB oracle exactly."""
+    from pymapreduce_spark.registry import ORACLES, QUERIES
+
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_arrow = spark.conf.get(arrow_key)
+    os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = "1"
+    spark.conf.set(arrow_key, "200")
+    try:
+        sdf = QUERIES["stream_stateful_timers"](spark, sf_dir)
+        got = sorted(
+            tuple(str(x) for x in r) for r in sdf.collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_PARTITIONS"]
+        spark.conf.set(arrow_key, old_arrow)
+    want = sorted(
+        tuple(str(x) for x in r)
+        for r in duck.execute(ORACLES["stream_stateful_timers"]).fetchall()
+    )
+    assert got == want
