@@ -46,10 +46,16 @@ def _arrow_try_cents(v):
         round_mode="half_towards_infinity",
     )
     # one mask for both TRY_CAST null modes: is_finite is False for
-    # NaN/±Inf, and 2^63 is exactly representable as a double so the
-    # strict < keeps every castable value and nulls the rest
+    # NaN/±Inf, and 2^63 is exactly representable as a double. The
+    # int64 range is ASYMMETRIC: -2^63 itself is castable (DuckDB/Spark
+    # TRY_CAST(-9223372036854775808.0) returns INT64_MIN — r12 ADVICE
+    # #1), so the mask is r >= -2^63 AND r < 2^63, not abs(r) < 2^63.
     ok = pc.and_kleene(
-        pc.is_finite(r), pc.less(pc.abs(r), pa.scalar(float(1 << 63)))
+        pc.is_finite(r),
+        pc.and_kleene(
+            pc.greater_equal(r, pa.scalar(float(-(1 << 63)))),
+            pc.less(r, pa.scalar(float(1 << 63))),
+        ),
     )
     return pc.cast(
         pc.if_else(ok, r, pa.scalar(None, pa.float64())), pa.int64()

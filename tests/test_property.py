@@ -324,6 +324,8 @@ def test_arrow_try_cents_matches_duckdb_try_cast():
         2.0**63, -(2.0**63), 2.0**62, 1e300, -1e300,
         (2.0**63 - 1024) / 100.0,   # largest double*100 below 2^63
         9.3e16,                      # castable large finite
+        -(2.0**63) / 100.0,          # v*100 == -2^63 exactly: CASTABLE
+        # (INT64_MIN — the asymmetric boundary, r12 ADVICE #1)
     ]
     got = _arrow_try_cents(pa.array(vals, pa.float64())).to_pylist()
     duck = duckdb.connect()

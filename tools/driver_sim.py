@@ -81,6 +81,10 @@ if __name__ == "__main__":
     only_arg = None
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            print("usage: driver_sim.py [sf_dir] --only n1,n2,...",
+                  file=sys.stderr)
+            sys.exit(98)
         only_arg = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sys.exit(min(main(*argv, only=only_arg), 99))
