@@ -405,6 +405,33 @@ def streaming_section(spark) -> dict:
       instead grew with the stream would be the 100 TB killer.
     - sub-quadratic wall-clock, same 30× bound as the graph section.
     """
+    # Pin the streaming shuffle width to the session value for the
+    # DURATION of this section: the base-vs-10× wall-clock ratios below
+    # are scaling probes, and a scaling probe must hold configuration
+    # constant (guide §1). Since r13 the engine derives a NARROWER
+    # width for small replays (streaming/core.py) — a deliberate
+    # small-corpus latency win that would otherwise speed up only the
+    # base arm and inflate every ratio by the width factor, failing the
+    # <30× bound without any superlinear work growth (measured:
+    # watermark 33.97× with the base arm at width 4, back under the
+    # bound with both arms pinned at the session width). The derived
+    # width itself is exercised and asserted by the --streamstate
+    # section's base/x10/x100 matrix, which checks STATE bounds, not
+    # wall ratios.
+    _pin = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = str(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    try:
+        return _streaming_section_pinned(spark)
+    finally:
+        if _pin is None:
+            os.environ.pop("SPARK_GRAFT_STREAM_PARTITIONS", None)
+        else:
+            os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = _pin
+
+
+def _streaming_section_pinned(spark) -> dict:
     from pymapreduce_spark.registry import QUERIES
     from pymapreduce_spark.streaming.core import read_stream, replay_dir
 
