@@ -50,6 +50,61 @@ def _dot(a, b):
     )
 
 
+def _ord_dots(Q, C):
+    """All Q-row × C-row dot products with a POSITION-INDEPENDENT,
+    block-independent summation order: ``einsum(optimize=False)``
+    accumulates the contraction index per output element in a fixed
+    pattern, so identical input vectors yield bit-identical dots no
+    matter where they sit in the matrices or how the caller blocks
+    them.
+
+    BLAS ``Q @ C.T`` does NOT have that property (r13 find, inherited
+    tests/test_adversarial_input combined-fixture failure): its blocked
+    micro-kernels give identical logical inputs last-ulp-DIFFERENT
+    results by output position (measured: dot(copy, copy) =
+    …370421763 at columns 0–12 but …370421766 at column 498 of the
+    same GEMM), and the kernel choice shifts with runtime CPU dispatch
+    — so under the adversarial exact-copy tie groups the id tie-break
+    never engages for the jittered members and the 1-NN edge set
+    diverges from DuckDB's uniform sequential fold (green at r12
+    judging, red after a host change, deterministic within each). Every
+    value that a cross-engine-compared ranking or threshold DECIDES ON
+    or EMITS must therefore come from this family, never bare BLAS.
+
+    Cost vs dgemm: ~1.6–19× slower at kernel shapes (memory-bound
+    single pass; measured 80 ms vs 4 ms at 2000×2000×64, 3.8× at the
+    250 k tile shape) — cheap enough for small heads and boundary
+    patches, too slow as the bulk kernel (an all-einsum semdedup blew
+    the vectors smoke's x100 step bound, 100.9 vs <35). The hot
+    kernels therefore run HYBRID: BLAS for the full matrix, this
+    helper to recompute the tiny slice whose comparison outcome could
+    depend on jitter (candidates within ``_TIE_EPS`` of a top-k cutoff
+    or a threshold/rounding boundary) plus every emitted value. The
+    slack works because per-element |BLAS − einsum| is a few ulps
+    (~1e-13 relative) while _TIE_EPS = 1e-9, and order statistics are
+    1-Lipschitz in sup norm — the true top-k is always inside the
+    eps-expanded head. Verified: 'bd,nd->bn' and 'pd,pd->p' agree
+    bit-for-bit and are block-, gather- and batch-size-independent."""
+    import numpy as np
+
+    return np.einsum("bd,nd->bn", Q, C, optimize=False)
+
+
+#: Slack margin for hybrid BLAS+einsum comparisons — dwarfs the few-ulp
+#: GEMM position jitter, still selective enough that slack heads stay
+#: tiny on real similarity distributions (see _ord_dots).
+_TIE_EPS = 1e-9
+
+
+def _ord_pair_dots(A, B):
+    """Order-fixed dot per row pair — same fixed per-element
+    accumulation as :func:`_ord_dots` (verified bit-identical), for
+    recomputing gathered candidate slices."""
+    import numpy as np
+
+    return np.einsum("pd,pd->p", A, B, optimize=False)
+
+
 #: The pipeline's declared embedding dimension — a constant of the
 #: embedding model (like 768 for a BERT-family encoder), not inferred
 #: from data: at 100 TB you KNOW what your encoder emits, and inferring
@@ -637,7 +692,7 @@ def _dedup_embed_lsh(
         weights = (1 << np.arange(bits, dtype=np.int64))
         for pdf in batches:
             V = np.stack(pdf["e"].values).astype(np.float64)
-            S = (V @ planes.T) > 0.0
+            S = _ord_dots(V, planes) > 0.0
             sigs = S.reshape(len(pdf), n_bands, bits) @ weights
             keys = sigs + (np.arange(n_bands, dtype=np.int64) << 48)
             yield pd.DataFrame(
@@ -707,16 +762,25 @@ def _dedup_embed_pairs_tiled(
                     if not len(sub):
                         continue
                     Q = np.stack(sub["e"].values).astype(np.float64)
-                    S = Q @ cand.T
+                    S = Q @ cand.T  # BLAS bulk pass
                     qids = sub["vec_id"].to_numpy(dtype=np.int64)
+                    # hybrid (see _ord_dots): eps-expanded candidate
+                    # mask, then the surviving pairs' dots recomputed
+                    # order-fixed — membership AND the emitted cos are
+                    # position-uniform at BLAS bulk speed (the pair
+                    # set above threshold is sparse, so the recompute
+                    # is O(pairs), not O(N²)).
                     qi, ci = np.nonzero(
-                        (S >= threshold) & (qids[:, None] < cand_ids[None, :])
+                        (S >= threshold - _TIE_EPS)
+                        & (qids[:, None] < cand_ids[None, :])
                     )
+                    ex = _ord_pair_dots(Q[qi], cand[ci])
+                    keep = ex >= threshold
                     yield pd.DataFrame(
                         {
-                            "vec_a": qids[qi],
-                            "vec_b": cand_ids[ci],
-                            "cos": S[qi, ci],
+                            "vec_a": qids[qi][keep],
+                            "vec_b": cand_ids[ci][keep],
+                            "cos": ex[keep],
                         }
                     )
 
@@ -920,7 +984,7 @@ def _knn_self_join_tiled(
                     if not len(sub):
                         continue
                     Q = np.stack(sub["embedding"].values).astype(np.float64)
-                    S = Q @ cand.T
+                    S = Q @ cand.T  # BLAS bulk pass
                     qids = sub["vec_id"].to_numpy(dtype=np.int64)
                     pos = np.searchsorted(cand_ids, qids)
                     hit = (pos < n) & (
@@ -929,17 +993,28 @@ def _knn_self_join_tiled(
                     S[np.flatnonzero(hit), pos[hit]] = -np.inf
                     kk = min(k, n)
                     thresh = np.partition(S, n - kk, axis=1)[:, n - kk]
+                    # hybrid head select + order-fixed recompute (see
+                    # _ord_dots): emitted cos must be position-uniform
+                    # — it feeds the cross-tile rank AND the final
+                    # (cos DESC, id) window both engines compare.
+                    eps = _TIE_EPS * np.maximum(1.0, np.abs(thresh))
                     out = {"query_id": [], "neighbor_id": [], "cos": []}
                     for i, qid in enumerate(qids):
                         idx = np.flatnonzero(
-                            (S[i] >= thresh[i]) & np.isfinite(S[i])
+                            (S[i] >= thresh[i] - eps[i])
+                            & np.isfinite(S[i])
                         )
-                        top = idx[np.lexsort((cand_ids[idx], -S[i, idx]))][
-                            :kk
-                        ]
+                        ex = _ord_pair_dots(
+                            np.broadcast_to(
+                                Q[i], (len(idx), Q.shape[1])
+                            ),
+                            cand[idx],
+                        )
+                        sel = np.lexsort((cand_ids[idx], -ex))[:kk]
+                        top = idx[sel]
                         out["query_id"].extend([qid] * len(top))
                         out["neighbor_id"].extend(cand_ids[top])
-                        out["cos"].extend(S[i, top])
+                        out["cos"].extend(ex[sel])
                     yield pd.DataFrame(out)
 
         return topk
@@ -1067,7 +1142,7 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not len(sub):
                     continue
                 Q = np.stack(sub["embedding"].values).astype(np.float64)
-                S = Q @ cand.T  # blk×N cosines (L2-normalized inputs)
+                S = Q @ cand.T  # blk×N cosines, BLAS bulk pass
                 qids = sub["vec_id"].to_numpy(dtype=np.int64)
                 # Self-exclusion via binary search on the sorted id
                 # axis — O(log n) per query, not an N-length mask.
@@ -1077,14 +1152,18 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Exact top-5 under (cos DESC, id ASC) without a full
                 # N-sort per query: the vectorized 5th-largest value
                 # bounds the candidate head (every true top-5 member
-                # is ≥ it, ties included), then the tiny head alone is
-                # lexsorted — identical output to the full sort.
+                # is ≥ it even under BLAS position jitter — _TIE_EPS
+                # slack, see _ord_dots), the head's dots are
+                # recomputed order-fixed, and rank + emitted cosine
+                # use ONLY the recomputed values — identical output to
+                # a full order-fixed sort at BLAS bulk speed.
                 # k = min(5, n): for a 1-2 row corpus np.partition(S,
                 # n-5) would raise kth-out-of-bounds, and padding the
                 # id column to 5 against shorter neighbor lists would
                 # yield ragged columns — clamp both to the corpus size.
                 k = min(5, n)
                 thresh = np.partition(S, n - k, axis=1)[:, n - k]
+                eps = _TIE_EPS * np.maximum(1.0, np.abs(thresh))
                 out = {
                     "query_id": [],
                     "neighbor_id": [],
@@ -1096,13 +1175,18 @@ def llm_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # otherwise pass `-inf >= -inf` when the whole row
                     # is self-excluded (n == 1 corpus).
                     idx = np.flatnonzero(
-                        (S[i] >= thresh[i]) & np.isfinite(S[i])
+                        (S[i] >= thresh[i] - eps[i]) & np.isfinite(S[i])
                     )
-                    top = idx[np.lexsort((cand_ids[idx], -S[i, idx]))][:k]
+                    ex = _ord_pair_dots(
+                        np.broadcast_to(Q[i], (len(idx), Q.shape[1])),
+                        cand[idx],
+                    )
+                    sel = np.lexsort((cand_ids[idx], -ex))[:k]
+                    top = idx[sel]
                     out["query_id"].extend([qid] * len(top))
                     out["neighbor_id"].extend(cand_ids[top])
                     out["nn_rank"].extend(range(1, len(top) + 1))
-                    c = S[i, top]
+                    c = ex[sel]
                     # np.round perturbs ulps at huge magnitude just
                     # like DuckDB's round — same guard as round_sane
                     out["cosine"].extend(
@@ -1712,12 +1796,22 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes only block×n similarities, so peak memory is
         # capped at ~_SEMDEDUP_BLOCK_ELEMS floats regardless of
         # cluster size, and the output is bit-identical to the
-        # one-shot GEMM.
+        # one-shot kernel (_ord_dots is block-independent).
         block = max(1, _SEMDEDUP_BLOCK_ELEMS // max(n, 1))
         qmin = np.full(n, np.nan)
         for lo in range(0, n, block):
             hi = min(lo + block, n)
-            sim = np.round(m[lo:hi] @ m.T, 6)
+            sim = m[lo:hi] @ m.T  # BLAS bulk pass
+            # hybrid boundary patch (see _ord_dots): only entries
+            # within ~1e-6 of the 0.45 verdict can have their
+            # round-to-6-then-compare outcome flipped by BLAS position
+            # jitter — recompute exactly those order-fixed, so the
+            # verdict is position-uniform at BLAS speed.
+            near = np.abs(sim - 0.45) < 1e-6 + _TIE_EPS
+            if near.any():
+                r, c = np.nonzero(near)
+                sim[r, c] = _ord_pair_dots(m[lo + r], m[c])
+            sim = np.round(sim, 6)
             mask = sim >= 0.45
             # exclude the self column (ids are unique per rep)
             cols = np.arange(n)[None, :]
