@@ -67,6 +67,53 @@ LAST_SINK_NAME: str | None = None
 _STREAM_ROWS_PER_PARTITION = 25_000
 _STREAM_PARTS_HINT: int | None = None
 
+#: Target events per micro-batch for drains whose RESULT is provably
+#: trigger-count-independent (r14, guide §2.2 "fewer, larger"): the
+#: applyInPandasWithState surface pays a per-KEY state roundtrip every
+#: batch a key appears in (~5 ms/key measured at sf0.1 — the r14
+#: breakdown put ~8 s of allUpdatesTimeMs on a 1500-key batch even at
+#: ZERO input rows), so with every user active in every day-file,
+#: trigger count multiplies the whole per-key cost. 100 k events per
+#: trigger amortizes that floor while keeping in-flight state bounded:
+#: eviction (watermark/timers) happens at batch boundaries, so a
+#: trigger's time-horizon is what bounds un-evicted state — at the
+#: smoke's 100× corpus this derives ~31 files (≈1 replica span) per
+#: trigger, trigger count grows linearly with the stream length, and
+#: the state-flat checks hold (attested in the r14 streamstate run).
+#: SPARK_GRAFT_STREAM_MFPT pins the value outright.
+_STREAM_ROWS_PER_TRIGGER = 100_000
+
+
+def derived_mfpt(spark: SparkSession, sf_dir: str) -> int:
+    """maxFilesPerTrigger derived from the replay's shape so one
+    micro-batch carries ~``_STREAM_ROWS_PER_TRIGGER`` events (see
+    above). ONLY for ops whose emitted result is invariant under
+    trigger boundaries (append-mode emissions gated on the final
+    watermark, or update-mode emissions folded with a monotone
+    aggregate): per-batch-emission contracts (stream_progress_audit,
+    the per-batch drains) keep their pinned cadence."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_MFPT")
+    if env:
+        return max(1, int(env))
+    try:
+        # self-heal BEFORE touching replay_dir: callers evaluate this
+        # in read_stream's argument list, so a first-ever replay
+        # materialization would otherwise run under whatever session
+        # timezone the host left behind (the round-8 clock axis —
+        # date_format day layout is tz-sensitive)
+        from pymapreduce_spark.session import ensure_runtime_configs
+
+        ensure_runtime_configs(spark)
+        n = table_row_count(sf_dir, "events")
+        path = replay_dir(spark, sf_dir)
+        n_files = sum(
+            1 for d in os.listdir(path) if d.startswith("day=")
+        )
+        rows_per_file = max(1, n // max(1, n_files))
+        return max(1, _STREAM_ROWS_PER_TRIGGER // rows_per_file)
+    except Exception:  # pragma: no cover - footer unreadable etc.
+        return 10
+
 
 def _set_stream_parts_hint(
     spark: SparkSession, sf_dir: str, multi_trigger: bool
@@ -254,6 +301,20 @@ def drain(
     needs a durable checkpoint path; the default ephemeral one is
     session-temp)."""
     global LAST_QUERY_PROGRESS, LAST_SINK_NAME
+    spark_prev = stream_df.sparkSession
+    # Drop the PREVIOUS drain's memory-sink view before registering a
+    # new one (r13 ADVICE: the r12 fix was point-applied to state_audit
+    # only) — median-of-3 bench reruns otherwise stack full emission
+    # copies on the driver heap, one per drain, for the session's
+    # lifetime. Safe because every op drains at most once per call and
+    # callers consume the returned DataFrame before invoking another
+    # op; the view being dropped is never the one just returned.
+    if LAST_SINK_NAME is not None:
+        try:
+            spark_prev.catalog.dropTempView(LAST_SINK_NAME)
+        except Exception:  # pragma: no cover - already dropped
+            pass
+        LAST_SINK_NAME = None
     name = f"stream_result_{next(_counter)}"
     LAST_SINK_NAME = name
     w = (
@@ -749,11 +810,10 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_ts, max_gap, n = (
             state.get if state.exists else (None, 0, 0)
         )
-        pdf = _concat_sorted(pdfs)  # one global per-key sort: a key
+        mus = _concat_sorted(pdfs)  # one global per-key µs sort: a key
         # spanning multiple Arrow chunks must fold in time order
-        if pdf is not None:
-            for t in pdf["ts"]:
-                mu = t.value // 1000  # pandas ns → µs
+        if mus is not None:
+            for mu in mus.tolist():
                 if last_ts is not None and mu - last_ts > max_gap:
                     max_gap = mu - last_ts
                 last_ts = mu
@@ -806,34 +866,44 @@ def _session_due_ms(last_us: int, gap_us: int = _SESSION_GAP_US) -> int:
 
 def _session_emit_pdf(user_id, sessions: list, gap_us: int = _SESSION_GAP_US):
     """ONE output frame for a whole list of closed (start, last, n)
-    sessions (~2.6× fewer pandas constructions than per-session
-    one-row frames). Measured honestly (r11): batching moved the sf0.1
-    bench inside noise (7.8 s → 7.3–8.7 s across runs) — the op's cost
-    is the ~37-trigger micro-batch scheduler plus per-key Python
-    invocations and per-batch timeout scans, the same scheduler-bound
-    class as stream_session_watermarked (3.9 s with no per-key Python);
-    kept because fewer tiny frames is the right shape regardless."""
+    sessions, built from int64 arrays viewed as datetime64[us] — no
+    per-value pd.Timestamp boxing (guide §4.2: the r14 per-trigger
+    breakdown put ~10 s of allUpdatesTimeMs per 1500-key batch on the
+    per-key Python, and Timestamp-list frame construction was a big
+    slice of it). Values are identical to pd.Timestamp(x, unit="us"):
+    both are µs-precision naive timestamps."""
+    import numpy as np
     import pandas as pd
 
+    k = len(sessions)
+    starts = np.fromiter((s for s, _l, _n in sessions), "int64", count=k)
+    lasts = np.fromiter((l for _s, l, _n in sessions), "int64", count=k)
+    ns = np.fromiter((n for _s, _l, n in sessions), "int64", count=k)
+    # A NULL grouping key arrives as None OR as float NaN (the
+    # applyInPandasWithState key tuple) — np.full(..., NaN, "int64")
+    # would silently cast it to INT64_MIN (caught by the streaming
+    # property differential), so keep the nullable object column the
+    # original per-value form produced for both null spellings.
+    null_key = user_id is None or user_id != user_id
+    uid = (
+        np.array([None] * k, dtype=object)
+        if null_key
+        else np.full(k, user_id, dtype="int64")
+    )
     return pd.DataFrame(
         {
-            "user_id": [user_id] * len(sessions),
-            "session_start": [
-                pd.Timestamp(s, unit="us") for s, _l, _n in sessions
-            ],
-            "session_end": [
-                pd.Timestamp(l + gap_us, unit="us")
-                for _s, l, _n in sessions
-            ],
-            "n_events": [n for _s, _l, n in sessions],
+            "user_id": uid,
+            "session_start": starts.view("datetime64[us]"),
+            "session_end": (lasts + gap_us).view("datetime64[us]"),
+            "n_events": ns,
         }
     )
 
 
 def _concat_sorted(chunks):
-    """All of one key's Arrow chunks for this batch, concatenated and
-    globally (ts, event_id)-sorted; None when the batch carried no rows
-    for the key.
+    """All of one key's event times for this batch — every Arrow chunk
+    concatenated, converted to int64 µs, and globally sorted — as one
+    numpy array; None when the batch carried no rows for the key.
 
     The per-key iterator delivers a key's rows in MULTIPLE chunks when
     the partition's data crosses the Arrow batch limit, and the chunks'
@@ -846,22 +916,42 @@ def _concat_sorted(chunks):
     sf0.1 (>10 k-row Arrow chunks); the same splitting already occurred
     at any width on a 100 TB feed — width only changed WHEN. One concat
     + one sort per (key, batch) is the batch's own data, bounded by the
-    trigger size, not stream length."""
-    import pandas as pd
+    trigger size, not stream length.
 
-    frames = [p for p in chunks if len(p)]
-    if not frames:
+    r14 (guide §4.2): returns the sorted µs array directly instead of a
+    sorted DataFrame — every consumer folds only event times, and the
+    DataFrame concat + sort_values + per-value Timestamp boxing were
+    the bulk of the per-key Python cost (allUpdatesTimeMs). Equal
+    event times need no tie-break: the folds' max/count arithmetic is
+    invariant under their order."""
+    import numpy as np
+
+    arrs = []
+    for p in chunks:
+        if not len(p):
+            continue
+        v = p["ts"].values
+        if v.dtype == np.dtype("datetime64[us]"):
+            arrs.append(v.astype("int64"))
+        else:
+            # ns (or other) unit: floor to µs exactly like Timestamp
+            # .value // 1000 did
+            arrs.append(v.astype("datetime64[ns]").astype("int64") // 1000)
+    if not arrs:
         return None
-    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
-    return pdf.sort_values(["ts", "event_id"])
+    mus = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+    mus.sort()
+    return mus
 
 
 def _session_fold_events(
-    ts_series, start, last, n, closed: list, gap_us: int = _SESSION_GAP_US
+    mus, start, last, n, closed: list, gap_us: int = _SESSION_GAP_US
 ):
-    """Fold one batch's (sorted) event times into the running session
-    scalar, appending each gap-closed (start, last, n) to ``closed``;
-    returns the updated scalar.
+    """Fold one batch's (sorted) event times — int64 µs, the
+    :func:`_concat_sorted` output — into the running session scalar,
+    appending each gap-closed (start, last, n) to ``closed``; returns
+    the updated scalar. The loop runs over plain Python ints
+    (``.tolist()``), not boxed pandas Timestamps (guide §4.2).
 
     ``last`` is the session's MAX event time (``max(last, mu)``), not
     the most recently folded one: each batch is sorted before folding,
@@ -869,8 +959,11 @@ def _session_fold_events(
     carries ``mu < last``, and overwriting would move the session end
     BACKWARD — skewing every subsequent gap split versus the
     globally-ordered oracle's ``max(mu)`` (round-11 ADVICE #1)."""
-    for t in ts_series:
-        mu = t.value // 1000  # pandas ns → µs
+    import numpy as np
+
+    if isinstance(mus, np.ndarray):
+        mus = mus.tolist()
+    for mu in mus:
         if start is None:
             start, last, n = mu, mu, 1
         elif mu - last > gap_us:
@@ -900,10 +993,10 @@ def _make_session_timeout_track(gap_us: int = _SESSION_GAP_US):
             return
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list = []
-        pdf = _concat_sorted(pdfs)  # global per-key sort (see helper)
-        if pdf is not None:
+        mus = _concat_sorted(pdfs)  # global per-key µs sort (see helper)
+        if mus is not None:
             start, last, n = _session_fold_events(
-                pdf["ts"], start, last, n, closed, gap_us
+                mus, start, last, n, closed, gap_us
             )
         if closed:
             yield _session_emit_pdf(user_id, closed, gap_us)
@@ -951,10 +1044,10 @@ class _SessionTimeoutProcessor:
         cur = self._state.get() if self._state.exists() else None
         start, last, n = cur if cur is not None else (None, None, 0)
         closed: list = []
-        pdf = _concat_sorted(rows)  # global per-key sort (see helper)
-        if pdf is not None:
+        mus = _concat_sorted(rows)  # global per-key µs sort (see helper)
+        if mus is not None:
             start, last, n = _session_fold_events(
-                pdf["ts"], start, last, n, closed
+                mus, start, last, n, closed
             )
         if closed:
             yield _session_emit_pdf(user_id, closed)
@@ -1066,10 +1159,18 @@ def stream_stateful_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
       surface's timer mechanism (setTimeoutTimestamp / hasTimedOut),
       protobuf-free; the executable path here and the one the driver
       attests.
+
+    Trigger cadence is DERIVED (r14, see ``derived_mfpt``): the
+    emitted session set depends only on the gap splits (batch-
+    boundary-invariant: state carries the trailing session across
+    triggers) and on the FINAL watermark (the timer boundary), never
+    on where triggers fall — so fewer, larger micro-batches change
+    nothing the oracle sees while amortizing the per-key state
+    roundtrip that dominates this op's cost.
     """
-    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10).where(
-        F.col("ts").isNotNull()
-    )
+    s = read_stream(
+        spark, sf_dir, maxFilesPerTrigger=derived_mfpt(spark, sf_dir)
+    ).where(F.col("ts").isNotNull())
     wm = s.withWatermark("ts", "2 hours")
     out_schema = (
         "user_id bigint, session_start timestamp, "
@@ -1230,9 +1331,13 @@ def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The audited drain's RESULT (the full timers emission) is never
     # read — only the checkpoint's state store is. Drop the memory-sink
     # view immediately so median-of-3 bench reruns don't stack emission
-    # copies on the driver heap (r12 ADVICE #2).
+    # copies on the driver heap (r12 ADVICE #2), and clear the stale
+    # name (r13 ADVICE) — drain() itself drops the previous sink on the
+    # next call, but this op should not hold its dead emission at all.
+    global LAST_SINK_NAME
     if LAST_SINK_NAME:
         spark.catalog.dropTempView(LAST_SINK_NAME)
+        LAST_SINK_NAME = None
     try:
         committed = any(
             f.isdigit() for f in os.listdir(os.path.join(chk, "commits"))
@@ -1571,10 +1676,18 @@ def stream_session_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     window form) restricted to finalized sessions. The oracle computes
     exactly that; ``matches_batch`` additionally proves each emitted
     session is COMPLETE (its event count equals the batch twin's, via a
-    null-safe user key — NULL-user sessions are real sessions)."""
-    s = read_stream(spark, sf_dir, maxFilesPerTrigger=10).where(
-        F.col("ts").isNotNull()
-    )
+    null-safe user key — NULL-user sessions are real sessions).
+
+    Trigger cadence is DERIVED (r14, see ``derived_mfpt``): the append
+    emission set is {sessions: end ≤ final watermark} whatever the
+    batch boundaries — Spark merges session fragments in state across
+    triggers and the day-ordered replay never delivers late events —
+    so fewer, larger micro-batches leave the emitted set (and the
+    completeness join) unchanged while amortizing the per-trigger
+    state commit floor."""
+    s = read_stream(
+        spark, sf_dir, maxFilesPerTrigger=derived_mfpt(spark, sf_dir)
+    ).where(F.col("ts").isNotNull())
     agg = (
         s.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")

@@ -570,15 +570,17 @@ def test_session_fold_out_of_order_in_gap():
     LATER micro-batch (mu < last) must not move the session end
     backward — ``last`` is the max event time, matching the oracle's
     max(mu), so subsequent gap splits stay aligned."""
-    import pandas as pd
+    import numpy as np
 
     from pymapreduce_spark.streaming.core import (
         _SESSION_GAP_US,
         _session_fold_events,
     )
 
+    # the fold's r14 input contract: sorted int64 µs (the
+    # _concat_sorted output)
     def ts(us_list):
-        return pd.to_datetime(pd.Series(us_list), unit="us")
+        return np.array(us_list, dtype="int64")
 
     base = 1_600_000_000_000_000
     closed: list = []
@@ -601,6 +603,57 @@ def test_session_fold_out_of_order_in_gap():
     )
     assert closed == [(base, base + 600_000_000, 3)]
     assert (start, last, n) == (split_at, split_at, 1)
+
+
+def test_concat_sorted_and_emit_pdf_vectorized_values():
+    """r14 per-key vectorization (guide §4.2): _concat_sorted returns
+    the globally-sorted int64 µs array across chunks of EITHER pandas
+    timestamp unit (ns is Spark's Arrow default, us is pandas-2
+    native), flooring exactly like Timestamp.value // 1000 did; and
+    _session_emit_pdf's datetime64[us] columns carry the same values
+    the per-value pd.Timestamp(x, unit='us') construction produced."""
+    import numpy as np
+    import pandas as pd
+
+    from pymapreduce_spark.streaming.core import (
+        _SESSION_GAP_US,
+        _concat_sorted,
+        _session_emit_pdf,
+    )
+
+    base = 1_600_000_000_000_000 + 123  # non-ms-aligned µs on purpose
+    # chunk A in ns unit, deliberately out of time order vs chunk B
+    a = pd.DataFrame(
+        {"ts": pd.to_datetime(pd.Series([base + 50, base + 10]), unit="us")}
+    )
+    assert a["ts"].values.dtype == np.dtype("datetime64[ns]")
+    b = pd.DataFrame(
+        {"ts": pd.Series(np.array([base + 20], dtype="datetime64[us]"))}
+    )
+    empty = a.iloc[:0]
+    mus = _concat_sorted(iter([a, empty, b]))
+    assert mus.dtype == np.dtype("int64")
+    assert mus.tolist() == [base + 10, base + 20, base + 50]
+    assert _concat_sorted(iter([empty])) is None
+
+    out = _session_emit_pdf(42, [(base, base + 7, 3), (base + 9, base + 11, 1)])
+    assert out["user_id"].tolist() == [42, 42]
+    assert out["n_events"].tolist() == [3, 1]
+    assert out["session_start"].tolist() == [
+        pd.Timestamp(base, unit="us"),
+        pd.Timestamp(base + 9, unit="us"),
+    ]
+    assert out["session_end"].tolist() == [
+        pd.Timestamp(base + 7 + _SESSION_GAP_US, unit="us"),
+        pd.Timestamp(base + 11 + _SESSION_GAP_US, unit="us"),
+    ]
+    # NULL grouping key keeps the nullable object column — for BOTH
+    # null spellings (None, and the float NaN the stateful key tuple
+    # delivers; an int64 cast would turn NaN into INT64_MIN)
+    out_null = _session_emit_pdf(None, [(base, base + 7, 3)])
+    assert out_null["user_id"].tolist() == [None]
+    out_nan = _session_emit_pdf(float("nan"), [(base, base + 7, 3)])
+    assert out_nan["user_id"].tolist() == [None]
 
 
 def test_fold_correct_when_key_spans_arrow_chunks(spark, duck, sf_dir):

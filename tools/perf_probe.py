@@ -1,8 +1,8 @@
-"""Round-13 optimization probe: isolate per-query compute cost and plans.
+"""Optimization probe (r13; plan dir now env-selectable): isolate per-query compute cost and plans.
 
 For each named registry op (default: the bench HEADLINE + NEW_KEYS set):
 
-- captures ``explain("formatted")`` to ``plans/r13/<op>_<tag>.txt``
+- captures ``explain("formatted")`` to ``plans/$SPARK_GRAFT_PLAN_DIR/<op>_<tag>.txt`` (default r14)
 - times the computation through the noop sink (guide §1.4) — one
   warm-up, then median of N — so the sink/fetch cost is excluded and
   the number isolates scan→shuffle→compute
@@ -18,6 +18,7 @@ protocol: Arrow fetch) is untouched. Usage:
 from __future__ import annotations
 
 import json
+import re
 import os
 import statistics
 import sys
@@ -62,7 +63,7 @@ def main() -> None:
 
     spark = get_spark(app_name=f"perf-probe-{tag}")
     spark.sparkContext.setLogLevel("ERROR")
-    plan_dir = os.path.join(REPO, "plans", "r13")
+    plan_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"))
     os.makedirs(plan_dir, exist_ok=True)
 
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
@@ -81,7 +82,7 @@ def main() -> None:
             with open(os.path.join(plan_dir, f"{name}_{tag}.txt"), "w") as fh:
                 fh.write(plan)
             if plans_only:
-                out[name] = {"exchanges": plan.count("Exchange(")}
+                out[name] = {"exchanges": len(re.findall(r"\bExchange\b", plan))}
                 continue
             spark.sparkContext.setJobDescription(f"{tag}:{name}:warmup")
             noop(fn(spark, SF_DIR))
@@ -96,7 +97,7 @@ def main() -> None:
                 "noop_med": round(statistics.median(samples), 4),
                 "noop_min": round(min(samples), 4),
                 "noop_max": round(max(samples), 4),
-                "exchanges": plan.count("Exchange("),
+                "exchanges": len(re.findall(r"\bExchange\b", plan)),
             }
         except Exception as exc:  # noqa: BLE001 — keep probing the rest
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
