@@ -966,26 +966,43 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     median is the middle-pair half-gap at even n (rank-perfect, round-7
     tiny axis). That clause replaces the percentile_disc middle-pair
     envelope this path used to compute (round-7 verdict, task 3): the
-    timed query now pays for the sketches plus ONE exact median (the
+    timed query now pays for the sketch plus ONE exact median (the
     oracle needs it) instead of three full order-statistic buffers per
     group. The oracle expects (count(*), exact, true) — n_rows also
-    proves the sketch saw every row. Raw p25/p50/p75 estimates and the
-    exact envelope: sketch_quantiles_rich."""
+    proves the sketch saw every row.
+
+    Single scan (r14 verdict #7, guide §6 "read once"): the sketch and
+    the exact median are two aggregates of ONE groupBy — one FileScan,
+    one exchange, no join — where this path used to scan lineitem
+    twice (sketch arm + exact arm) and broadcast-join the arms. Both
+    are TypedImperativeAggregates, so they share one partial+merge
+    ObjectHashAggregate pair. The fine-stratum sketch-MERGE layout
+    (sketch per returnflag×linestatus, rolled up by kll_sketch_merge —
+    the production persist-and-merge pattern) lives on in
+    ``_kll_p50_approx``/``sketch_quantiles_rich`` with its rank-error
+    test; the benched path builds the returnflag sketch directly,
+    which is the same estimator (partial aggregation already merges
+    per-partition sketches) minus one exchange level. Raw p25/p50/p75
+    estimates and the exact envelope: sketch_quantiles_rich."""
     li = load_table(spark, sf_dir, "lineitem")
-    approx = _kll_p50_approx(spark, sf_dir)
-    exact = li.groupBy("l_returnflag").agg(
+    one = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_bigint(
+            cents("l_extendedprice"), F.lit(_KLL_K)
+        ).alias("sk"),
         F.round(F.median(finite("l_extendedprice")), 4).alias(
             "exact_p50_price"
-        )
+        ),
     )
-    abs_err = F.abs(F.col("p50_price") - F.col("exact_p50_price"))
-    return approx.join(F.broadcast(exact), "l_returnflag").select(
+    n_rows = F.kll_sketch_get_n_bigint("sk")
+    p50 = F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)) / 100.0
+    abs_err = F.abs(p50 - F.col("exact_p50_price"))
+    return one.select(
         "l_returnflag",
-        "n_rows",
+        n_rows.alias("n_rows"),
         "exact_p50_price",
         (
             (abs_err <= 0.05 * F.col("exact_p50_price"))
-            | (F.col("n_rows") <= _KLL_K)
+            | (n_rows <= _KLL_K)
         ).alias("within_tol"),
     )
 

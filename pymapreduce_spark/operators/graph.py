@@ -44,9 +44,11 @@ def connected_components(
     by an exact changed-row count, so the loop never runs a round it
     does not need; ``localCheckpoint`` cuts lineage each round so plan
     size stays O(1) across iterations (the classic iterative-Spark
-    footgun). The per-round cost is two hash joins + one aggregate on
-    the label table — the standard Pregel-on-DataFrames shape that
-    scales to edge sets far beyond one executor.
+    footgun). The per-round cost is one hash join + one aggregate per
+    propagation step (labels ride a union into the min-aggregate
+    rather than returning via a second join) — the standard
+    Pregel-on-DataFrames shape that scales to edge sets far beyond one
+    executor.
 
     ``max_rounds`` is a SAFETY bound, not a tuning knob: reach roughly
     doubles per materialized round, so 64 rounds covers any graph that
@@ -92,16 +94,22 @@ def connected_components(
         # ~2× at sf0.1 (measured: 7 rounds/3.9 s → 3 rounds/1.8 s).
         stepped = labels
         for _prop in range(3):
-            nbr_min = (
+            # min over (self ∪ neighborhood) in ONE aggregate: the label
+            # rows ride the union instead of coming back via a left join
+            # + least/coalesce, dropping one join (and its broadcast
+            # roundtrip) per step — r14 A/B at sf0.1, identical labels:
+            # 2.88 s → 2.18 s median for the full op (guide §2.4, fewer
+            # plan nodes per round; 5 steps/round was also tried and
+            # does NOT cut the materialized round count — reach is not
+            # the binding constraint at this scale). Every sym.dst is
+            # also a src (symmetrized), so the inner join drops nobody
+            # and the union keeps every node's own label alive.
+            stepped = (
                 sym.join(stepped, sym.dst == stepped.node)
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            stepped = stepped.join(nbr_min, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                .select(F.col("src").alias("node"), "label")
+                .unionAll(stepped)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
             )
         # pointer jump: label := label(label) — squares the reach.
         parents = stepped.select(
@@ -244,9 +252,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     all. The oracle unrolls the same five steps as chained CTEs.
 
     Scale: each step is one join + one aggregate on (edges ⋈ ranks) —
-    the standard iterative-DataFrame shape; lineage is cut per step.
-    True degree-weighted PageRank swaps the constant 17 for
-    17·S/outdeg with a precomputed out-degree table."""
+    the standard iterative-DataFrame shape. The five steps build ONE
+    lazy plan on the checkpointed edge table (r14, guide §1.2 "remove
+    unnecessary passes"): per-step eager checkpoints existed to stop
+    exponential lineage growth from ``ranks`` appearing twice per step
+    (once feeding the incoming-mass aggregate, once as the next
+    rank table's base) — but with out-degree exactly 1 the node set is
+    STATIC (``nn1.src`` is unique), so rebasing each step on the fixed
+    ``nodes`` table makes growth linear (5 × (join+agg+join)) and the
+    whole unroll runs as a single job instead of 1 + 5 checkpoint jobs
+    (interleaved A/B at sf0.1, iteration half only, identical output:
+    median 1.35 s → 1.03 s — tools/probe_pagerank_ab.py; it also drops
+    five per-step cached RDD copies of the rank table, which at scale
+    is executor memory, guide §5). An unbounded/data-dependent
+    iteration count would need the
+    checkpoints back — see connected_components, whose convergence
+    loop genuinely must materialize per round. True degree-weighted
+    PageRank swaps the constant 17 for 17·S/outdeg with a precomputed
+    out-degree table."""
     from pymapreduce_spark.operators.llm_vector import llm_knn_self_join
 
     nn1 = (
@@ -258,25 +281,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(_edge_partitions(sf_dir))
         .localCheckpoint(eager=True)
     )
-    ranks = nn1.select(F.col("src").alias("node")).withColumn(
-        "s", F.lit(1).cast("long")
-    )
+    nodes = nn1.select(F.col("src").alias("node"))
+    ranks = nodes.withColumn("s", F.lit(1).cast("long"))
     for t in range(5):
         inc = (
             nn1.join(ranks, nn1.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("m"))
         )
-        ranks = (
-            ranks.select("node")
-            .join(inc, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(3 * 20**t) + 17 * F.coalesce("m", F.lit(0))
-                ).alias("s"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(inc, "node", "left").select(
+            "node",
+            (F.lit(3 * 20**t) + 17 * F.coalesce("m", F.lit(0))).alias("s"),
         )
     return ranks.select("node", F.col("s").alias("pr_scaled"))
 

@@ -367,16 +367,20 @@ def test_bloom_prefilter_before_semi_join(spark, sf_dir):
     assert kept < 0.12 * total, (kept, total)
 
 
-def test_sketch_quantiles_partial_agg_two_exchanges(spark, sf_dir):
-    """KLL sketches build as partial+merge ObjectHashAggregates: one
-    exchange per agg level, no sort anywhere. The self-evidencing exact
-    median adds its own agg exchange + a broadcast of the 3-row result
-    (4 exchanges total, only one of them a broadcast)."""
+def test_sketch_quantiles_single_scan_one_exchange(spark, sf_dir):
+    """KLL sketch and the self-evidencing exact median are two
+    aggregates of ONE partial+merge ObjectHashAggregate (r14 verdict
+    #7, guide §6 read-once): one FileScan, one exchange, no join, no
+    sort — this path used to scan lineitem twice and broadcast-join
+    the arms (4 exchanges)."""
     plan = plan_of("agg_sketch_quantiles", spark, sf_dir)
     assert "kll_sketch_agg_bigint" in plan, plan
     assert "partial_kll_sketch_agg_bigint" in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 3, plan
-    assert plan.count("BroadcastExchange") == 1, plan
+    assert "partial_percentile" in plan, plan  # median plans as percentile(0.5)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastExchange") == 0, plan
+    assert "Join" not in plan, plan
     assert "Sort" not in plan, plan
 
 
